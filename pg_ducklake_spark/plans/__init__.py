@@ -1,0 +1,85 @@
+"""Query-plan library: the engine's analytic surface, oracle-paired.
+
+Every public query is registered here as ``name -> fn(spark, sf_dir) ->
+DataFrame`` together with (where SQL-expressible) a DuckDB oracle SQL
+string computing the same result on the same parquet tables. The driver
+(and ``tools/check_correctness.py``) runs both sides and compares
+row-count + schema + order-insensitive value hashes, so every query is
+written to produce *identical* values and column names on both engines
+(explicit aliases, explicit casts, rounding of float aggregates).
+
+Modules register via the ``@query`` decorator at import time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query plan and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic test table (see TESTDATA.md).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read it as raw nanos (legacy conf) and rebuild a
+    TIMESTAMP_NTZ via integer microsecond arithmetic — timezone-free and
+    truncating exactly like DuckDB's nanos→micros read.
+    """
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, CAST(ts DIV 1000 AS BIGINT),"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+# Import for registration side effects (order = display order).
+from pg_ducklake_spark.plans import tpch  # noqa: E402,F401
+from pg_ducklake_spark.plans import analytics  # noqa: E402,F401
+from pg_ducklake_spark.plans import relational  # noqa: E402,F401
+from pg_ducklake_spark.plans import dedup  # noqa: E402,F401
+from pg_ducklake_spark.plans import similarity  # noqa: E402,F401
+from pg_ducklake_spark.plans import text  # noqa: E402,F401
+from pg_ducklake_spark.plans import multimodal  # noqa: E402,F401
+from pg_ducklake_spark.plans import lakeops  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "TABLES", "query", "t"]

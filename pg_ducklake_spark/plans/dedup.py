@@ -1,0 +1,382 @@
+"""Deduplication operators over the ``documents`` table.
+
+The LLM-training-pipeline surface: exact dedup, n-gram Jaccard near-dup,
+MinHash+LSH, and SimHash — each Spark-first and paired with a DuckDB
+oracle built from the same md5-derived hash arithmetic
+(functions/hashing.py) so values match bit-for-bit.
+
+Scale design (100 TB of documents):
+- exact dedup = hash-groupBy (one shuffle on the digest);
+- shingle/Jaccard and MinHash avoid the O(n²) cross join by joining on
+  shingles / LSH band buckets — candidate generation is an equi-join,
+  verification touches only candidate pairs;
+- SimHash bands the 32-bit signature into 4 bytes so near-pairs
+  (hamming ≤ 3) are found by 4 equi-joins, never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_ducklake_spark.functions.hashing import (
+    MERSENNE31,
+    h32,
+    minhash_coeffs,
+    minhash_col,
+    sql_h32,
+    sql_minhash,
+)
+from pg_ducklake_spark.plans import query, t
+
+# ---------------------------------------------------------------- exact
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT digest,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM (SELECT doc_id, md5(text) AS digest FROM documents) d
+    GROUP BY digest
+    HAVING COUNT(*) > 1
+    ORDER BY n_copies DESC, keeper_doc_id ASC
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact duplicate groups by content digest (hash-groupBy)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy(F.desc("n_copies"), F.asc("keeper_doc_id"))
+    )
+
+
+@query(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS unique_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS removable
+    FROM documents
+    """,
+)
+def dedup_exact_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct(F.md5("text")).alias("unique_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("removable"),
+    )
+
+
+# ------------------------------------------------------- shingle helpers
+
+_SPARK_SHINGLES = """
+CASE WHEN size(toks) >= 3 THEN
+  array_distinct(transform(
+    sequence(1, size(toks) - 2),
+    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                   element_at(toks, i + 2))))
+ELSE array() END
+"""
+
+_DUCK_SHINGLES = """
+list_distinct(list_transform(
+  range(1, greatest(len(toks) - 1, 1)),
+  i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
+"""
+# DuckDB range(1, n) is [1, n) and lists are 1-indexed; with n = len-1 the
+# last trigram starts at len-2, matching Spark's sequence(1, len-2).
+
+_SPARK_TOKS = "split(lower(text), ' ')"
+_DUCK_TOKS = "string_split(lower(text), ' ')"
+
+
+def _spark_shingled(docs):
+    return docs.select(
+        "doc_id",
+        F.expr(_SPARK_TOKS).alias("toks"),
+    ).select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+
+
+_DUCK_SHINGLED = f"""
+    SELECT doc_id, {_DUCK_SHINGLES.strip()} AS shingles
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents) tk
+"""
+
+
+# ------------------------------------------------------ n-gram Jaccard
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingled AS ({_DUCK_SHINGLED}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles FROM shingled
+    ),
+    pair_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE)
+             / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE) AS jaccard
+    FROM pair_inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE)
+          / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE) >= 0.6
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-trigram Jaccard near-duplicate pairs (threshold 0.6).
+
+    Candidate pairs come from an equi-join on shingles (never a cross
+    join); at 100 TB you'd pre-filter hot shingles (stopword trigrams)
+    — the join key distribution is the scale knob.
+    """
+    docs = t(spark, sf_dir, "documents")
+    shingled = _spark_shingled(docs)
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = shingled.select(
+        "doc_id", F.size("shingles").cast("long").alias("n_shingles")
+    )
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------- MinHash+LSH
+
+_K = 16  # signature length
+_BANDS = 4  # 4 bands × 4 rows
+_ROWS = _K // _BANDS
+_COEFFS = minhash_coeffs(_K)
+
+
+def _duck_minhash_sig_sql() -> str:
+    """DuckDB: per-doc minhash signature columns mh0..mh15."""
+    h = sql_h32("shingle")
+    mins = ",\n           ".join(
+        f"MIN({sql_minhash(h, a, b)}) AS mh{i}" for i, (a, b) in enumerate(_COEFFS)
+    )
+    return f"""
+    SELECT doc_id, {mins}
+    FROM (
+      SELECT doc_id, unnest(shingles) AS shingle
+      FROM ({_DUCK_SHINGLED}) sh
+    ) ex
+    GROUP BY doc_id
+    """
+
+
+def _duck_bands_sql() -> str:
+    band_exprs = []
+    for band in range(_BANDS):
+        cols = " || '_' || ".join(
+            f"CAST(mh{band * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+        )
+        band_exprs.append(
+            f"SELECT doc_id, {band} AS band_id, {cols} AS band_key FROM sigs"
+        )
+    return " UNION ALL ".join(band_exprs)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sigs AS ({_duck_minhash_sig_sql()}),
+    bands AS ({_duck_bands_sql()}),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sim AS (
+      SELECT doc_a, doc_b,
+             CAST({" + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_K))}
+                  AS DOUBLE) / {_K} AS est_jaccard
+      FROM candidates
+      JOIN sigs sa ON sa.doc_id = doc_a
+      JOIN sigs sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, est_jaccard
+    FROM sim WHERE est_jaccard >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (k=16) + LSH (4 bands × 4 rows) near-duplicate pairs.
+
+    The LSH band join is the scale path: docs collide only within
+    band buckets, so candidate generation is an equi-join on
+    (band_id, band_key) — at 100 TB this is the textbook
+    shingle→minhash→band→bucket-join pipeline with one shuffle per
+    stage and no cross join anywhere.
+    """
+    docs = t(spark, sf_dir, "documents")
+    exploded = _spark_shingled(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    h = h32("shingle")
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_col(h, a, b)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_COEFFS)
+        ]
+    )
+    bands = None
+    for band in range(_BANDS):
+        key = F.concat_ws(
+            "_", *[F.col(f"mh{band * _ROWS + r}").cast("string") for r in range(_ROWS)]
+        )
+        part = sigs.select(
+            "doc_id", F.lit(band).alias("band_id"), key.alias("band_key")
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+    )
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    candidates = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_K)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_K)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_K)
+    )
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", matches.cast("double") / F.lit(_K))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# -------------------------------------------------------------- SimHash
+
+_SIMBITS = 32
+
+
+def _duck_simhash_sql() -> str:
+    h = sql_h32("token")
+    bits = " + ".join(
+        f"CAST(CASE WHEN SUM(CASE WHEN (th >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << bit} ELSE 0 END AS BIGINT)"
+        for bit in range(_SIMBITS)
+    )
+    return f"""
+    SELECT doc_id, {bits} AS simhash
+    FROM (
+      SELECT doc_id, {h} AS th
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents) tk
+      WHERE token <> ''
+    ) hashed
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sims AS ({_duck_simhash_sql()}),
+    keyed AS (
+      SELECT doc_id, simhash, b AS byte_id,
+             (simhash >> (b * 8)) & 255 AS byte_val
+      FROM sims, range(0, 4) t(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS BIGINT)
+             AS hamming
+    FROM keyed a JOIN keyed b
+      ON a.byte_id = b.byte_id AND a.byte_val = b.byte_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash (32-bit) near-dup pairs with hamming ≤ 3.
+
+    By pigeonhole, any pair within hamming 3 agrees on at least one of
+    the 4 signature bytes, so candidates come from 4 equi-joins on
+    (byte_id, byte_val) — the standard scale-out simhash blocking.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    th = h32("token")
+    contrib = [
+        F.sum(
+            F.when(F.shiftright(th, bit).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{bit}")
+        for bit in range(_SIMBITS)
+    ]
+    per_bit = tokens.groupBy("doc_id").agg(*contrib)
+    simhash = sum(
+        F.when(F.col(f"s{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0)).cast("long")
+        for bit in range(_SIMBITS)
+    )
+    sims = per_bit.select("doc_id", simhash.alias("simhash"))
+    bytes_df = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("byte_id"),
+    ).withColumn("byte_val", F.expr("shiftright(simhash, byte_id * 8) & 255"))
+    a = bytes_df.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "byte_id", "byte_val"
+    )
+    b = bytes_df.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "byte_id", "byte_val"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    return (
+        a.join(b, ["byte_id", "byte_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )

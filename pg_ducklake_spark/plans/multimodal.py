@@ -1,0 +1,80 @@
+"""Multimodal-column queries: binary payload handling end to end.
+
+``documents.text`` is encoded to a binary column (the testdata has no
+real media), exercising the same plumbing a 100 TB image/audio lake
+needs: opaque bytes + typed metadata, SQL-side byte functions, and an
+Arrow-batched Pandas feature extractor (oracle-less rows-only check —
+the fake decode is Python-side by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_ducklake_spark.functions import davg, sql_davg
+from pg_ducklake_spark.plans import query, t
+
+
+@query(
+    "mm_binary_metadata",
+    oracle=f"""
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(octet_length(content) AS BIGINT)) AS BIGINT) AS total_bytes,
+           {sql_davg('CAST(octet_length(content) AS DOUBLE)')} AS avg_bytes,
+           CAST(MAX(octet_length(content)) AS BIGINT) AS max_bytes
+    FROM (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+             encode(text) AS content
+      FROM documents) media
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+)
+def mm_binary_metadata(spark, sf_dir):
+    """Typed-metadata stats over an opaque binary column."""
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    nbytes = F.octet_length("content").cast("long")
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(nbytes).cast("long").alias("total_bytes"),
+            davg(nbytes.cast("double")).alias("avg_bytes"),
+            F.max(F.octet_length("content")).cast("long").alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+@query("mm_feature_extraction")  # no oracle: Pandas-UDF decode path, rows-only check
+def mm_feature_extraction(spark, sf_dir):
+    """Arrow-batched fake-decode feature extraction (mapInPandas); the
+    decode stub seam is operators/multimodal.py."""
+    from pg_ducklake_spark.operators.multimodal import extract_features
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.to_json(F.struct("lang", "source")).alias("metadata"),
+    )
+    feats = extract_features(media, dim=16, fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_entropy_proxy", 6).alias("entropy"),
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    ).orderBy("media_id")

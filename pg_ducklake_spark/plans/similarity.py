@@ -1,0 +1,220 @@
+"""Similarity search over the ``embeddings`` table (array<float>, d=64).
+
+Brute-force cosine top-k is the exactness baseline; sign-LSH bucketing
+is the scale path (candidates only within matching hyperplane-sign
+buckets). Dot products are computed element-in-order with double
+accumulation on both engines, so values match exactly.
+
+Scale design: brute force is O(Q·N) — fine when the query set is small
+and broadcastable (the classic "broadcast the queries, scan the corpus
+once" pattern); the LSH variant turns it into an equi-join on bucket
+signature, which survives N in the billions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pg_ducklake_spark.functions.hashing import hyperplanes
+from pg_ducklake_spark.plans import query, t
+
+_DIM = 64
+
+# Element-ordered exact dot product / norm, identical across engines.
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _duck_dot(a: str, b: str) -> str:
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, _DIM + 1)
+    )
+    return f"({terms})"
+
+
+def _spark_cosine(a: str, b: str) -> str:
+    dot = _SPARK_DOT.format(a=a, b=b)
+    na = _SPARK_DOT.format(a=a, b=a)
+    nb = _SPARK_DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return f"({_duck_dot(a, b)}) / (sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)}))"
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH queries AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q_id, vec_id AS neighbor_id,
+             {_duck_cosine('q_emb', 'embedding')} AS cosine
+      FROM queries, embeddings
+      WHERE vec_id <> q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT q_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cosine
+    FROM ranked WHERE rnk <= 10
+    ORDER BY q_id, rnk
+    """,
+)
+def sim_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-10 neighbors for 5 query vectors.
+
+    Broadcast the (tiny) query set against one scan of the corpus,
+    then a per-query window for top-k — no shuffle of the corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_spark_cosine("q_emb", "embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "rnk", "neighbor_id", "cosine")
+        .orderBy("q_id", "rnk")
+    )
+
+
+_PLANES = hyperplanes(8, _DIM)
+
+
+def _spark_bucket(col: str) -> str:
+    bits = []
+    for j, plane in enumerate(_PLANES):
+        arr = "array(" + ", ".join(f"CAST({c!r} AS DOUBLE)" for c in plane) + ")"
+        dot = _SPARK_DOT.format(a=col, b=arr)
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _duck_bucket(col: str) -> str:
+    bits = []
+    for j, plane in enumerate(_PLANES):
+        terms = " + ".join(
+            f"CAST({col}[{i + 1}] AS DOUBLE) * CAST({plane[i]!r} AS DOUBLE)"
+            for i in range(_DIM)
+        )
+        bits.append(f"CASE WHEN ({terms}) >= 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+@query(
+    "sim_lsh_bucket_topk",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    queries AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM bucketed
+                WHERE vec_id < 20),
+    scored AS (
+      SELECT q_id, b.vec_id AS neighbor_id,
+             {_duck_cosine('q_emb', 'b.embedding')} AS cosine
+      FROM queries JOIN bucketed b USING (bucket)
+      WHERE b.vec_id <> q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT q_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cosine
+    FROM ranked WHERE rnk <= 5
+    ORDER BY q_id, rnk
+    """,
+)
+def sim_lsh_bucket_topk(spark, sf_dir):
+    """Approximate NN: sign-LSH (8 hyperplanes → 256 buckets), top-5
+    within the query's bucket. Candidate generation is an equi-join on
+    the bucket id — the shape that scales to billions of vectors."""
+    emb = t(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", F.expr(_spark_bucket("embedding")))
+    queries = bucketed.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    scored = (
+        bucketed.join(F.broadcast(queries), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_spark_cosine("q_emb", "embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "rnk", "neighbor_id", "cosine")
+        .orderBy("q_id", "rnk")
+    )
+
+
+@query(
+    "sim_embedding_near_dup",
+    oracle=f"""
+    WITH normed AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+    FROM normed a JOIN normed b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) > 0.999
+    ORDER BY vec_a, vec_b
+    """,
+)
+def sim_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    cheap pre-cluster key) so the pairwise check never goes quadratic
+    over the whole corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    normed = emb.withColumn(
+        "nrm", F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+    )
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cosine = F.expr(_SPARK_DOT.format(a="emb_a", b="emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") > 0.999)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,244 @@
+"""Text-analysis operators over ``documents``: language ID, quality
+scoring, token counting, fingerprinting.
+
+All pure column arithmetic (JVM-side, whole-stage codegen — no Python
+UDFs in the hot path) with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_ducklake_spark.functions import davg, sql_davg
+from pg_ducklake_spark.plans import query, t
+
+# n-gram-heuristic language ID: function-word hit rate per language.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "fr": ["le", "la", "et", "les", "de", "un", "est"],
+    "es": ["el", "la", "los", "y", "de", "que", "es"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和"],
+}
+_LANGS = sorted(_STOPWORDS)
+
+
+def _spark_lang_scores():
+    toks = F.split(F.lower("text"), " ")
+    scores = {}
+    for lang, words in _STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        scores[lang] = F.size(
+            F.filter(toks, lambda x: F.array_contains(arr, x))
+        ).cast("long")
+    return scores
+
+
+def _duck_lang_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(lower(text), ' '),"
+        f" x -> list_contains([{words}], x))) AS BIGINT)"
+    )
+
+
+def _duck_predicted() -> str:
+    # argmax with lexicographic tiebreak, via a chain of GREATEST checks.
+    greatest = "GREATEST(" + ", ".join(f"score_{lg}" for lg in _LANGS) + ")"
+    case = "CASE "
+    for lg in _LANGS:
+        case += f"WHEN score_{lg} = {greatest} THEN '{lg}' "
+    return case + "END"
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_duck_lang_score(lg)} AS score_{lg}" for lg in _LANGS)}
+      FROM documents
+    )
+    SELECT lang AS labeled, {_duck_predicted()} AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM scored
+    GROUP BY 1, 2
+    ORDER BY labeled, predicted
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Heuristic language ID (stopword hit count, argmax with
+    lexicographic tiebreak) → confusion matrix against the labeled lang."""
+    docs = t(spark, sf_dir, "documents")
+    scores = _spark_lang_scores()
+    scored = docs.select(
+        "doc_id", "lang", *[scores[lg].alias(f"score_{lg}") for lg in _LANGS]
+    )
+    greatest = F.greatest(*[F.col(f"score_{lg}") for lg in _LANGS])
+    expr = None
+    for lg in _LANGS:
+        cond = F.col(f"score_{lg}") == greatest
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    return (
+        scored.select(F.col("lang").alias("labeled"), expr.alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("labeled", "predicted")
+    )
+
+
+_SPARK_QUALITY = """
+  0.3 * least(CAST(size(split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
++ 0.3 * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE))
++ 0.4 * least(CAST(length(text) AS DOUBLE)
+              / (CAST(size(split(text, ' ')) AS DOUBLE) * 8.0), 1.0)
+"""
+
+_DUCK_QUALITY = """
+  0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
++ 0.3 * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE))
++ 0.4 * least(CAST(length(text) AS DOUBLE)
+              / (CAST(len(string_split(text, ' ')) AS DOUBLE) * 8.0), 1.0)
+"""
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_davg(_DUCK_QUALITY)} AS avg_quality,
+           CAST(COUNT(CASE WHEN ({_DUCK_QUALITY}) >= 0.5 THEN 1 END) AS BIGINT)
+             AS n_keep
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    """Length / punctuation-ratio / word-length quality score, with a
+    keep-threshold count per source — the classic pretraining filter."""
+    docs = t(spark, sf_dir, "documents")
+    q = F.expr(_SPARK_QUALITY)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg(q).alias("avg_quality"),
+            F.count(F.when(q >= 0.5, 1)).alias("n_keep"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+             AS ws_tokens,
+           CAST(SUM(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                         AS BIGINT)) AS BIGINT) AS bpe_ish_tokens,
+           {sql_davg("CAST(n_chars AS DOUBLE)")} AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts per language."""
+    docs = t(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " ")).cast("long")
+    bpe = F.size(
+        F.expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")
+    ).cast("long")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(ws).cast("long").alias("ws_tokens"),
+            F.sum(bpe).cast("long").alias("bpe_ish_tokens"),
+            davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_fingerprint_dups",
+    oracle="""
+    SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM (
+      SELECT doc_id,
+             md5(list_aggregate(list_sort(list_distinct(
+                 string_split(lower(text), ' '))), 'string_agg', ' ')) AS fp
+      FROM documents) f
+    GROUP BY fp
+    HAVING COUNT(*) > 1
+    ORDER BY n_docs DESC, first_doc ASC
+    """,
+)
+def text_fingerprint_dups(spark, sf_dir):
+    """Bag-of-words fingerprint (md5 of the sorted distinct token set):
+    catches reordered/duplicated-content docs that exact dedup misses."""
+    docs = t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " ")
+    )
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), F.asc("first_doc"))
+    )
+
+
+@query(
+    "text_char_ngram_profile",
+    oracle="""
+    SELECT lang, trigram, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT lang, trigram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY COUNT(*) DESC, trigram ASC) AS rnk
+      FROM (
+        SELECT lang, substr(lower(text), i, 3) AS trigram
+        FROM documents, range(1, 101) t(i)
+        WHERE i <= length(text) - 2
+      ) g
+      GROUP BY lang, trigram
+    ) ranked
+    WHERE rnk <= 5
+    ORDER BY lang, n DESC, trigram
+    """,
+)
+def text_char_ngram_profile(spark, sf_dir):
+    """Top character trigrams per language (first 100 chars of each doc)
+    — the feature table an n-gram language classifier trains on."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, least(100, greatest(length(text) - 2, 1))),"
+                " i -> substr(lower(text), i, 3))"
+            )
+        ).alias("trigram"),
+        F.length("text").alias("_len"),
+    ).filter(F.length("trigram") == 3)
+    counted = grams.groupBy("lang", "trigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("trigram"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "trigram", F.col("n").cast("long").alias("n"))
+        .orderBy("lang", F.desc("n"), "trigram")
+    )

@@ -1,0 +1,37 @@
+"""SparkSession helper tuned for this engine.
+
+Scale notes (100 TB design): these settings are the local-mode analog of
+what a 1000-executor deployment would set cluster-wide — AQE on (runtime
+shuffle-partition coalescing + skew-join splitting), modest
+shuffle-partition default for local runs, Arrow enabled so any Pandas-UDF
+path is batched, and timestamps kept NTZ so parquet round-trips are
+timezone-stable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "pg_ducklake_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a local SparkSession with sane analytic defaults."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle = max(4, min(64, cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    return builder.getOrCreate()
