@@ -21,10 +21,7 @@ from pg_ducklake_spark.errors import (
     TableNotFoundError,
 )
 
-try:  # Lake core lands after the plan library; keep plans importable.
-    from pg_ducklake_spark.lake import Lake
-except ImportError:  # pragma: no cover
-    Lake = None  # type: ignore[assignment]
+from pg_ducklake_spark.lake import Lake
 
 __all__ = [
     "Lake",

@@ -1,0 +1,436 @@
+"""DuckLake-shaped snapshot-log catalog over plain files.
+
+The reference keeps 28 ``ducklake_*`` metadata tables in Postgres
+(reference: src/pgducklake_freeze.cpp:32-61) with every entity
+temporally versioned by begin/end snapshot. This module re-expresses
+that contract the way a Spark-native lakehouse does it (Delta-log
+style): each table directory holds an append-only log of numbered JSON
+snapshot files; table state at version N is the replay of snapshots
+1..N.
+
+Commit protocol = optimistic concurrency, mirroring the reference's
+subtransaction commit-retry (src/pgducklake_metadata_manager.cpp:294-404):
+a writer serializes its snapshot to a temp file and hard-links it to
+``<next_id>.json`` — link fails atomically if another writer won the
+id, in which case the writer revalidates against the new state and
+retries (appends always retry; conflicting file removals raise).
+
+Scale notes (100 TB): the log is O(#snapshots) small JSON files; state
+replay caches incrementally per process, and data-file *stats* stay in
+the log (min/max per column, from parquet footers at commit time) so
+file pruning never touches data. A checkpoint (parquet rollup of the
+log) is the standard growth valve and slots in behind ``replay``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import types as T
+
+from pg_ducklake_spark.errors import (
+    ConcurrentModificationError,
+    SnapshotNotFoundError,
+)
+
+LOG_DIR = "_ducklake_log"
+DATA_DIR = "data"
+CDF_DIR = "_change_data"
+
+# Catalog options and their defaults (reference: docs/settings.md).
+DEFAULT_OPTIONS: dict[str, Any] = {
+    "data_inlining_row_limit": 0,  # 0 = inlining off (reference default)
+    "target_file_size": 64 * 1024 * 1024,
+    "parquet_compression": "snappy",
+    "parquet_row_group_size": 122880,
+    "per_thread_output": True,
+    "hive_file_pattern": True,
+    "rewrite_delete_threshold": 0.1,
+    "require_commit_message": False,
+    "delete_older_than": None,
+    "expire_older_than": None,
+}
+
+
+def utcnow_iso() -> str:
+    return dt.datetime.now(dt.timezone.utc).isoformat(timespec="microseconds")
+
+
+# --------------------------------------------------------------------------
+# Inline-data value serialization (reference stores inlined rows in catalog
+# tables with text conversion for non-native types,
+# src/pgducklake_direct_insert.cpp:848-888; same tiering here).
+
+
+def to_json_value(v: Any, dtype: T.DataType) -> Any:
+    if v is None:
+        return None
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(dtype, T.DateType):
+        return v.isoformat()
+    if isinstance(dtype, T.BinaryType):
+        return bytes(v).hex()
+    if isinstance(dtype, T.DecimalType):
+        return str(v)
+    if isinstance(dtype, T.ArrayType):
+        return [to_json_value(x, dtype.elementType) for x in v]
+    if isinstance(dtype, (T.StructType, T.MapType)):
+        raise ValueError(
+            f"data inlining unsupported for nested type {dtype.simpleString()}"
+            " (no-inline tier, as reference docs/data_types.md:52-61)"
+        )
+    return v
+
+
+def from_json_value(v: Any, dtype: T.DataType) -> Any:
+    if v is None:
+        return None
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return dt.datetime.fromisoformat(v)
+    if isinstance(dtype, T.DateType):
+        return dt.date.fromisoformat(v)
+    if isinstance(dtype, T.BinaryType):
+        return bytes.fromhex(v)
+    if isinstance(dtype, T.DecimalType):
+        import decimal
+
+        return decimal.Decimal(v)
+    if isinstance(dtype, T.ArrayType):
+        return [from_json_value(x, dtype.elementType) for x in v]
+    if isinstance(dtype, T.FloatType):
+        return float(v)
+    if isinstance(dtype, T.DoubleType):
+        return float(v)
+    return v
+
+
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to table root
+    rows: int
+    bytes: int
+    stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+    partition_values: dict[str, str] = field(default_factory=dict)
+    begin_snapshot: int = 0
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "stats": self.stats,
+            "partition_values": self.partition_values,
+        }
+
+    @staticmethod
+    def from_json(d: dict, begin_snapshot: int) -> "FileEntry":
+        return FileEntry(
+            path=d["path"],
+            rows=d.get("rows", 0),
+            bytes=d.get("bytes", 0),
+            stats=d.get("stats", {}),
+            partition_values=d.get("partition_values", {}),
+            begin_snapshot=begin_snapshot,
+        )
+
+
+@dataclass
+class SnapshotInfo:
+    snapshot_id: int
+    timestamp: str
+    operation: str
+    schema_version: int
+    metrics: dict[str, int]
+    commit_message: str | None = None
+    cdf_path: str | None = None
+
+
+@dataclass
+class TableState:
+    """Replayed table state at a snapshot."""
+
+    snapshot_id: int = 0
+    schema: T.StructType | None = None
+    schema_version: int = 0
+    files: dict[str, FileEntry] = field(default_factory=dict)
+    inline_rows: list[dict] = field(default_factory=list)  # {row_id, begin_snapshot, values}
+    next_row_id: int = 0
+    partition_spec: list[str] = field(default_factory=list)
+    sort_spec: list[dict] = field(default_factory=list)
+    options: dict[str, Any] = field(default_factory=dict)
+    history: list[SnapshotInfo] = field(default_factory=list)
+    # per-snapshot schema versions: snapshot_id -> schema json (only changes)
+    schema_log: list[tuple[int, dict]] = field(default_factory=list)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(f.rows for f in self.files.values()) + len(self.inline_rows)
+
+    def schema_at(self, snapshot_id: int) -> T.StructType:
+        cur = None
+        for sid, sj in self.schema_log:
+            if sid <= snapshot_id:
+                cur = sj
+        if cur is None:
+            raise SnapshotNotFoundError(f"no schema at snapshot {snapshot_id}")
+        return T.StructType.fromJson(cur)
+
+
+class SnapshotLog:
+    """Append-only JSON snapshot log for one table directory."""
+
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+        self.log_dir = os.path.join(table_dir, LOG_DIR)
+        self._cache: TableState | None = None
+        self._cache_version = 0
+
+    # -- log primitives ----------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir)
+
+    def versions(self) -> list[int]:
+        if not self.exists():
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".json") and not name.startswith("."):
+                try:
+                    out.append(int(name[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def read_snapshot(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{version:020d}.json")) as f:
+            return json.load(f)
+
+    # -- state replay -------------------------------------------------------
+
+    def _apply(self, state: TableState, snap: dict) -> None:
+        sid = snap["snapshot_id"]
+        state.snapshot_id = sid
+        if "schema" in snap and snap["schema"] is not None:
+            state.schema = T.StructType.fromJson(snap["schema"])
+            state.schema_version = snap.get("schema_version", state.schema_version + 1)
+            state.schema_log.append((sid, snap["schema"]))
+        for d in snap.get("add", []):
+            fe = FileEntry.from_json(d, sid)
+            state.files[fe.path] = fe
+        for path in snap.get("remove", []):
+            state.files.pop(path, None)
+        for row in snap.get("inline_add", []):
+            state.inline_rows.append(
+                {"row_id": row["row_id"], "begin_snapshot": sid, "values": row["values"]}
+            )
+            state.next_row_id = max(state.next_row_id, row["row_id"] + 1)
+        removed = set(snap.get("inline_remove", []))
+        if removed:
+            state.inline_rows = [
+                r for r in state.inline_rows if r["row_id"] not in removed
+            ]
+        if snap.get("inline_clear"):
+            state.inline_rows = []
+        for key, val in snap.get("set", {}).items():
+            if key == "partition_spec":
+                state.partition_spec = val
+            elif key == "sort_spec":
+                state.sort_spec = val
+            elif key == "options":
+                state.options.update(val)
+        state.history.append(
+            SnapshotInfo(
+                snapshot_id=sid,
+                timestamp=snap.get("timestamp", ""),
+                operation=snap.get("operation", "WRITE"),
+                schema_version=state.schema_version,
+                metrics=snap.get("metrics", {}),
+                commit_message=snap.get("commit_message"),
+                cdf_path=snap.get("cdf_path"),
+            )
+        )
+
+    def replay(self, version: int | None = None) -> TableState:
+        """State at ``version`` (default: latest). Latest-state replays are
+        cached and advanced incrementally."""
+        latest = self.latest_version()
+        if latest == 0:
+            raise SnapshotNotFoundError(f"no snapshots in {self.log_dir}")
+        if version is not None and (version > latest or version < 1):
+            raise SnapshotNotFoundError(
+                f"snapshot {version} does not exist (latest is {latest})"
+            )
+        if version is None or version == latest:
+            if self._cache is None:
+                state = TableState()
+                for v in self.versions():
+                    self._apply(state, self.read_snapshot(v))
+                self._cache, self._cache_version = state, latest
+            else:
+                state = self._cache
+                for v in range(self._cache_version + 1, latest + 1):
+                    self._apply(state, self.read_snapshot(v))
+                self._cache_version = latest
+            return state
+        state = TableState()
+        for v in self.versions():
+            if v > version:
+                break
+            self._apply(state, self.read_snapshot(v))
+        return state
+
+    def version_at_timestamp(self, ts: dt.datetime | str) -> int:
+        if isinstance(ts, str):
+            ts = dt.datetime.fromisoformat(ts)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=dt.timezone.utc)
+        best = None
+        for v in self.versions():
+            snap_ts = dt.datetime.fromisoformat(self.read_snapshot(v)["timestamp"])
+            if snap_ts <= ts:
+                best = v
+        if best is None:
+            raise SnapshotNotFoundError(f"no snapshot at or before {ts.isoformat()}")
+        return best
+
+    # -- commit -------------------------------------------------------------
+
+    def commit(
+        self,
+        snapshot: dict,
+        validate: Callable[[TableState], None] | None = None,
+        base_version: int | None = None,
+        max_retries: int = 20,
+    ) -> int:
+        """Atomically append ``snapshot`` as the next version.
+
+        ``base_version`` is the snapshot the writer's work was computed
+        against. Whenever the log has advanced past it — detected either
+        up front or via an ``os.link`` id collision — ``validate(state)``
+        re-checks the commit against the fresh state; it raises
+        ConcurrentModificationError for true conflicts (e.g. files this
+        commit removes were already removed) and returns for benign
+        interleavings (concurrent appends), mirroring the reference's
+        retryable-vs-fatal split in its commit path
+        (src/pgducklake_metadata_manager.cpp:294-404).
+        """
+        os.makedirs(self.log_dir, exist_ok=True)
+        for attempt in range(max_retries):
+            latest = self.latest_version()
+            if (
+                validate is not None
+                and base_version is not None
+                and latest != base_version
+            ):
+                validate(self.replay())  # raises on true conflict
+                base_version = latest
+            next_id = latest + 1
+            snapshot["snapshot_id"] = next_id
+            snapshot["timestamp"] = utcnow_iso()
+            tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                json.dump(snapshot, f)
+            final = os.path.join(self.log_dir, f"{next_id:020d}.json")
+            try:
+                os.link(tmp, final)
+                os.unlink(tmp)
+                return next_id
+            except FileExistsError:
+                os.unlink(tmp)
+                if validate is not None:
+                    validate(self.replay())
+                    if base_version is not None:
+                        base_version = self.latest_version()
+                time.sleep(0.01 * (attempt + 1))
+        raise ConcurrentModificationError(
+            f"commit failed after {max_retries} retries in {self.log_dir}"
+        )
+
+
+# --------------------------------------------------------------------------
+# Parquet footer stats (per-commit, driver-side; only the files just
+# written — bounded work per commit regardless of table size).
+
+
+def _stat_to_json(v: Any) -> Any:
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v.hex()
+    if isinstance(v, float) or isinstance(v, int) or isinstance(v, str):
+        return v
+    return str(v)
+
+
+def collect_file_entries(
+    table_dir: str, commit_rel_dir: str, begin_snapshot: int
+) -> list[FileEntry]:
+    """Scan a freshly written commit directory: one FileEntry per parquet
+    file with row count, size, per-column min/max/null stats (footers
+    only), and partition values parsed from hive-style path segments."""
+    import pyarrow.parquet as pq
+
+    entries: list[FileEntry] = []
+    base = os.path.join(table_dir, commit_rel_dir)
+    for root, _dirs, names in os.walk(base):
+        for name in sorted(names):
+            if not name.endswith(".parquet") or name.startswith((".", "_")):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table_dir)
+            pf = pq.ParquetFile(full)
+            md = pf.metadata
+            stats: dict[str, dict[str, Any]] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    cname = col.path_in_schema
+                    if "." in cname:  # nested leaves: skip, prune on top-level only
+                        continue
+                    cur = stats.setdefault(
+                        cname, {"min": None, "max": None, "nulls": 0}
+                    )
+                    mn, mx = _stat_to_json(st.min), _stat_to_json(st.max)
+                    if cur["min"] is None or mn < cur["min"]:
+                        cur["min"] = mn
+                    if cur["max"] is None or mx > cur["max"]:
+                        cur["max"] = mx
+                    cur["nulls"] += st.null_count or 0
+            pvals: dict[str, str] = {}
+            for seg in os.path.relpath(root, base).split(os.sep):
+                if "=" in seg:
+                    k, _, val = seg.partition("=")
+                    pvals[k] = val
+            entries.append(
+                FileEntry(
+                    path=rel,
+                    rows=md.num_rows,
+                    bytes=os.path.getsize(full),
+                    stats=stats,
+                    partition_values=pvals,
+                    begin_snapshot=begin_snapshot,
+                )
+            )
+    return entries

@@ -1,0 +1,201 @@
+"""Freeze/attach interop (A23-A24).
+
+``freeze_lake`` exports the whole catalog into a single standalone
+DuckDB database file shaped like the reference's frozen ``.ducklake``
+(reference: src/pgducklake_freeze.cpp:81-115 copies the ducklake_*
+metadata tables into a DuckDB file any client can attach). We write the
+same core tables — ducklake_metadata, ducklake_snapshot,
+ducklake_table, ducklake_column, ducklake_data_file,
+ducklake_partition_info, ducklake_sort_info — with data-file paths kept
+relative to a recorded data root, so the frozen file is portable and
+the data stays where it is.
+
+``FrozenLake`` is the read-only consumer (frozen FDW analog,
+src/pgducklake_fdw.cpp:14-16): it reads table + file lists straight
+from the frozen DuckDB file and serves Spark DataFrames; all writes are
+rejected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import TYPE_CHECKING
+
+import duckdb
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from pg_ducklake_spark.errors import LakeError, ReadOnlyError, TableNotFoundError
+
+if TYPE_CHECKING:
+    from pg_ducklake_spark.lake import Lake
+
+
+def freeze_lake(lake: "Lake", out_path: str) -> None:
+    if os.path.exists(out_path):
+        raise LakeError(f"freeze target {out_path} already exists")
+    con = duckdb.connect(out_path)
+    con.execute(
+        """
+        CREATE TABLE ducklake_metadata(key VARCHAR, value VARCHAR);
+        CREATE TABLE ducklake_snapshot(
+            table_name VARCHAR, snapshot_id BIGINT, snapshot_time VARCHAR,
+            schema_version BIGINT, operation VARCHAR, commit_message VARCHAR);
+        CREATE TABLE ducklake_table(
+            table_id BIGINT, table_name VARCHAR, path VARCHAR,
+            path_is_relative BOOLEAN, current_snapshot BIGINT);
+        CREATE TABLE ducklake_column(
+            table_id BIGINT, column_order BIGINT, column_name VARCHAR,
+            column_type VARCHAR, nulls_allowed BOOLEAN);
+        CREATE TABLE ducklake_data_file(
+            table_id BIGINT, path VARCHAR, rows BIGINT, bytes BIGINT,
+            begin_snapshot BIGINT, partition_values VARCHAR, stats VARCHAR);
+        CREATE TABLE ducklake_partition_info(
+            table_id BIGINT, partition_key_index BIGINT, expression VARCHAR);
+        CREATE TABLE ducklake_sort_info(
+            table_id BIGINT, sort_key_index BIGINT, expression VARCHAR,
+            sort_direction VARCHAR, null_order VARCHAR);
+        CREATE TABLE ducklake_inlined_data(
+            table_id BIGINT, row_id BIGINT, values_json VARCHAR);
+        """
+    )
+    con.execute(
+        "INSERT INTO ducklake_metadata VALUES ('data_root', ?), ('format', ?)",
+        [lake.path, "pg_ducklake_spark/frozen-v1"],
+    )
+    for tid, name in enumerate(lake.list_tables(), start=1):
+        state = lake._state(name)
+        con.execute(
+            "INSERT INTO ducklake_table VALUES (?, ?, ?, true, ?)",
+            [tid, name, name, state.snapshot_id],
+        )
+        for order, f in enumerate(state.schema.fields):
+            con.execute(
+                "INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?)",
+                [tid, order, f.name, f.dataType.simpleString(), f.nullable],
+            )
+        for s in state.history:
+            con.execute(
+                "INSERT INTO ducklake_snapshot VALUES (?, ?, ?, ?, ?, ?)",
+                [name, s.snapshot_id, s.timestamp, s.schema_version, s.operation,
+                 s.commit_message],
+            )
+        for fe in state.files.values():
+            con.execute(
+                "INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?)",
+                [tid, os.path.join(name, fe.path), fe.rows, fe.bytes,
+                 fe.begin_snapshot, json.dumps(fe.partition_values),
+                 json.dumps(fe.stats)],
+            )
+        for i, expr in enumerate(state.partition_spec):
+            con.execute(
+                "INSERT INTO ducklake_partition_info VALUES (?, ?, ?)",
+                [tid, i, expr],
+            )
+        for i, s in enumerate(state.sort_spec):
+            con.execute(
+                "INSERT INTO ducklake_sort_info VALUES (?, ?, ?, ?, ?)",
+                [tid, i, s["expression"], s["direction"], s["null_order"]],
+            )
+        # Frozen lakes empty the in-flight tables (reference empties
+        # files_scheduled_for_deletion + inlined_data_tables,
+        # src/pgducklake_freeze.cpp:100-105) — but inlined *rows* must
+        # survive the round trip, so they are exported as JSON rows.
+        for r in state.inline_rows:
+            con.execute(
+                "INSERT INTO ducklake_inlined_data VALUES (?, ?, ?)",
+                [tid, r["row_id"], json.dumps(r["values"])],
+            )
+    con.close()
+
+
+class FrozenLake:
+    """Read-only lake served from a frozen DuckDB metadata file."""
+
+    def __init__(self, spark: SparkSession, frozen_path: str, data_root: str | None = None):
+        if not os.path.exists(frozen_path):
+            raise LakeError(f"frozen file {frozen_path} does not exist")
+        self.spark = spark
+        self.frozen_path = frozen_path
+        con = duckdb.connect(frozen_path, read_only=True)
+        meta = dict(con.execute("SELECT key, value FROM ducklake_metadata").fetchall())
+        self.data_root = data_root or meta.get("data_root", os.path.dirname(frozen_path))
+        self._tables: dict[str, dict] = {}
+        for tid, name in con.execute(
+            "SELECT table_id, table_name FROM ducklake_table"
+        ).fetchall():
+            cols = con.execute(
+                "SELECT column_name, column_type, nulls_allowed FROM ducklake_column"
+                " WHERE table_id = ? ORDER BY column_order",
+                [tid],
+            ).fetchall()
+            files = [
+                r[0]
+                for r in con.execute(
+                    "SELECT path FROM ducklake_data_file WHERE table_id = ?", [tid]
+                ).fetchall()
+            ]
+            inline = con.execute(
+                "SELECT values_json FROM ducklake_inlined_data WHERE table_id = ?"
+                " ORDER BY row_id",
+                [tid],
+            ).fetchall()
+            self._tables[name] = {"cols": cols, "files": files,
+                                  "inline": [json.loads(r[0]) for r in inline]}
+        con.close()
+
+    def list_tables(self) -> list[str]:
+        return sorted(self._tables)
+
+    def _schema(self, name: str) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(c, T._parse_datatype_string(ty), nulls)
+                for c, ty, nulls in self._tables[name]["cols"]
+            ]
+        )
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            raise TableNotFoundError(f"table {name!r} not in frozen lake")
+        info = self._tables[name]
+        schema = self._schema(name)
+        paths = [os.path.join(self.data_root, p) for p in info["files"]]
+        df = (
+            self.spark.read.schema(schema).parquet(*paths)
+            if paths
+            else self.spark.createDataFrame([], schema)
+        )
+        if info["inline"]:
+            from pg_ducklake_spark.catalog import from_json_value
+
+            data = [
+                tuple(
+                    from_json_value(vals.get(f.name), f.dataType)
+                    for f in schema.fields
+                )
+                for vals in info["inline"]
+            ]
+            df = df.unionByName(self.spark.createDataFrame(data, schema=schema))
+        return df
+
+    def sql(self, query: str) -> DataFrame:
+        for tbl in self.list_tables():
+            self.table(tbl).createOrReplaceTempView(tbl)
+        return self.spark.sql(query)
+
+    def __getattr__(self, item):
+        if item in {
+            "insert", "insert_rows", "append_batch", "delete", "update",
+            "create_table", "create_table_as", "drop_table", "vacuum",
+            "set_option", "set_partition", "set_sort", "flush_inlined_data",
+        }:
+            def rejected(*_a, **_k):
+                raise ReadOnlyError(
+                    f"{item} rejected: frozen lakes are read-only "
+                    "(reference src/pgducklake_fdw.cpp:277-304)"
+                )
+
+            return rejected
+        raise AttributeError(item)

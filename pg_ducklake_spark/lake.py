@@ -1,0 +1,1123 @@
+"""``Lake`` — the PySpark-native lakehouse session object.
+
+Replaces the reference's PostgreSQL-extension surface (SURVEY.md §2.A)
+with one Python API over Parquet + the JSON snapshot log in
+``catalog.py``:
+
+- table lifecycle: create_table / CTAS / drop / alter (A1-A4)
+- DML with row counts: insert / update / delete (dml_row_count.sql)
+- direct-insert fast path + inline small-write buffer (A5, A20)
+- snapshots, time travel, as-of session default (A16-A19)
+- change feed with the 4 change_type values (A18)
+- partitioning with year/month/day/hour transforms (A12-A13)
+- sorted tables applied at compaction (A14-A15)
+- vacuum (small-file merge), cleanup_old_files (A21-A22)
+- freeze / attach interop (A23-A24), options (A26)
+
+Every data-moving operation is a Spark job over DataFrames; the driver
+only ever touches metadata (snapshot JSON, file lists, footer stats) —
+never row data — so nothing here collapses at 100 TB.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import math
+import os
+import re
+import shutil
+import urllib.parse
+import uuid
+from typing import Any, Iterable
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pg_ducklake_spark.catalog import (
+    CDF_DIR,
+    DATA_DIR,
+    DEFAULT_OPTIONS,
+    FileEntry,
+    SnapshotLog,
+    TableState,
+    collect_file_entries,
+    from_json_value,
+    to_json_value,
+    utcnow_iso,
+)
+from pg_ducklake_spark.errors import (
+    LakeError,
+    ReadOnlyError,
+    TableAlreadyExistsError,
+    TableNotFoundError,
+)
+
+_TRANSFORM_RE = re.compile(r"^(year|month|day|hour)\s*\(\s*(\w+)\s*\)$", re.I)
+_SORT_RE = re.compile(
+    r"^(?P<expr>.+?)(?:\s+(?P<dir>ASC|DESC))?(?:\s+NULLS\s+(?P<nulls>FIRST|LAST))?$",
+    re.I,
+)
+
+
+def _parse_schema(schema: str | T.StructType) -> T.StructType:
+    if isinstance(schema, T.StructType):
+        return schema
+    return T.StructType.fromDDL(schema)
+
+
+def _partition_columns(spec: list[str]) -> list[tuple[str, Column]]:
+    """Partition spec entries → (derived column name, expression).
+
+    Identity columns are *duplicated* into a ``_p_`` prefixed column so
+    the original stays inside the data files (reads use explicit file
+    lists, not hive discovery). Transforms follow the reference's
+    year/month/day/hour set (reference: src/pgducklake_partition.cpp:31-95,
+    test/regression/sql/partition.sql:26).
+    """
+    out = []
+    for entry in spec:
+        m = _TRANSFORM_RE.match(entry.strip())
+        if m:
+            fn, col = m.group(1).lower(), m.group(2)
+            out.append((f"_p_{fn}_{col}", getattr(F, fn)(F.col(col))))
+        else:
+            col = entry.strip()
+            out.append((f"_p_{col}", F.col(col).cast("string")))
+    return out
+
+
+def _parse_sort_spec(entries: Iterable[str]) -> list[dict]:
+    out = []
+    for e in entries:
+        m = _SORT_RE.match(e.strip())
+        if not m:
+            raise LakeError(f"cannot parse sort key {e!r}")
+        direction = (m.group("dir") or "ASC").upper()
+        nulls = (m.group("nulls") or ("LAST" if direction == "ASC" else "FIRST")).upper()
+        out.append(
+            {"expression": m.group("expr").strip(), "direction": direction,
+             "null_order": nulls}
+        )
+    return out
+
+
+def _sort_columns(spec: list[dict]) -> list[Column]:
+    cols = []
+    for s in spec:
+        c = F.expr(s["expression"])
+        if s["direction"] == "ASC":
+            c = c.asc_nulls_first() if s["null_order"] == "FIRST" else c.asc_nulls_last()
+        else:
+            c = c.desc_nulls_first() if s["null_order"] == "FIRST" else c.desc_nulls_last()
+        cols.append(c)
+    return cols
+
+
+class Lake:
+    """A lakehouse rooted at ``path`` (one directory per table)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        read_only: bool = False,
+        create: bool = True,
+    ):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.read_only = read_only
+        self.as_of_timestamp: dt.datetime | str | None = None  # A17 session GUC
+        self._logs: dict[str, SnapshotLog] = {}
+        self._txn: dict[str, dict] | None = None
+        if not os.path.isdir(self.path):
+            if not create or read_only:
+                raise LakeError(f"lake path {self.path} does not exist")
+            os.makedirs(self.path, exist_ok=True)
+
+    # ------------------------------------------------------------- helpers
+
+    def _check_writable(self) -> None:
+        if self.read_only:
+            raise ReadOnlyError(
+                "lake is attached read-only; DML and DDL are rejected "
+                "(reference FDW behavior, src/pgducklake_fdw.cpp:277-304)"
+            )
+
+    def _table_dir(self, name: str) -> str:
+        if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", name):
+            raise LakeError(f"invalid table name {name!r}")
+        return os.path.join(self.path, name)
+
+    def _log(self, name: str) -> SnapshotLog:
+        if name not in self._logs:
+            self._logs[name] = SnapshotLog(self._table_dir(name))
+        return self._logs[name]
+
+    def _state(self, name: str, version: int | None = None) -> TableState:
+        log = self._log(name)
+        if not log.exists():
+            raise TableNotFoundError(f"table {name!r} does not exist")
+        return log.replay(version)
+
+    def list_tables(self) -> list[str]:
+        out = []
+        for entry in sorted(os.listdir(self.path)):
+            if not entry.startswith("_") and SnapshotLog(
+                os.path.join(self.path, entry)
+            ).exists():
+                out.append(entry)
+        return out
+
+    # --------------------------------------------------------- DDL (A1-A4)
+
+    def create_table(
+        self,
+        name: str,
+        schema: str | T.StructType,
+        partition_by: list[str] | None = None,
+        sorted_by: list[str] | None = None,
+        options: dict[str, Any] | None = None,
+        if_not_exists: bool = False,
+    ) -> None:
+        self._check_writable()
+        log = self._log(name)
+        if log.exists():
+            if if_not_exists:
+                return
+            raise TableAlreadyExistsError(f"table {name!r} already exists")
+        st = _parse_schema(schema)
+        snap = {
+            "operation": "CREATE TABLE",
+            "schema": st.jsonValue(),
+            "schema_version": 1,
+            "set": {
+                "partition_spec": list(partition_by or []),
+                "sort_spec": _parse_sort_spec(sorted_by or []),
+                "options": dict(options or {}),
+            },
+            "metrics": {},
+        }
+        log.commit(snap, validate=self._create_conflict(name), base_version=0)
+
+    def _create_conflict(self, name):
+        def validate(_state):
+            raise TableAlreadyExistsError(
+                f"table {name!r} created concurrently"
+            )
+
+        return validate
+
+    def create_table_as(
+        self,
+        name: str,
+        source: DataFrame | str,
+        partition_by: list[str] | None = None,
+        sorted_by: list[str] | None = None,
+    ) -> int:
+        """CTAS — one snapshot with schema + data (ctas.sql semantics)."""
+        self._check_writable()
+        df = self.sql(source) if isinstance(source, str) else source
+        log = self._log(name)
+        if log.exists():
+            raise TableAlreadyExistsError(f"table {name!r} already exists")
+        table_dir = self._table_dir(name)
+        spec = list(partition_by or [])
+        entries = self._write_data(table_dir, df, spec)
+        snap = {
+            "operation": "CREATE TABLE AS",
+            "schema": df.schema.jsonValue(),
+            "schema_version": 1,
+            "add": [e.to_json() for e in entries],
+            "set": {
+                "partition_spec": spec,
+                "sort_spec": _parse_sort_spec(sorted_by or []),
+                "options": {},
+            },
+            "metrics": {"num_inserted": sum(e.rows for e in entries)},
+        }
+        log.commit(snap, validate=self._create_conflict(name), base_version=0)
+        return sum(e.rows for e in entries)
+
+    def drop_table(self, name: str) -> None:
+        self._check_writable()
+        if not self._log(name).exists():
+            raise TableNotFoundError(f"table {name!r} does not exist")
+        shutil.rmtree(self._table_dir(name))
+        self._logs.pop(name, None)
+
+    def rename_table(self, name: str, new_name: str) -> None:
+        self._check_writable()
+        if not self._log(name).exists():
+            raise TableNotFoundError(f"table {name!r} does not exist")
+        if self._log(new_name).exists():
+            raise TableAlreadyExistsError(f"table {new_name!r} already exists")
+        os.rename(self._table_dir(name), self._table_dir(new_name))
+        self._logs.pop(name, None)
+        self._logs.pop(new_name, None)
+
+    # -- schema evolution (A4; old snapshots keep old schemas,
+    #    time_travel.sql:13-18)
+
+    def add_column(self, name: str, col_name: str, col_type: str) -> None:
+        self._alter_schema(name, f"ADD COLUMN {col_name}", lambda fields: fields + [
+            T.StructField(col_name, _parse_schema(f"x {col_type}")[0].dataType, True)
+        ])
+
+    def drop_column(self, name: str, col_name: str) -> None:
+        self._alter_schema(
+            name,
+            f"DROP COLUMN {col_name}",
+            lambda fields: [f for f in fields if f.name != col_name],
+        )
+
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        def xf(fields):
+            return [
+                T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in fields
+            ]
+
+        self._alter_schema(name, f"RENAME COLUMN {old} TO {new}", xf)
+
+    def _alter_schema(self, name: str, op: str, transform) -> None:
+        self._check_writable()
+        state = self._state(name)
+        new_fields = transform(list(state.schema.fields))
+        if [f.name for f in new_fields] == [f.name for f in state.schema.fields] and op.startswith("DROP"):
+            raise LakeError(f"{op}: column not found in {name!r}")
+        new_schema = T.StructType(new_fields)
+        # Renames must follow the physical parquet column names: rewrite
+        # inline rows' keys; parquet files are read by position-compatible
+        # name mapping below (rename = metadata-only for new reads of new
+        # files; old files resolve via the historical schema).
+        snap = {
+            "operation": f"ALTER TABLE {op}",
+            "schema": new_schema.jsonValue(),
+            "schema_version": state.schema_version + 1,
+            "metrics": {},
+        }
+        self._log(name).commit(snap)
+
+    # ---------------------------------------------------------- write path
+
+    def _write_data(
+        self,
+        table_dir: str,
+        df: DataFrame,
+        partition_spec: list[str],
+        schema: T.StructType | None = None,
+        options: dict | None = None,
+        sort_spec: list[dict] | None = None,
+        subdir: str = DATA_DIR,
+    ) -> list[FileEntry]:
+        if schema is not None:
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+        commit_rel = f"{subdir}/{uuid.uuid4().hex}"
+        out = os.path.join(table_dir, commit_rel)
+        opts = {**DEFAULT_OPTIONS, **(options or {})}
+        if sort_spec:
+            df = df.sortWithinPartitions(*_sort_columns(sort_spec))
+        writer = df.write.option("compression", str(opts["parquet_compression"]))
+        pcols = _partition_columns(partition_spec)
+        if pcols:
+            for cname, cexpr in pcols:
+                df = df.withColumn(cname, cexpr)
+            writer = df.write.option(
+                "compression", str(opts["parquet_compression"])
+            ).partitionBy(*[c for c, _ in pcols])
+        writer.parquet(out, mode="overwrite")
+        entries = [
+            e
+            for e in collect_file_entries(table_dir, commit_rel, 0)
+            if e.rows > 0
+        ]
+        return entries
+
+    def insert(
+        self, name: str, df: DataFrame, message: str | None = None
+    ) -> int:
+        """Append a DataFrame; one snapshot (INSERT..SELECT / VALUES path)."""
+        self._check_writable()
+        state = self._state(name)
+        entries = self._write_data(
+            self._table_dir(name),
+            df,
+            state.partition_spec,
+            schema=state.schema,
+            options=self.options(name),
+        )
+        n = sum(e.rows for e in entries)
+        if self._txn is not None:
+            staged = self._txn.setdefault(
+                name, {"add": [], "metrics": {"num_inserted": 0}}
+            )
+            staged["add"].extend(e.to_json() for e in entries)
+            staged["metrics"]["num_inserted"] += n
+            return n
+        self._log(name).commit(
+            {
+                "operation": "INSERT",
+                "add": [e.to_json() for e in entries],
+                "metrics": {"num_inserted": n},
+                "commit_message": message,
+            }
+        )
+        return n
+
+    def insert_rows(self, name: str, rows: list[dict], message: str | None = None) -> int:
+        """Small-batch insert; goes to the inline buffer when under
+        ``data_inlining_row_limit`` (the reference's direct-insert fast
+        path, src/pgducklake_direct_insert.cpp:252-908 — no engine
+        involvement, just catalog writes)."""
+        self._check_writable()
+        state = self._state(name)
+        limit = int(self.options(name).get("data_inlining_row_limit", 0) or 0)
+        if self._txn is None and 0 < len(rows) <= limit:
+            schema = state.schema
+            inline_add = []
+            # Random base keeps ids unique under concurrent appends without
+            # coordination (sequential ids would collide when two writers
+            # read the same next_row_id).
+            rid = uuid.uuid4().int & ((1 << 62) - 1)
+            for r in rows:
+                vals = {
+                    f.name: to_json_value(r.get(f.name), f.dataType)
+                    for f in schema.fields
+                }
+                inline_add.append({"row_id": rid, "values": vals})
+                rid += 1
+            self._log(name).commit(
+                {
+                    "operation": "INSERT",
+                    "inline_add": inline_add,
+                    "metrics": {"num_inserted": len(rows)},
+                    "commit_message": message,
+                }
+            )
+            return len(rows)
+        df = self.spark.createDataFrame(
+            [Row(**r) for r in rows], schema=state.schema
+        )
+        return self.insert(name, df, message=message)
+
+    def append_batch(self, name: str, columns: dict[str, list]) -> int:
+        """Direct-insert semantics: equal-length column arrays → N zipped
+        rows, correct count returned (insert_unnest.sql:56-70)."""
+        lengths = {len(v) for v in columns.values()}
+        if len(lengths) > 1:
+            raise LakeError(
+                f"append_batch arrays must have equal lengths, got {sorted(lengths)}"
+            )
+        n = lengths.pop() if lengths else 0
+        keys = list(columns)
+        rows = [{k: columns[k][i] for k in keys} for i in range(n)]
+        return self.insert_rows(name, rows)
+
+    # ----------------------------------------------------------- read path
+
+    def _inline_df(self, state: TableState, schema: T.StructType) -> DataFrame | None:
+        if not state.inline_rows:
+            return None
+        data = []
+        for r in state.inline_rows:
+            data.append(
+                tuple(
+                    from_json_value(r["values"].get(f.name), f.dataType)
+                    for f in schema.fields
+                )
+            )
+        return self.spark.createDataFrame(data, schema=schema)
+
+    def _files_df(
+        self, name: str, state: TableState, schema: T.StructType
+    ) -> DataFrame:
+        table_dir = self._table_dir(name)
+        paths = [os.path.join(table_dir, p) for p in sorted(state.files)]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def _resolve_version(
+        self,
+        name: str,
+        version: int | None,
+        timestamp: dt.datetime | str | None,
+    ) -> int | None:
+        if version is not None and timestamp is not None:
+            raise LakeError("pass either version or timestamp, not both")
+        if version is not None:
+            return version
+        ts = timestamp if timestamp is not None else self.as_of_timestamp
+        if ts is not None:
+            return self._log(name).version_at_timestamp(ts)
+        return None
+
+    def table(
+        self,
+        name: str,
+        version: int | None = None,
+        timestamp: dt.datetime | str | None = None,
+    ) -> DataFrame:
+        """Current (or time-travel) view: live parquet files ∪ inline
+        buffer, under the *historical* schema for old versions
+        (time_travel.sql:13-18)."""
+        v = self._resolve_version(name, version, timestamp)
+        state = self._state(name, v)
+        schema = state.schema_at(state.snapshot_id)
+        df = self._files_df(name, state, schema)
+        inline = self._inline_df(state, schema)
+        return df.unionByName(inline) if inline is not None else df
+
+    def time_travel(self, name: str, version_or_ts) -> DataFrame:
+        """A16: ``time_travel(tbl, version | timestamp)``."""
+        if isinstance(version_or_ts, int):
+            return self.table(name, version=version_or_ts)
+        return self.table(name, timestamp=version_or_ts)
+
+    def scan(self, name: str, where: str | None = None, **tt) -> DataFrame:
+        """Filtered read with metadata file skipping (min/max stats +
+        partition values — the reference's file_column_stats pruning,
+        SURVEY.md §4.2) before Spark's own parquet pushdown."""
+        v = self._resolve_version(name, tt.get("version"), tt.get("timestamp"))
+        state = self._state(name, v)
+        schema = state.schema_at(state.snapshot_id)
+        if where is None:
+            return self.table(name, **tt)
+        from pg_ducklake_spark.operators.pruning import prune_files
+
+        keep = prune_files(state, where)
+        table_dir = self._table_dir(name)
+        paths = [os.path.join(table_dir, p) for p in sorted(keep)]
+        df = (
+            self.spark.read.schema(schema).parquet(*paths)
+            if paths
+            else self.spark.createDataFrame([], schema)
+        )
+        inline = self._inline_df(state, schema)
+        if inline is not None:
+            df = df.unionByName(inline)
+        return df.filter(F.expr(where))
+
+    def sql(self, query: str) -> DataFrame:
+        """Spark SQL over all lake tables (registered as temp views)."""
+        for tbl in self.list_tables():
+            self.table(tbl).createOrReplaceTempView(tbl)
+        return self.spark.sql(query)
+
+    # ------------------------------------------------------------- DML
+
+    def _uri_to_rel(self, table_dir: str, uri: str) -> str:
+        p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+        return os.path.relpath(p, table_dir)
+
+    def _match_files(
+        self, name: str, state: TableState, pred: Column
+    ) -> tuple[dict[str, int], int]:
+        """One scan: which live files contain predicate matches, and how
+        many rows match per file (gives DML row counts without a second
+        job)."""
+        schema = state.schema
+        df = self._files_df(name, state, schema)
+        if not state.files:
+            return {}, 0
+        table_dir = self._table_dir(name)
+        hits = (
+            df.withColumn("_dl_file", F.input_file_name())
+            .filter(pred)
+            .groupBy("_dl_file")
+            .count()
+            .collect()
+        )
+        counts = {self._uri_to_rel(table_dir, r["_dl_file"]): r["count"] for r in hits}
+        return counts, sum(counts.values())
+
+    def _match_inline(
+        self, state: TableState, pred: Column, schema: T.StructType
+    ) -> list[int]:
+        """Row ids of inline-buffer rows matching the predicate (the
+        buffer is tiny by contract, so the id column rides along)."""
+        if not state.inline_rows:
+            return []
+        aug = T.StructType(
+            list(schema.fields) + [T.StructField("_dl_row_id", T.LongType(), False)]
+        )
+        data = [
+            tuple(
+                from_json_value(r["values"].get(f.name), f.dataType)
+                for f in schema.fields
+            )
+            + (r["row_id"],)
+            for r in state.inline_rows
+        ]
+        df = self.spark.createDataFrame(data, schema=aug)
+        return [r["_dl_row_id"] for r in df.filter(pred).select("_dl_row_id").collect()]
+
+    def delete(self, name: str, where: str, message: str | None = None) -> int:
+        """DELETE with predicate; copy-on-write file rewrite + CDF delete
+        rows; returns deleted count (dml_row_count.sql:17)."""
+        self._check_writable()
+        state = self._state(name)
+        schema = state.schema
+        pred = F.expr(where)
+        table_dir = self._table_dir(name)
+
+        file_counts, n_files_matched = self._match_files(name, state, pred)
+        inline_ids = self._match_inline(state, pred, schema)
+        n = n_files_matched + len(inline_ids)
+        if n == 0:
+            return 0
+
+        add: list[FileEntry] = []
+        cdf_rel = None
+        if file_counts:
+            paths = [os.path.join(table_dir, p) for p in sorted(file_counts)]
+            affected = self.spark.read.schema(schema).parquet(*paths)
+            kept = affected.filter(~pred | pred.isNull())
+            add = self._write_data(
+                table_dir, kept, state.partition_spec, options=self.options(name)
+            )
+            cdf_rel = f"{CDF_DIR}/{uuid.uuid4().hex}"
+            affected.filter(pred).withColumn(
+                "_change_type", F.lit("delete")
+            ).write.parquet(os.path.join(table_dir, cdf_rel))
+        inline_changes = [
+            {"change_type": "delete", "values": r["values"]}
+            for r in state.inline_rows
+            if r["row_id"] in set(inline_ids)
+        ]
+        self._commit_dml(
+            name,
+            state,
+            operation="DELETE",
+            add=add,
+            remove=sorted(file_counts),
+            inline_remove=inline_ids,
+            inline_changes=inline_changes,
+            metrics={"num_deleted": n},
+            cdf_path=cdf_rel,
+            message=message,
+        )
+        return n
+
+    def update(
+        self,
+        name: str,
+        set_exprs: dict[str, str],
+        where: str = "true",
+        message: str | None = None,
+    ) -> int:
+        """UPDATE ... SET col=expr WHERE pred; CoW rewrite of affected
+        files; CDF preimage/postimage rows; returns updated count."""
+        self._check_writable()
+        state = self._state(name)
+        schema = state.schema
+        pred = F.expr(where)
+        table_dir = self._table_dir(name)
+
+        file_counts, n_files_matched = self._match_files(name, state, pred)
+        inline_ids = self._match_inline(state, pred, schema)
+        n = n_files_matched + len(inline_ids)
+        if n == 0:
+            return 0
+
+        def apply_set(df: DataFrame) -> DataFrame:
+            cols = []
+            for f in schema.fields:
+                if f.name in set_exprs:
+                    cols.append(
+                        F.when(pred, F.expr(set_exprs[f.name]).cast(f.dataType))
+                        .otherwise(F.col(f.name))
+                        .alias(f.name)
+                    )
+                else:
+                    cols.append(F.col(f.name))
+            return df.select(*cols)
+
+        add: list[FileEntry] = []
+        cdf_rel = None
+        if file_counts:
+            paths = [os.path.join(table_dir, p) for p in sorted(file_counts)]
+            affected = self.spark.read.schema(schema).parquet(*paths)
+            rewritten = apply_set(affected)
+            add = self._write_data(
+                table_dir, rewritten, state.partition_spec, options=self.options(name)
+            )
+            cdf_rel = f"{CDF_DIR}/{uuid.uuid4().hex}"
+            pre = affected.filter(pred).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            # postimage: apply SET over pre-filtered rows so the predicate is
+            # always evaluated against preimage values
+            post = apply_set(affected.filter(pred)).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            pre.unionByName(post).write.parquet(os.path.join(table_dir, cdf_rel))
+
+        inline_changes = []
+        new_inline_rows = []
+        if inline_ids:
+            # Rewrite matching inline rows driver-side (tiny by contract).
+            keep_ids = set(inline_ids)
+            old_rows = [r for r in state.inline_rows if r["row_id"] in keep_ids]
+            old_df = self.spark.createDataFrame(
+                [
+                    tuple(
+                        from_json_value(r["values"].get(f.name), f.dataType)
+                        for f in schema.fields
+                    )
+                    for r in old_rows
+                ],
+                schema=schema,
+            )
+            updated = apply_set(old_df).collect()
+            for old, new in zip(old_rows, updated):
+                vals = {
+                    f.name: to_json_value(new[f.name], f.dataType)
+                    for f in schema.fields
+                }
+                inline_changes.append(
+                    {"change_type": "update_preimage", "values": old["values"]}
+                )
+                inline_changes.append(
+                    {"change_type": "update_postimage", "values": vals}
+                )
+                new_inline_rows.append(vals)
+
+        snap_extra = {}
+        if new_inline_rows:
+            rid = uuid.uuid4().int & ((1 << 62) - 1)
+            snap_extra["inline_add"] = [
+                {"row_id": rid + i, "values": v} for i, v in enumerate(new_inline_rows)
+            ]
+        self._commit_dml(
+            name,
+            state,
+            operation="UPDATE",
+            add=add,
+            remove=sorted(file_counts),
+            inline_remove=inline_ids,
+            inline_changes=inline_changes,
+            metrics={"num_updated": n},
+            cdf_path=cdf_rel,
+            message=message,
+            extra=snap_extra,
+        )
+        return n
+
+    def _commit_dml(
+        self,
+        name: str,
+        state: TableState,
+        operation: str,
+        add: list[FileEntry],
+        remove: list[str],
+        inline_remove: list[int],
+        inline_changes: list[dict],
+        metrics: dict,
+        cdf_path: str | None,
+        message: str | None,
+        extra: dict | None = None,
+    ) -> int:
+        if self._txn is not None:
+            raise LakeError(
+                "UPDATE/DELETE inside an explicit transaction is not supported "
+                "(the reference's direct path is autocommit-only too, "
+                "src/pgducklake_direct_insert.cpp:276-278)"
+            )
+        removed_set = set(remove)
+        inline_removed = set(inline_remove)
+
+        def validate(fresh: TableState) -> None:
+            from pg_ducklake_spark.errors import ConcurrentModificationError
+
+            if not removed_set <= set(fresh.files):
+                raise ConcurrentModificationError(
+                    f"{operation} on {name!r} conflicts: files rewritten by a "
+                    "concurrent commit"
+                )
+            live_inline = {r["row_id"] for r in fresh.inline_rows}
+            if not inline_removed <= live_inline:
+                raise ConcurrentModificationError(
+                    f"{operation} on {name!r} conflicts on inline rows"
+                )
+
+        snap = {
+            "operation": operation,
+            "add": [e.to_json() for e in add],
+            "remove": remove,
+            "inline_remove": inline_remove,
+            "inline_changes": inline_changes,
+            "metrics": metrics,
+            "cdf_path": cdf_path,
+            "commit_message": message,
+        }
+        snap.update(extra or {})
+        return self._log(name).commit(
+            snap, validate=validate, base_version=state.snapshot_id
+        )
+
+    # ----------------------------------------------- snapshots & metadata
+
+    def snapshots(self, name: str) -> DataFrame:
+        """A19: snapshot history as a DataFrame (≙ ducklake_snapshot +
+        snapshot_changes)."""
+        state = self._state(name)
+        rows = [
+            (
+                s.snapshot_id,
+                dt.datetime.fromisoformat(s.timestamp) if s.timestamp else None,
+                s.schema_version,
+                s.operation,
+                s.commit_message,
+                json.dumps(s.metrics) if s.metrics else "{}",
+            )
+            for s in state.history
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("snapshot_id", T.LongType()),
+                T.StructField("snapshot_time", T.TimestampType()),
+                T.StructField("schema_version", T.LongType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("commit_message", T.StringType()),
+                T.StructField("metrics", T.StringType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema=schema)
+
+    def current_snapshot(self, name: str) -> int:
+        return self._state(name).snapshot_id
+
+    def last_committed_snapshot(self, name: str) -> int:
+        return self.current_snapshot(name)
+
+    def table_info(self, name: str) -> dict:
+        state = self._state(name)
+        return {
+            "table_name": name,
+            "path": self._table_dir(name),
+            "snapshot_id": state.snapshot_id,
+            "schema_version": state.schema_version,
+            "file_count": len(state.files),
+            "inlined_rows": len(state.inline_rows),
+            "total_rows": state.total_rows,
+            "total_bytes": sum(f.bytes for f in state.files.values()),
+            "partition_spec": list(state.partition_spec),
+            "sort_spec": list(state.sort_spec),
+        }
+
+    def list_files(self, name: str, version: int | None = None) -> DataFrame:
+        state = self._state(name, version)
+        rows = [
+            (
+                f.path,
+                f.rows,
+                f.bytes,
+                f.begin_snapshot,
+                json.dumps(f.partition_values),
+            )
+            for f in sorted(state.files.values(), key=lambda x: x.path)
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("rows", T.LongType()),
+                T.StructField("bytes", T.LongType()),
+                T.StructField("begin_snapshot", T.LongType()),
+                T.StructField("partition_values", T.StringType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema=schema)
+
+    # --------------------------------------------- options (A26)
+
+    def set_option(self, option: str, value: Any, table: str | None = None) -> None:
+        self._check_writable()
+        if table is None:
+            # lake-level options live in a zero-data options table dir
+            table = "_lake_options"
+            if not SnapshotLog(os.path.join(self.path, table)).exists():
+                SnapshotLog(os.path.join(self.path, table)).commit(
+                    {"operation": "CREATE OPTIONS", "schema": T.StructType([]).jsonValue(),
+                     "schema_version": 1, "metrics": {}}
+                )
+            SnapshotLog(os.path.join(self.path, table)).commit(
+                {"operation": "SET OPTION", "set": {"options": {option: value}},
+                 "metrics": {}}
+            )
+            self._logs.pop(table, None)
+            return
+        state = self._state(table)
+        self._log(table).commit(
+            {"operation": "SET OPTION", "set": {"options": {option: value}},
+             "metrics": {}}
+        )
+
+    def options(self, table: str | None = None) -> dict[str, Any]:
+        out = dict(DEFAULT_OPTIONS)
+        opt_log = SnapshotLog(os.path.join(self.path, "_lake_options"))
+        if opt_log.exists():
+            out.update(opt_log.replay().options)
+        if table is not None and self._log(table).exists():
+            out.update(self._state(table).options)
+        return out
+
+    # ------------------------------------- partition & sort specs (A12-A15)
+
+    def set_partition(self, name: str, *spec: str) -> None:
+        """Applies to *new* files only (partition.sql:42-56 late
+        partitioning); existing files keep their layout until OPTIMIZE."""
+        self._check_writable()
+        state = self._state(name)
+        for entry in spec:
+            m = _TRANSFORM_RE.match(entry.strip())
+            col = m.group(2) if m else entry.strip()
+            if col not in [f.name for f in state.schema.fields]:
+                raise LakeError(f"partition column {col!r} not in table {name!r}")
+        self._log(name).commit(
+            {"operation": "SET PARTITION", "set": {"partition_spec": list(spec)},
+             "metrics": {}}
+        )
+
+    def reset_partition(self, name: str) -> None:
+        self._check_writable()
+        self._state(name)
+        self._log(name).commit(
+            {"operation": "RESET PARTITION", "set": {"partition_spec": []},
+             "metrics": {}}
+        )
+
+    def get_partition(self, name: str) -> list[str]:
+        return list(self._state(name).partition_spec)
+
+    def set_sort(self, name: str, *spec: str) -> None:
+        """Sort applied at compaction/flush, not on direct inserts —
+        exactly the reference's sorted-table contract
+        (src/pgducklake_sorted_by.cpp:64-180)."""
+        self._check_writable()
+        self._state(name)
+        self._log(name).commit(
+            {"operation": "SET SORT", "set": {"sort_spec": _parse_sort_spec(spec)},
+             "metrics": {}}
+        )
+
+    def reset_sort(self, name: str) -> None:
+        self._check_writable()
+        self._state(name)
+        self._log(name).commit(
+            {"operation": "RESET SORT", "set": {"sort_spec": []}, "metrics": {}}
+        )
+
+    def get_sort(self, name: str) -> list[dict]:
+        return [dict(s, sort_key_index=i) for i, s in enumerate(self._state(name).sort_spec)]
+
+    # --------------------------------------------------- maintenance (A20-22)
+
+    def flush_inlined_data(self, name: str | None = None) -> int:
+        """Materialize inline-buffer rows to parquet (A20)."""
+        self._check_writable()
+        tables = [name] if name else self.list_tables()
+        total = 0
+        for tbl in tables:
+            state = self._state(tbl)
+            if not state.inline_rows:
+                continue
+            schema = state.schema
+            df = self._inline_df(state, schema)
+            entries = self._write_data(
+                self._table_dir(tbl), df, state.partition_spec,
+                options=self.options(tbl), sort_spec=state.sort_spec,
+            )
+            removed_ids = [r["row_id"] for r in state.inline_rows]
+
+            def validate(fresh: TableState, ids=set(removed_ids), t=tbl):
+                from pg_ducklake_spark.errors import ConcurrentModificationError
+
+                if not ids <= {r["row_id"] for r in fresh.inline_rows}:
+                    raise ConcurrentModificationError(
+                        f"flush_inlined_data({t!r}) conflicts with concurrent DML"
+                    )
+
+            self._log(tbl).commit(
+                {
+                    "operation": "FLUSH_INLINED_DATA",
+                    "add": [e.to_json() for e in entries],
+                    "inline_remove": removed_ids,
+                    "metrics": {"num_flushed": len(removed_ids)},
+                },
+                validate=validate,
+                base_version=state.snapshot_id,
+            )
+            total += len(removed_ids)
+        return total
+
+    def vacuum(self, name: str, target_file_size: int | None = None) -> dict:
+        """A22: compact small files (≙ ducklake_merge_adjacent_files) and
+        apply the sort spec to rewritten files. Copy-on-write DML already
+        rewrites deleted rows eagerly, so the delete-threshold rewrite half
+        of the reference's VACUUM is structurally a no-op here.
+
+        Returns {"files_removed": n, "files_added": m}.
+        """
+        self._check_writable()
+        state = self._state(name)
+        target = int(target_file_size or self.options(name)["target_file_size"])
+        groups: dict[tuple, list[FileEntry]] = {}
+        for fe in state.files.values():
+            if fe.bytes < target * 0.75:
+                key = tuple(sorted(fe.partition_values.items()))
+                groups.setdefault(key, []).append(fe)
+        to_rewrite: list[list[FileEntry]] = [
+            g for g in groups.values() if len(g) > 1
+        ]
+        if not to_rewrite:
+            return {"files_removed": 0, "files_added": 0}
+        table_dir = self._table_dir(name)
+        add: list[FileEntry] = []
+        remove: list[str] = []
+        for group in to_rewrite:
+            paths = [os.path.join(table_dir, fe.path) for fe in group]
+            df = self.spark.read.schema(state.schema).parquet(*paths)
+            n_out = max(1, math.ceil(sum(fe.bytes for fe in group) / target))
+            if state.sort_spec:
+                df = df.repartitionByRange(
+                    n_out, *_sort_columns(state.sort_spec)
+                )
+            else:
+                df = df.coalesce(n_out)
+            add.extend(
+                self._write_data(
+                    table_dir, df, state.partition_spec,
+                    options=self.options(name), sort_spec=state.sort_spec,
+                )
+            )
+            remove.extend(fe.path for fe in group)
+
+        def validate(fresh: TableState) -> None:
+            from pg_ducklake_spark.errors import ConcurrentModificationError
+
+            if not set(remove) <= set(fresh.files):
+                raise ConcurrentModificationError(
+                    f"vacuum({name!r}) conflicts with concurrent rewrite"
+                )
+
+        self._log(name).commit(
+            {
+                "operation": "OPTIMIZE",
+                "add": [e.to_json() for e in add],
+                "remove": remove,
+                "metrics": {"files_removed": len(remove), "files_added": len(add)},
+            },
+            validate=validate,
+            base_version=state.snapshot_id,
+        )
+        return {"files_removed": len(remove), "files_added": len(add)}
+
+    def cleanup_old_files(
+        self, name: str | None = None, older_than: dt.timedelta | None = None
+    ) -> int:
+        """A21: physically delete data files no longer referenced by the
+        current snapshot (optionally only those unreferenced for longer
+        than ``older_than``). Mirrors cleanup_old_files()/(interval)."""
+        self._check_writable()
+        cutoff = (
+            dt.datetime.now(dt.timezone.utc) - older_than if older_than else None
+        )
+        tables = [name] if name else self.list_tables()
+        n = 0
+        for tbl in tables:
+            state = self._state(tbl)
+            table_dir = self._table_dir(tbl)
+            live = {os.path.join(table_dir, p) for p in state.files}
+            data_root = os.path.join(table_dir, DATA_DIR)
+            if not os.path.isdir(data_root):
+                continue
+            for root, _dirs, names in os.walk(data_root):
+                for fname in names:
+                    full = os.path.join(root, fname)
+                    if full in live or not fname.endswith(".parquet"):
+                        continue
+                    if cutoff is not None:
+                        mtime = dt.datetime.fromtimestamp(
+                            os.path.getmtime(full), dt.timezone.utc
+                        )
+                        if mtime > cutoff:
+                            continue
+                    os.unlink(full)
+                    n += 1
+        return n
+
+    # ----------------------------------------------------------- txn (§7.3)
+
+    def transaction(self):
+        """Multi-statement write batch → one snapshot per touched table
+        (documented deviation from PG BEGIN..COMMIT; SURVEY.md §7.3)."""
+        return _Transaction(self)
+
+    # ------------------------------------------------------ change feed — in
+    # pg_ducklake_spark/changefeed.py (kept separate; imported lazily)
+
+    def table_changes(self, name: str, start, end=None) -> DataFrame:
+        from pg_ducklake_spark.changefeed import table_changes
+
+        return table_changes(self, name, start, end)
+
+    def table_insertions(self, name: str, start, end=None) -> DataFrame:
+        from pg_ducklake_spark.changefeed import table_insertions
+
+        return table_insertions(self, name, start, end)
+
+    def table_deletions(self, name: str, start, end=None) -> DataFrame:
+        from pg_ducklake_spark.changefeed import table_deletions
+
+        return table_deletions(self, name, start, end)
+
+    # ------------------------------------------------------ interop (A23-24)
+
+    def freeze(self, out_path: str) -> None:
+        from pg_ducklake_spark.freeze import freeze_lake
+
+        freeze_lake(self, out_path)
+
+    @staticmethod
+    def attach(spark: SparkSession, path: str, read_only: bool = True) -> "Lake":
+        """A24: attach an existing lake (foreign-catalog analog); writes
+        rejected when read_only."""
+        if not os.path.isdir(path):
+            raise LakeError(f"cannot attach: {path} does not exist")
+        return Lake(spark, path, read_only=read_only, create=False)
+
+    @staticmethod
+    def attach_frozen(spark: SparkSession, frozen_path: str) -> "FrozenLake":
+        from pg_ducklake_spark.freeze import FrozenLake
+
+        return FrozenLake(spark, frozen_path)
+
+
+class _Transaction:
+    def __init__(self, lake: Lake):
+        self.lake = lake
+
+    def __enter__(self):
+        if self.lake._txn is not None:
+            raise LakeError("nested transactions are not supported")
+        self.lake._txn = {}
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        staged, self.lake._txn = self.lake._txn, None
+        if exc_type is not None:
+            return False  # rollback: staged files never referenced → GC'd
+        for name, payload in staged.items():
+            self.lake._log(name).commit(
+                {
+                    "operation": "INSERT",
+                    "add": payload["add"],
+                    "metrics": payload["metrics"],
+                }
+            )
+        return False

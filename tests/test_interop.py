@@ -1,0 +1,170 @@
+"""Mirrors freeze.sql / fdw.sql / frozen_fdw.sql: freeze round trip,
+attach (read-only FDW analog), hybrid joins across lakes, write
+rejection; transaction batching; concurrency commit-retry
+(isolation specs)."""
+
+import threading
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pg_ducklake_spark import Lake
+from pg_ducklake_spark.errors import (
+    ConcurrentModificationError,
+    LakeError,
+    ReadOnlyError,
+)
+
+
+@pytest.fixture()
+def filled(spark, lake):
+    lake.create_table("t", "a int, b string", options={"data_inlining_row_limit": 5})
+    lake.insert(
+        "t", spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "a int, b string")
+    )
+    lake.insert_rows("t", [{"a": 4, "b": "inline"}])
+    return lake
+
+
+def test_freeze_round_trip(spark, filled, tmp_path):
+    """freeze.sql:12-27 — export, reopen standalone, same rows."""
+    out = str(tmp_path / "meta.ducklake")
+    filled.freeze(out)
+    frozen = Lake.attach_frozen(spark, out)
+    assert frozen.list_tables() == ["t"]
+    got = sorted((r.a, r.b) for r in frozen.table("t").collect())
+    assert got == [(1, "x"), (2, "y"), (3, "z"), (4, "inline")]
+    # frozen file is a plain DuckDB database any client can open
+    con = duckdb.connect(out, read_only=True)
+    tables = {r[0] for r in con.execute("SHOW TABLES").fetchall()}
+    assert {"ducklake_snapshot", "ducklake_table", "ducklake_column",
+            "ducklake_data_file", "ducklake_metadata"} <= tables
+    n = con.execute("SELECT COUNT(*) FROM ducklake_snapshot").fetchone()[0]
+    assert n == filled.current_snapshot("t")
+
+
+def test_frozen_rejects_writes(spark, filled, tmp_path):
+    out = str(tmp_path / "meta.ducklake")
+    filled.freeze(out)
+    frozen = Lake.attach_frozen(spark, out)
+    with pytest.raises(ReadOnlyError):
+        frozen.delete("t", "a = 1")
+    with pytest.raises(ReadOnlyError):
+        frozen.create_table("x", "a int")
+
+
+def test_freeze_existing_target_fails(filled, tmp_path):
+    out = str(tmp_path / "meta.ducklake")
+    filled.freeze(out)
+    with pytest.raises(LakeError):
+        filled.freeze(out)
+
+
+def test_attach_read_only(spark, filled):
+    """fdw.sql — attach an existing lake; reads work, DML blocked."""
+    other = Lake.attach(spark, filled.path, read_only=True)
+    assert other.list_tables() == ["t"]
+    assert other.table("t").count() == 4
+    with pytest.raises(ReadOnlyError):
+        other.insert("t", spark.createDataFrame([(9, "n")], "a int, b string"))
+    with pytest.raises(ReadOnlyError):
+        other.update("t", {"b": "'n'"}, "a = 1")
+
+
+def test_hybrid_join_across_lakes(spark, filled, tmp_path):
+    """fdw.sql:34-49 — join managed × foreign tables."""
+    lake2 = Lake(spark, str(tmp_path / "lake2"))
+    lake2.create_table("dim", "a int, label string")
+    lake2.insert(
+        "dim", spark.createDataFrame([(1, "one"), (3, "three")], "a int, label string")
+    )
+    joined = (
+        filled.table("t")
+        .join(F.broadcast(lake2.table("dim")), "a")
+        .select("a", "b", "label")
+    )
+    assert sorted((r.a, r.label) for r in joined.collect()) == [(1, "one"), (3, "three")]
+
+
+def test_transaction_batches_one_snapshot(spark, filled):
+    """transaction.sql — BEGIN..COMMIT maps to one commit per table."""
+    v = filled.current_snapshot("t")
+    with filled.transaction():
+        filled.insert("t", spark.createDataFrame([(10, "a")], "a int, b string"))
+        filled.insert("t", spark.createDataFrame([(11, "b")], "a int, b string"))
+    assert filled.current_snapshot("t") == v + 1
+    assert filled.table("t").count() == 6
+
+
+def test_transaction_rollback_invisible(spark, filled):
+    """transaction.sql rollback: nothing staged becomes visible."""
+    v = filled.current_snapshot("t")
+    with pytest.raises(RuntimeError):
+        with filled.transaction():
+            filled.insert("t", spark.createDataFrame([(10, "a")], "a int, b string"))
+            raise RuntimeError("abort")
+    assert filled.current_snapshot("t") == v
+    assert filled.table("t").count() == 4
+    # staged orphan files are GC-able
+    assert filled.cleanup_old_files("t") >= 1
+    assert filled.table("t").count() == 4
+
+
+def test_concurrent_appends_retry(spark, tmp_path):
+    """concurrent_writes.spec — both commits land, with retried
+    snapshot ids; no lost updates."""
+    root = str(tmp_path / "lake")
+    lake1 = Lake(spark, root)
+    lake1.create_table("t", "a int", options={"data_inlining_row_limit": 1000})
+    lake2 = Lake.attach(spark, root, read_only=False)
+    errs = []
+
+    def writer(lk, base):
+        try:
+            for i in range(10):
+                lk.insert_rows("t", [{"a": base + i}])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th1 = threading.Thread(target=writer, args=(lake1, 0))
+    th2 = threading.Thread(target=writer, args=(lake2, 100))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errs
+    vals = sorted(r.a for r in lake1.table("t").collect())
+    assert vals == sorted(list(range(10)) + list(range(100, 110)))
+    assert lake1.current_snapshot("t") == 21  # 1 create + 20 inserts, dense ids
+
+
+def test_conflicting_rewrites_raise(spark, tmp_path):
+    """A true write-write conflict (two rewrites of the same files) must
+    raise, not silently drop one side (concurrent_cross_table_writes.spec:
+    no duplicate/lost rows). Orchestrated deterministically: writer 2
+    computes its rewrite against a stale state, then lake1's DELETE lands
+    first — writer 2's commit must detect its base moved and abort."""
+    root = str(tmp_path / "lake")
+    lake1 = Lake(spark, root)
+    lake1.create_table("t", "a int")
+    lake1.insert("t", spark.createDataFrame([(i,) for i in range(10)], "a int"))
+    lake2 = Lake.attach(spark, root, read_only=False)
+    stale = lake2._state("t")
+    stale_files = sorted(stale.files)
+    stale_version = stale.snapshot_id
+    assert lake1.delete("t", "a < 3") == 3  # rewrites all files
+    with pytest.raises(ConcurrentModificationError):
+        lake2._commit_dml(
+            "t",
+            stale,
+            operation="DELETE",
+            add=[],
+            remove=stale_files,
+            inline_remove=[],
+            inline_changes=[],
+            metrics={"num_deleted": 5},
+            cdf_path=None,
+            message=None,
+        )
+    del stale_version
+    # and the appends-after case still works: a fresh delete sees the new
+    # state and succeeds
+    assert lake2.delete("t", "a < 5") == 2
