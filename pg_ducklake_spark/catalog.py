@@ -409,10 +409,13 @@ def collect_file_entries(
                     cname = col.path_in_schema
                     if "." in cname:  # nested leaves: skip, prune on top-level only
                         continue
+                    try:
+                        mn, mx = _stat_to_json(st.min), _stat_to_json(st.max)
+                    except Exception:
+                        continue  # footer stats unreadable for this type
                     cur = stats.setdefault(
                         cname, {"min": None, "max": None, "nulls": 0}
                     )
-                    mn, mx = _stat_to_json(st.min), _stat_to_json(st.max)
                     if cur["min"] is None or mn < cur["min"]:
                         cur["min"] = mn
                     if cur["max"] is None or mx > cur["max"]:

@@ -1,8 +1,213 @@
-"""Lakehouse-lifecycle queries: DML, time travel, change feed, compaction
-— run through the ``Lake`` layer against a throwaway lake populated from
-the test tables, with plain-SQL oracles computing the same final state.
+"""Lakehouse-lifecycle queries, oracle-verified.
 
-Registered once the Lake core lands (see pg_ducklake_spark/lake.py).
+Each query builds a throwaway lake from the test tables, drives a Lake
+operation (DML, time travel, change feed, compaction, inline buffer),
+and returns the resulting DataFrame; the DuckDB oracle computes the same
+final state straight from the raw tables. This puts the *lakehouse
+semantics* — not just the analytics — through the driver's hash gate.
+
+The customer table (1.5k rows at sf0.01) keeps these fast; every op
+still exercises the real multi-file parquet path.
 """
 
 from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pg_ducklake_spark.plans import query, t
+
+
+def _tmp_lake(spark):
+    from pg_ducklake_spark import Lake
+
+    root = tempfile.mkdtemp(prefix="pg_ducklake_spark_q_")
+    atexit.register(shutil.rmtree, root, True)
+    return Lake(spark, root)
+
+
+@query(
+    "lake_dml_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment = 'BUILDING'
+                THEN c_acctbal * 1.1 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    WHERE NOT (c_acctbal < 0)
+    ORDER BY c_custkey
+    """,
+)
+def lake_dml_roundtrip(spark, sf_dir):
+    """INSERT → DELETE(pred) → UPDATE(pred) → final scan: the
+    dml_row_count.sql lifecycle, hash-checked against a pure-SQL oracle."""
+    lake = _tmp_lake(spark)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    lake.create_table("c", "c_custkey bigint, c_acctbal double, c_mktsegment string")
+    lake.insert("c", cust)
+    lake.delete("c", "c_acctbal < 0")
+    lake.update("c", {"c_acctbal": "c_acctbal * 1.1"}, "c_mktsegment = 'BUILDING'")
+    return lake.table("c").orderBy("c_custkey")
+
+
+@query(
+    "lake_time_travel",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_custkey <= 500
+    ORDER BY c_custkey
+    """,
+)
+def lake_time_travel(spark, sf_dir):
+    """Two inserts, read back at the first version (time_travel.sql:8-12)."""
+    lake = _tmp_lake(spark)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    lake.create_table("c", "c_custkey bigint, c_acctbal double")
+    lake.insert("c", cust.filter(F.col("c_custkey") <= 500))
+    lake.insert("c", cust.filter(F.col("c_custkey") > 500))
+    return lake.time_travel("c", 2).orderBy("c_custkey")
+
+
+@query(
+    "lake_change_feed",
+    oracle="""
+    SELECT c_custkey, c_acctbal, 'update_preimage' AS _change_type
+    FROM customer WHERE c_mktsegment = 'MACHINERY'
+    UNION ALL
+    SELECT c_custkey, 0.0 AS c_acctbal, 'update_postimage' AS _change_type
+    FROM customer WHERE c_mktsegment = 'MACHINERY'
+    UNION ALL
+    SELECT c_custkey, c_acctbal, 'delete' AS _change_type
+    FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    ORDER BY c_custkey, _change_type
+    """,
+)
+def lake_change_feed(spark, sf_dir):
+    """UPDATE + DELETE, then table_changes over just those snapshots —
+    the data_change_feed.sql contract with all non-insert change types."""
+    lake = _tmp_lake(spark)
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    lake.create_table("c", "c_custkey bigint, c_acctbal double, c_mktsegment string")
+    lake.insert("c", cust)
+    v0 = lake.current_snapshot("c")
+    lake.update("c", {"c_acctbal": "0.0"}, "c_mktsegment = 'MACHINERY'")
+    lake.delete("c", "c_mktsegment = 'AUTOMOBILE'")
+    return (
+        lake.table_changes("c", v0 + 1, v0 + 2)
+        .select("c_custkey", "c_acctbal", "_change_type")
+        .orderBy("c_custkey", "_change_type")
+    )
+
+
+@query(
+    "lake_ctas_partitioned",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR)
+                AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey <= 5000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def lake_ctas_partitioned(spark, sf_dir):
+    """CTAS with a partition spec; aggregate over the partitioned table
+    (ctas.sql + partition.sql combined)."""
+    from pg_ducklake_spark.functions import dsum
+
+    lake = _tmp_lake(spark)
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    lake.create_table_as("o", orders, partition_by=["o_orderstatus"])
+    return (
+        lake.table("o")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "lake_vacuum_consistency",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             AS total_bal
+    FROM supplier
+    """,
+)
+def lake_vacuum_consistency(spark, sf_dir):
+    """Many small inserts → vacuum compaction → identical data (the
+    vacuum.sql before/after contract)."""
+    lake = _tmp_lake(spark)
+    from pg_ducklake_spark.functions import dsum
+
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    lake.create_table("s", "s_suppkey bigint, s_acctbal double")
+    for bucket in range(4):
+        lake.insert("s", supp.filter(F.col("s_suppkey") % 4 == bucket))
+    before = lake.table_info("s")["file_count"]
+    lake.vacuum("s", target_file_size=1 << 26)
+    after = lake.table_info("s")["file_count"]
+    assert after <= before
+    return lake.table("s").agg(
+        F.count(F.lit(1)).alias("n"), dsum("s_acctbal").alias("total_bal")
+    )
+
+
+@query(
+    "lake_inline_buffer_union",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    UNION ALL
+    SELECT 900 AS n_nationkey, 'INLINE_A' AS n_name
+    UNION ALL
+    SELECT 901 AS n_nationkey, 'INLINE_B' AS n_name
+    ORDER BY n_nationkey
+    """,
+)
+def lake_inline_buffer_union(spark, sf_dir):
+    """Parquet files ∪ unflushed inline rows in one read — the
+    data-inlining union-read (SURVEY.md §4.2 custom piece #1)."""
+    lake = _tmp_lake(spark)
+    nat = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int"), "n_name"
+    )
+    lake.create_table(
+        "n", "n_nationkey int, n_name string",
+        options={"data_inlining_row_limit": 10},
+    )
+    lake.insert("n", nat)
+    lake.append_batch(
+        "n", {"n_nationkey": [900, 901], "n_name": ["INLINE_A", "INLINE_B"]}
+    )
+    return lake.table("n").orderBy("n_nationkey")
+
+
+@query(
+    "lake_schema_evolution",
+    oracle="""
+    SELECT r_regionkey, r_name, CAST(NULL AS VARCHAR) AS zone
+    FROM region
+    UNION ALL
+    SELECT 90 AS r_regionkey, 'NEW' AS r_name, 'z1' AS zone
+    ORDER BY r_regionkey
+    """,
+)
+def lake_schema_evolution(spark, sf_dir):
+    """ADD COLUMN then insert under the new schema; old rows read as NULL
+    (metadata_sync.sql / time_travel.sql evolution semantics)."""
+    lake = _tmp_lake(spark)
+    reg = t(spark, sf_dir, "region").select(F.col("r_regionkey").cast("int"), "r_name")
+    lake.create_table("r", "r_regionkey int, r_name string")
+    lake.insert("r", reg)
+    lake.add_column("r", "zone", "string")
+    lake.insert(
+        "r",
+        spark.createDataFrame([(90, "NEW", "z1")], "r_regionkey int, r_name string, zone string"),
+    )
+    return lake.table("r").orderBy("r_regionkey")

@@ -1,0 +1,141 @@
+"""Mirrors types.sql + docs/data_types.md: the §1.3 type matrix round
+trips through parquet writes, the inline buffer (with its no-inline
+tier), and the freeze/attach path."""
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+
+from pg_ducklake_spark.errors import LakeError
+
+SCALAR_DDL = (
+    "b boolean, i8 tinyint, i16 smallint, i32 int, i64 bigint, "
+    "f32 float, f64 double, dec decimal(12,3), hug decimal(38,0), "
+    "s string, bin binary, d date, ts timestamp_ntz"
+)
+
+ROW = {
+    "b": True,
+    "i8": 7,
+    "i16": -300,
+    "i32": 2**31 - 1,
+    "i64": -(2**62),
+    "f32": 1.5,
+    "f64": 2.25,
+    "dec": Decimal("12345.678"),
+    "hug": Decimal(2**100),
+    "s": "héllo 世界",
+    "bin": b"\x00\xffbytes",
+    "d": dt.date(2001, 2, 3),
+    "ts": dt.datetime(2024, 5, 6, 7, 8, 9, 123456),
+}
+
+
+def _assert_row(row):
+    for k, v in ROW.items():
+        got = getattr(row, k)
+        if k == "bin":
+            got = bytes(got)
+        assert got == v, f"{k}: {got!r} != {v!r}"
+
+
+def test_scalar_matrix_parquet_roundtrip(spark, lake):
+    lake.create_table("t", SCALAR_DDL)
+    df = spark.createDataFrame([ROW], lake._state("t").schema)
+    lake.insert("t", df)
+    _assert_row(lake.table("t").collect()[0])
+
+
+def test_scalar_matrix_inline_roundtrip(spark, lake):
+    """Native + text-converted tiers through the catalog-resident inline
+    buffer (reference stores non-native types as text,
+    src/pgducklake_direct_insert.cpp:848-888)."""
+    lake.create_table("t", SCALAR_DDL, options={"data_inlining_row_limit": 10})
+    lake.insert_rows("t", [dict(ROW)])
+    assert lake.table_info("t")["inlined_rows"] == 1
+    _assert_row(lake.table("t").collect()[0])
+    lake.flush_inlined_data("t")
+    _assert_row(lake.table("t").collect()[0])
+
+
+def test_nested_types_parquet(spark, lake):
+    lake.create_table(
+        "t",
+        "arr array<int>, st struct<x:int, y:string>, mp map<string,int>",
+    )
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [([1, 2, 3], (9, "n"), {"k": 5})],
+            lake._state("t").schema,
+        ),
+    )
+    row = lake.table("t").collect()[0]
+    assert row.arr == [1, 2, 3] and row.st.x == 9 and row.mp == {"k": 5}
+
+
+def test_nested_types_refuse_inline(spark, lake):
+    """No-inline tier (docs/data_types.md:52-61): nested types bypass the
+    buffer with a clear error instead of corrupting."""
+    lake.create_table(
+        "t", "st struct<x:int>", options={"data_inlining_row_limit": 10}
+    )
+    with pytest.raises((ValueError, LakeError)):
+        lake.insert_rows("t", [{"st": (1,)}])
+
+
+def test_array_of_floats_embedding_column(spark, lake):
+    lake.create_table("emb", "vec_id bigint, embedding array<float>")
+    lake.insert(
+        "emb",
+        spark.createDataFrame([(1, [0.1, 0.2]), (2, [0.3, 0.4])],
+                              "vec_id bigint, embedding array<float>"),
+    )
+    rows = {r.vec_id: r.embedding for r in lake.table("emb").collect()}
+    assert len(rows[1]) == 2
+
+
+def test_variant_as_json_string(spark, lake):
+    """variant.sql:5-30 analog: semi-structured values as JSON text +
+    JSON functions (scalars, objects, arrays, nested)."""
+    lake.create_table("t", "v string", options={"data_inlining_row_limit": 10})
+    lake.insert_rows(
+        "t",
+        [
+            {"v": "1"},
+            {"v": '"str"'},
+            {"v": '{"a": [1, 2, {"b": null}]}'},
+            {"v": "[1, [2]]"},
+        ],
+    )
+    got = lake.sql(
+        "SELECT get_json_object(v, '$.a[2].b') AS b, v FROM t "
+        "WHERE get_json_object(v, '$.a') IS NOT NULL"
+    ).collect()
+    assert len(got) == 1 and got[0].b is None
+
+
+def test_types_survive_freeze(spark, lake, tmp_path):
+    from pg_ducklake_spark import Lake
+
+    lake.create_table("t", SCALAR_DDL)
+    lake.insert("t", spark.createDataFrame([ROW], lake._state("t").schema))
+    out = str(tmp_path / "m.ducklake")
+    lake.freeze(out)
+    _assert_row(Lake.attach_frozen(spark, out).table("t").collect()[0])
+
+
+def test_csv_ingestion(spark, lake, tmp_path):
+    """readme_examples.sql:24-26 — CTAS from read_csv with inference."""
+    from pg_ducklake_spark.sources import ingest_csv
+
+    p = tmp_path / "data.csv"
+    p.write_text("id,name,score\n1,ann,9.5\n2,bob,7.25\n3,cid,\n")
+    n = ingest_csv(lake, "people", str(p))
+    assert n == 3
+    df = lake.table("people")
+    assert dict(df.dtypes)["id"] in ("int", "bigint")
+    assert dict(df.dtypes)["score"] == "double"
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows[1] == ("ann", 9.5) and rows[3][1] is None
