@@ -78,13 +78,16 @@ def dedup_exact_stats(spark, sf_dir):
 
 # ------------------------------------------------------- shingle helpers
 
+# NB: the ELSE branch must be a *typed* empty array — a bare array() is
+# ARRAY<NULL> and the resulting coercion of the THEN branch knocks the
+# whole expression out of whole-stage codegen (~5x slower).
 _SPARK_SHINGLES = """
 CASE WHEN size(toks) >= 3 THEN
   array_distinct(transform(
     sequence(1, size(toks) - 2),
     i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
                    element_at(toks, i + 2))))
-ELSE array() END
+ELSE CAST(array() AS ARRAY<STRING>) END
 """
 
 _DUCK_SHINGLES = """
@@ -152,7 +155,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """
     docs = t(spark, sf_dir, "documents")
     shingled = _spark_shingled(docs)
-    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    # explode_outer: plain explode pushes a size()>0 filter below the
+    # Generate that re-evaluates the whole shingle expression per row,
+    # interpreted — explode_outer skips that filter; nulls drop after.
+    exploded = (
+        shingled.select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .persist()  # both sides of the self-join; at cluster scale the
+        # shuffle exchange is reused instead, but local mode recomputes
+    )
     sizes = shingled.select(
         "doc_id", F.size("shingles").cast("long").alias("n_shingles")
     )
@@ -250,24 +261,33 @@ def dedup_minhash_lsh(spark, sf_dir):
     """
     docs = t(spark, sf_dir, "documents")
     exploded = _spark_shingled(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    h = h32("shingle")
-    sigs = exploded.groupBy("doc_id").agg(
+        "doc_id", F.explode_outer("shingles").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    # Project the md5-derived hash once; the 16 min-aggregates then cost
+    # one multiply-add each instead of 16 md5 computations per shingle.
+    hashed = exploded.select("doc_id", h32("shingle").alias("h"))
+    # Persist: the signature table is tiny (one row per doc) but feeds the
+    # band explode AND both sides of the verification join — without it the
+    # whole shingle→md5 pipeline re-runs per consumer.
+    sigs = hashed.groupBy("doc_id").agg(
         *[
-            F.min(minhash_col(h, a, b)).alias(f"mh{i}")
+            F.min(minhash_col(F.col("h"), a, b)).alias(f"mh{i}")
             for i, (a, b) in enumerate(_COEFFS)
         ]
-    )
-    bands = None
-    for band in range(_BANDS):
-        key = F.concat_ws(
-            "_", *[F.col(f"mh{band * _ROWS + r}").cast("string") for r in range(_ROWS)]
+    ).persist()
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band_id"),
+            F.concat_ws(
+                "_",
+                *[F.col(f"mh{band * _ROWS + r}").cast("string") for r in range(_ROWS)],
+            ).alias("band_key"),
         )
-        part = sigs.select(
-            "doc_id", F.lit(band).alias("band_id"), key.alias("band_key")
-        )
-        bands = part if bands is None else bands.unionAll(part)
+        for band in range(_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band_id", "bk.band_key")
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_key"
     )
@@ -346,14 +366,14 @@ def dedup_simhash_pairs(spark, sf_dir):
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    th = h32("token")
+    hashed = tokens.select("doc_id", h32("token").alias("th"))
     contrib = [
         F.sum(
-            F.when(F.shiftright(th, bit).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.when(F.shiftright(F.col("th"), bit).bitwiseAND(1) == 1, 1).otherwise(-1)
         ).alias(f"s{bit}")
         for bit in range(_SIMBITS)
     ]
-    per_bit = tokens.groupBy("doc_id").agg(*contrib)
+    per_bit = hashed.groupBy("doc_id").agg(*contrib)
     simhash = sum(
         F.when(F.col(f"s{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0)).cast("long")
         for bit in range(_SIMBITS)
@@ -363,7 +383,7 @@ def dedup_simhash_pairs(spark, sf_dir):
         "doc_id",
         "simhash",
         F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("byte_id"),
-    ).withColumn("byte_val", F.expr("shiftright(simhash, byte_id * 8) & 255"))
+    ).withColumn("byte_val", F.expr("shiftright(simhash, byte_id * 8) & 255")).persist()
     a = bytes_df.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "byte_id", "byte_val"
     )
