@@ -1,0 +1,108 @@
+"""Streaming operators.
+
+Scale notes: the file-source stream lists only *new* files per
+micro-batch (checkpointed offsets), so a lake table with append-heavy
+traffic streams incrementally regardless of its total size; watermarks
+bound state for late data; applyInPandasWithState state lives in the
+state store, partitioned by key — the standard 1000-executor layout.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:
+    from pg_ducklake_spark.lake import Lake
+
+
+def stream_lake_appends(lake: "Lake", table: str) -> DataFrame:
+    """A lake table as an append-only stream: every snapshot's new data
+    files become a micro-batch (deletes/updates are NOT reflected —
+    pair with ``table_changes`` for full CDC semantics)."""
+    import os
+
+    state = lake._state(table)
+    schema = state.schema
+    data_dir = os.path.join(lake._table_dir(table), "data")
+    os.makedirs(data_dir, exist_ok=True)
+    return (
+        lake.spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (late data beyond the
+    watermark is dropped; state is bounded).
+
+    Spark watermarks require TIMESTAMP (not NTZ) event time; NTZ columns
+    are cast using the session timezone, which is fine for windowing
+    because only differences matter.
+    """
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    group_cols = [F.window(F.col(ts_col), window)] + [F.col(k) for k in (keys or [])]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[F.col(k) for k in (keys or [])],
+            "n",
+        )
+    )
+
+
+_RT_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("total_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_RT_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals that survive across micro-batches (the
+    'custom operator the engine lacks' pattern from the north star)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_events": [n], "total_value": [v]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RT_OUT,
+        stateStructType=_RT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
