@@ -1,0 +1,155 @@
+"""Reusable deduplication operators (parameterized library surface; the
+oracle-verified fixed-shape variants live in plans/dedup.py).
+
+All candidate generation is equi-join based (shingle / LSH band /
+signature-byte blocking) — no operator here ever cross-joins the corpus,
+so every one survives a 100 TB document table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pg_ducklake_spark.functions.hashing import h32, minhash_coeffs, minhash_col
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None, keep: str = "first",
+                order_col: str | None = None) -> DataFrame:
+    """Drop exact duplicates over ``cols`` (default: all columns).
+
+    With ``order_col``, keeps the row with the smallest (keep='first') or
+    largest (keep='last') value per group — deterministic, unlike
+    dropDuplicates. One shuffle on the dedup key hash.
+    """
+    subset = cols or df.columns
+    if order_col is None:
+        return df.dropDuplicates(subset)
+    direction = F.asc(order_col) if keep == "first" else F.desc(order_col)
+    w = Window.partitionBy(*subset).orderBy(direction)
+    return (
+        df.withColumn("_dl_rn", F.row_number().over(w))
+        .filter(F.col("_dl_rn") == 1)
+        .drop("_dl_rn")
+    )
+
+
+def shingle(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct word n-grams of the lowercased text."""
+    gram = " , ".join(f"element_at(toks, i + {j})" for j in range(n))
+    expr = f"""
+    CASE WHEN size(toks) >= {n} THEN
+      array_distinct(transform(sequence(1, size(toks) - {n - 1}),
+        i -> concat_ws(' ', {gram})))
+    ELSE CAST(array() AS ARRAY<STRING>) END
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.lower(text_col), " ").alias("toks")
+    )
+    return (
+        toks.select("id", F.explode_outer(F.expr(expr)).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8, n: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) by word
+    n-gram Jaccard; candidates from the shingle equi-join."""
+    sh = shingle(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with estimated Jaccard.
+
+    k permutations split into ``bands`` bands; a pair collides when any
+    band matches. Probability of detection ≈ 1-(1-j^r)^b with r = k/bands
+    — tune (k, bands) to the target threshold.
+    """
+    assert k % bands == 0, "k must be divisible by bands"
+    rows = k // bands
+    coeffs = minhash_coeffs(k, seed)
+    sh = shingle(df, text_col, id_col, n)
+    hashed = sh.select("id", h32("shingle").alias("h"))
+    sigs = hashed.groupBy("id").agg(
+        *[F.min(minhash_col(F.col("h"), a, b)).alias(f"mh{i}")
+          for i, (a, b) in enumerate(coeffs)]
+    ).persist()
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band_id"),
+            F.concat_ws(
+                "_", *[F.col(f"mh{band * rows + r}").cast("string") for r in range(rows)]
+            ).alias("band_key"),
+        )
+        for band in range(bands)
+    ]
+    banded = sigs.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", "bk.band_id", "bk.band_key"
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band_id", "band_key")
+    b = banded.select(F.col("id").alias("id_b"), "band_id", "band_key")
+    cands = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
+    sb = sigs.select(F.col("id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    ).cast("double") / F.lit(k)
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def dedupe_keep_first(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Remove near-duplicates given a pair list: drops every id that
+    appears as id_b of a pair whose id_a survives transitively.
+
+    Single-pass approximation of connected components: keep an id unless
+    it is dominated by any smaller id (id_b side of a pair). Exact for
+    star-shaped duplicate clusters (the common case); chains of length
+    > 2 may keep an intermediate — run to fixpoint if exactness matters.
+    """
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")

@@ -1,0 +1,113 @@
+"""Reusable similarity-search operators over embedding columns
+(array<float>). Parameterized library surface; oracle-verified fixed
+variants in plans/similarity.py.
+
+Dot products stay JVM-side (zip_with/aggregate inside codegen); the
+LSH variants turn O(Q·N) scans into bucket equi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pg_ducklake_spark.functions.hashing import hyperplanes
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def normalize(df: DataFrame, vec_col: str, out_col: str | None = None) -> DataFrame:
+    """L2-normalize once so downstream cosine = plain dot product (saves
+    two norms per pair at query time)."""
+    out = out_col or vec_col
+    nrm = F.sqrt(dot(vec_col, vec_col))
+    return df.withColumn(
+        out,
+        F.transform(F.col(vec_col), lambda x: (x.cast("double") / nrm).cast("double")),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k: broadcast the query set against one corpus scan.
+
+    Scale contract: |queries| must be broadcastable (≲ 10⁵ vectors);
+    the corpus streams through unshuffled. For huge query sets use
+    ann_lsh_topk instead.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("q_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc(F.col(id_col))
+    )
+    return (
+        scored.withColumn("cosine", cosine("q_vec", vec_col))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", F.col(id_col).alias("neighbor_id"), "cosine", "rnk")
+    )
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = 8, seed: int = 7,
+               dim: int | None = None) -> DataFrame:
+    """Sign-LSH bucket id (2^n_planes buckets) from seeded hyperplanes."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes, dim, seed)
+    bucket = None
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(c) for c in plane])
+        bit = F.when(dot(vec_col, arr) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("_lsh_bucket", bucket)
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates only within the query's LSH bucket —
+    an equi-join on bucket id that scales to billions of vectors (the
+    IVF-style scale path; recall grows with fewer planes / multiple
+    probes)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    cb = lsh_bucket(corpus, vec_col, n_planes, seed, dim)
+    qb = lsh_bucket(queries, vec_col, n_planes, seed, dim).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        "_lsh_bucket",
+    )
+    scored = cb.join(qb, "_lsh_bucket").filter(F.col(id_col) != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(F.col(id_col)))
+    return (
+        scored.withColumn("cosine", cosine("q_vec", vec_col))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", F.col(id_col).alias("neighbor_id"), "cosine", "rnk")
+    )

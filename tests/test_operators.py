@@ -1,0 +1,148 @@
+"""Operator-library tests (parameterized dedup/similarity/text/
+multimodal APIs) against testdata + synthetic edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup_deterministic_keeper(spark):
+    from pg_ducklake_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id int, payload string"
+    )
+    kept = exact_dedup(df, ["payload"], keep="first", order_col="id")
+    assert sorted((r.id, r.payload) for r in kept.collect()) == [(1, "a"), (3, "b")]
+    kept_last = exact_dedup(df, ["payload"], keep="last", order_col="id")
+    assert sorted(r.id for r in kept_last.collect()) == [2, 3]
+
+
+def test_jaccard_pairs_detects_planted_dup(spark):
+    from pg_ducklake_spark.operators.dedup import dedupe_keep_first, jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base + " tail"), (3, "completely different words here now")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    deduped = dedupe_keep_first(df, jaccard_pairs(df, "text", "doc_id", 0.5), "doc_id")
+    assert sorted(r.doc_id for r in deduped.collect()) == [1, 3]
+
+
+def test_minhash_near_dups_parameterized(docs):
+    from pg_ducklake_spark.operators.dedup import minhash_near_dups
+
+    pairs = minhash_near_dups(docs, "text", "doc_id", k=16, bands=4, threshold=0.5)
+    got = pairs.collect()
+    # sanity: symmetric-free, ordered pairs with estimates in [0.5, 1]
+    assert all(p.id_a < p.id_b and 0.5 <= p.est_jaccard <= 1.0 for p in got)
+
+
+def test_cosine_topk_self_similarity(emb):
+    from pg_ducklake_spark.operators.similarity import cosine_topk
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    res = cosine_topk(emb, queries, k=5)
+    rows = res.collect()
+    assert {r.q_id for r in rows} == {0, 1, 2}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append((r.rnk, r.cosine, r.neighbor_id))
+    for q, lst in per_q.items():
+        lst.sort()
+        assert len(lst) == 5
+        # descending similarity and no self-match
+        sims = [c for _, c, _ in lst]
+        assert sims == sorted(sims, reverse=True)
+        assert all(n != q for _, _, n in lst)
+
+
+def test_normalize_makes_unit_vectors(spark):
+    from pg_ducklake_spark.operators.similarity import dot, normalize
+
+    df = spark.createDataFrame([(1, [3.0, 4.0])], "id int, v array<float>")
+    out = normalize(df, "v").select(dot("v", "v").alias("n")).collect()[0]
+    assert abs(out.n - 1.0) < 1e-12
+
+
+def test_ann_lsh_topk_runs_and_ranks(emb):
+    from pg_ducklake_spark.operators.similarity import ann_lsh_topk
+
+    res = ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=3, n_planes=4)
+    rows = res.collect()
+    assert all(r.rnk <= 3 for r in rows)
+    assert all(r.neighbor_id != r.q_id for r in rows)
+
+
+def test_language_id_predicts(spark):
+    from pg_ducklake_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        [(1, "the cat is in the house and the garden"),
+         (2, "el gato es de la casa y los perros")],
+        "id int, text string",
+    )
+    got = {r.id: r.predicted_lang for r in language_id(df).collect()}
+    assert got[1] == "en" and got[2] == "es"
+
+
+def test_text_features_and_filter(spark):
+    from pg_ducklake_spark.operators.text import add_text_features, quality_filter
+
+    df = spark.createDataFrame(
+        [(1, "a good long document with many reasonable words in it"),
+         (2, "!!! ??? ### $$$ %%%")],
+        "id int, text string",
+    )
+    feats = {r.id: r for r in add_text_features(df).collect()}
+    assert feats[1].ws_tokens == 10
+    assert feats[1].quality > feats[2].quality
+    assert feats[1].fingerprint != feats[2].fingerprint
+    kept = quality_filter(df, threshold=0.5)
+    assert [r.id for r in kept.collect()] == [1]
+
+
+def test_fingerprint_order_insensitive(spark):
+    from pg_ducklake_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta alpha")],
+        "id int, text string",
+    )
+    fps = [r.fp for r in df.select(fingerprint().alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_feature_extraction_batching(spark):
+    from pg_ducklake_spark.operators.multimodal import extract_features, frame_sample
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"x" * 100), None),
+         (2, "video", bytearray(b"abc" * 1000), '{"fps": 30}')],
+        "media_id bigint, media_type string, content binary, metadata string",
+    )
+    feats = {r.media_id: r for r in extract_features(media, dim=8).collect()}
+    assert feats[1].n_bytes == 100 and len(feats[1].feature) == 8
+    assert abs(sum(feats[2].feature) - 1.0) < 1e-9  # histogram normalized
+    frames = frame_sample(media.filter("media_id = 2"), every_n_bytes=1000)
+    offs = [r.byte_offset for r in frames.collect()]
+    assert offs == [0, 1000, 2000]
+
+
+def test_multimodal_decode_stub_raises():
+    from pg_ducklake_spark.operators.multimodal import decode_image
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
