@@ -37,23 +37,29 @@ HEADLINE = [
 ]
 
 
+WARMUP = 2
+ITERS = 3
+
+
 def main() -> None:
+    """Mirrors the reference's benchmark methodology (2 warmup + timed
+    iterations, report averages — test/benchmark/bench_direct_insert.sh:
+    17-19): warm runs measure the queries, not JIT/codegen compilation."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
-    # Warm the JVM/read path once so per-query numbers measure the
-    # queries, not session startup.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.time()
-        rows = fn(spark, sf_dir).collect()
-        times[name] = round(time.time() - t0, 4)
-        del rows
+    names = [n for n in HEADLINE if n in QUERIES]
+    for _ in range(WARMUP):
+        for name in names:
+            QUERIES[name](spark, sf_dir).collect()
+    sums = dict.fromkeys(names, 0.0)
+    for _ in range(ITERS):
+        for name in names:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).collect()
+            sums[name] += time.time() - t0
+    times = {n: round(v / ITERS, 4) for n, v in sums.items()}
     total = round(sum(times.values()), 4)
     print(
         json.dumps(
@@ -63,6 +69,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "warmup_iters": WARMUP,
+                "timed_iters": ITERS,
             }
         )
     )

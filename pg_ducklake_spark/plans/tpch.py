@@ -437,7 +437,7 @@ def q18_large_volume_customer(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     return (
-        orders.join(big, orders.o_orderkey == big.big_orderkey, "left_semi")
+        orders.join(F.broadcast(big), orders.o_orderkey == big.big_orderkey, "left_semi")
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy(

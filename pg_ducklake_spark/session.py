@@ -27,6 +27,11 @@ def get_spark(app_name: str = "pg_ducklake_spark", cpus: int | None = None) -> S
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Local-mode split sizing: the sf0.1 tables are single ~20 MB
+        # parquet files, which the 128 MB default reads as ONE partition —
+        # zero scan parallelism. 4 MB splits spread the scan across cores.
+        # (On a real cluster with properly sized files, keep the default.)
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
