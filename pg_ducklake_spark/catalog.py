@@ -163,6 +163,9 @@ class TableState:
     schema: T.StructType | None = None
     schema_version: int = 0
     files: dict[str, FileEntry] = field(default_factory=dict)
+    # positional delete files (≙ ducklake_delete_file): data-file rel path →
+    # {"path": dv parquet rel path, "deleted": cumulative deleted rows}
+    dvs: dict[str, dict] = field(default_factory=dict)
     inline_rows: list[dict] = field(default_factory=list)  # {row_id, begin_snapshot, values}
     next_row_id: int = 0
     partition_spec: list[str] = field(default_factory=list)
@@ -174,7 +177,8 @@ class TableState:
 
     @property
     def total_rows(self) -> int:
-        return sum(f.rows for f in self.files.values()) + len(self.inline_rows)
+        deleted = sum(d["deleted"] for d in self.dvs.values())
+        return sum(f.rows for f in self.files.values()) - deleted + len(self.inline_rows)
 
     def schema_at(self, snapshot_id: int) -> T.StructType:
         cur = None
@@ -234,6 +238,9 @@ class SnapshotLog:
             state.files[fe.path] = fe
         for path in snap.get("remove", []):
             state.files.pop(path, None)
+            state.dvs.pop(path, None)  # a rewritten file sheds its deletes
+        for d in snap.get("dv", []):
+            state.dvs[d["file"]] = {"path": d["path"], "deleted": d["deleted"]}
         for row in snap.get("inline_add", []):
             state.inline_rows.append(
                 {"row_id": row["row_id"], "begin_snapshot": sid, "values": row["values"]}

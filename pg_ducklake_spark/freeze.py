@@ -51,6 +51,9 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
         CREATE TABLE ducklake_data_file(
             table_id BIGINT, path VARCHAR, rows BIGINT, bytes BIGINT,
             begin_snapshot BIGINT, partition_values VARCHAR, stats VARCHAR);
+        CREATE TABLE ducklake_delete_file(
+            table_id BIGINT, data_file_path VARCHAR, delete_file_path VARCHAR,
+            deleted BIGINT);
         CREATE TABLE ducklake_partition_info(
             table_id BIGINT, partition_key_index BIGINT, expression VARCHAR);
         CREATE TABLE ducklake_sort_info(
@@ -87,6 +90,11 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
                 [tid, os.path.join(name, fe.path), fe.rows, fe.bytes,
                  fe.begin_snapshot, json.dumps(fe.partition_values),
                  json.dumps(fe.stats)],
+            )
+        for f, d in state.dvs.items():
+            con.execute(
+                "INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?)",
+                [tid, f, os.path.join(name, d["path"]), d["deleted"]],
             )
         for i, expr in enumerate(state.partition_spec):
             con.execute(
@@ -141,8 +149,17 @@ class FrozenLake:
                 " ORDER BY row_id",
                 [tid],
             ).fetchall()
+            try:
+                dvs = con.execute(
+                    "SELECT data_file_path, delete_file_path FROM"
+                    " ducklake_delete_file WHERE table_id = ?",
+                    [tid],
+                ).fetchall()
+            except duckdb.CatalogException:  # older frozen files
+                dvs = []
             self._tables[name] = {"cols": cols, "files": files,
-                                  "inline": [json.loads(r[0]) for r in inline]}
+                                  "inline": [json.loads(r[0]) for r in inline],
+                                  "dvs": dvs, "name": name}
         con.close()
 
     def list_tables(self) -> list[str]:
@@ -167,6 +184,39 @@ class FrozenLake:
             if paths
             else self.spark.createDataFrame([], schema)
         )
+        if info.get("dvs"):
+            from pyspark.sql import functions as F
+            from pyspark.sql import types as T2
+
+            dv_schema = T2.StructType(
+                [
+                    T2.StructField("file", T2.StringType()),
+                    T2.StructField("row_index", T2.LongType()),
+                ]
+            )
+            dv_paths = sorted(
+                {os.path.join(self.data_root, p) for _f, p in info["dvs"]}
+            )
+            dv = (
+                self.spark.read.schema(dv_schema)
+                .parquet(*dv_paths)
+                .filter(F.col("file").isin([f for f, _p in info["dvs"]]))
+                .select(
+                    F.concat(
+                        F.lit(f"file:{self.data_root}/{name}/"), F.col("file")
+                    ).alias("_fp"),
+                    F.col("row_index").alias("_ri"),
+                )
+            )
+            df = (
+                df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_fp"),
+                    F.col("_metadata.row_index").alias("_ri"),
+                )
+                .join(F.broadcast(dv), ["_fp", "_ri"], "left_anti")
+                .drop("_fp", "_ri")
+            )
         if info["inline"]:
             from pg_ducklake_spark.catalog import from_json_value
 

@@ -432,14 +432,69 @@ class Lake:
             )
         return self.spark.createDataFrame(data, schema=schema)
 
+    _DV_SCHEMA = T.StructType(
+        [
+            T.StructField("file", T.StringType(), False),
+            T.StructField("row_index", T.LongType(), False),
+        ]
+    )
+
+    def _read_files(
+        self,
+        name: str,
+        state: TableState,
+        schema: T.StructType,
+        rels: list[str] | None = None,
+        keep_meta: bool = False,
+    ) -> DataFrame:
+        """Read data files under ``schema``, subtracting positional
+        delete files (≙ ducklake_delete_file) via a broadcast anti-join
+        on (_metadata.file_path, _metadata.row_index). DVs are small
+        relative to data (they hold positions, not rows), so the
+        broadcast is the scale-correct plan."""
+        table_dir = self._table_dir(name)
+        rels = sorted(state.files) if rels is None else sorted(rels)
+        if not rels:
+            df = self.spark.createDataFrame([], schema)
+            if keep_meta:
+                df = df.withColumn("_dl_fp", F.lit(None).cast("string")).withColumn(
+                    "_dl_ri", F.lit(None).cast("long")
+                )
+            return df
+        paths = [os.path.join(table_dir, p) for p in rels]
+        df = self.spark.read.schema(schema).parquet(*paths)
+        applicable = {f: d for f, d in state.dvs.items() if f in set(rels)}
+        if not applicable and not keep_meta:
+            return df
+        df = df.select(
+            "*",
+            F.col("_metadata.file_path").alias("_dl_fp"),
+            F.col("_metadata.row_index").alias("_dl_ri"),
+        )
+        if applicable:
+            dv_paths = sorted(
+                {os.path.join(table_dir, d["path"]) for d in applicable.values()}
+            )
+            dv = (
+                self.spark.read.schema(self._DV_SCHEMA)
+                .parquet(*dv_paths)
+                .filter(F.col("file").isin(list(applicable)))
+                .select(
+                    F.concat(
+                        F.lit(f"file:{table_dir}/"), F.col("file")
+                    ).alias("_dl_fp"),
+                    F.col("row_index").alias("_dl_ri"),
+                )
+            )
+            df = df.join(F.broadcast(dv), ["_dl_fp", "_dl_ri"], "left_anti")
+        if not keep_meta:
+            df = df.drop("_dl_fp", "_dl_ri")
+        return df
+
     def _files_df(
         self, name: str, state: TableState, schema: T.StructType
     ) -> DataFrame:
-        table_dir = self._table_dir(name)
-        paths = [os.path.join(table_dir, p) for p in sorted(state.files)]
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._read_files(name, state, schema)
 
     def _resolve_version(
         self,
@@ -490,13 +545,7 @@ class Lake:
         from pg_ducklake_spark.operators.pruning import prune_files
 
         keep = prune_files(state, where)
-        table_dir = self._table_dir(name)
-        paths = [os.path.join(table_dir, p) for p in sorted(keep)]
-        df = (
-            self.spark.read.schema(schema).parquet(*paths)
-            if paths
-            else self.spark.createDataFrame([], schema)
-        )
+        df = self._read_files(name, state, schema, rels=sorted(keep))
         inline = self._inline_df(state, schema)
         if inline is not None:
             df = df.unionByName(inline)
@@ -519,20 +568,13 @@ class Lake:
     ) -> tuple[dict[str, int], int]:
         """One scan: which live files contain predicate matches, and how
         many rows match per file (gives DML row counts without a second
-        job)."""
-        schema = state.schema
-        df = self._files_df(name, state, schema)
+        job). DV-subtracted, so already-deleted positions never match."""
         if not state.files:
             return {}, 0
+        df = self._read_files(name, state, state.schema, keep_meta=True)
         table_dir = self._table_dir(name)
-        hits = (
-            df.withColumn("_dl_file", F.input_file_name())
-            .filter(pred)
-            .groupBy("_dl_file")
-            .count()
-            .collect()
-        )
-        counts = {self._uri_to_rel(table_dir, r["_dl_file"]): r["count"] for r in hits}
+        hits = df.filter(pred).groupBy("_dl_fp").count().collect()
+        counts = {self._uri_to_rel(table_dir, r["_dl_fp"]): r["count"] for r in hits}
         return counts, sum(counts.values())
 
     def _match_inline(
@@ -556,14 +598,26 @@ class Lake:
         df = self.spark.createDataFrame(data, schema=aug)
         return [r["_dl_row_id"] for r in df.filter(pred).select("_dl_row_id").collect()]
 
-    def delete(self, name: str, where: str, message: str | None = None) -> int:
-        """DELETE with predicate; copy-on-write file rewrite + CDF delete
-        rows; returns deleted count (dml_row_count.sql:17)."""
+    def delete(
+        self, name: str, where: str, message: str | None = None, mode: str | None = None
+    ) -> int:
+        """DELETE with predicate; returns deleted count (dml_row_count.sql:17).
+
+        Two physical strategies (option ``delete_mode``, default 'dv'):
+
+        - ``dv``: write positional delete files (≙ the reference's
+          ducklake_delete_file) — no data rewrite at all; deleted
+          positions are subtracted at read time and physically removed
+          when vacuum's delete-ratio rewrite fires (A22). The 100 TB
+          default: a small delete touches zero data bytes.
+        - ``cow``: copy-on-write rewrite of affected files.
+        """
         self._check_writable()
         state = self._state(name)
         schema = state.schema
         pred = F.expr(where)
         table_dir = self._table_dir(name)
+        mode = mode or str(self.options(name).get("delete_mode", "dv"))
 
         file_counts, n_files_matched = self._match_files(name, state, pred)
         inline_ids = self._match_inline(state, pred, schema)
@@ -572,18 +626,54 @@ class Lake:
             return 0
 
         add: list[FileEntry] = []
+        dv_entries: list[dict] = []
         cdf_rel = None
         if file_counts:
-            paths = [os.path.join(table_dir, p) for p in sorted(file_counts)]
-            affected = self.spark.read.schema(schema).parquet(*paths)
-            kept = affected.filter(~pred | pred.isNull())
-            add = self._write_data(
-                table_dir, kept, state.partition_spec, options=self.options(name)
+            affected_rels = sorted(file_counts)
+            affected = self._read_files(
+                name, state, schema, rels=affected_rels, keep_meta=True
             )
+            matched = affected.filter(pred)
             cdf_rel = f"{CDF_DIR}/{uuid.uuid4().hex}"
-            affected.filter(pred).withColumn(
+            matched.drop("_dl_fp", "_dl_ri").withColumn(
                 "_change_type", F.lit("delete")
             ).write.parquet(os.path.join(table_dir, cdf_rel))
+            if mode == "dv":
+                dv_rel = f"_dv/{uuid.uuid4().hex}"
+                rel_expr = F.expr(f"substring(_dl_fp, {len(f'file:{table_dir}/') + 1})")
+                new_positions = matched.select(
+                    rel_expr.alias("file"), F.col("_dl_ri").alias("row_index")
+                )
+                # Carry forward prior positions for the affected files so a
+                # DV file is always the complete cumulative set for its files.
+                old = {
+                    f: d for f, d in state.dvs.items() if f in set(affected_rels)
+                }
+                if old:
+                    old_paths = sorted(
+                        {os.path.join(table_dir, d["path"]) for d in old.values()}
+                    )
+                    prior = (
+                        self.spark.read.schema(self._DV_SCHEMA)
+                        .parquet(*old_paths)
+                        .filter(F.col("file").isin(list(old)))
+                    )
+                    new_positions = new_positions.unionByName(prior)
+                new_positions.write.parquet(os.path.join(table_dir, dv_rel))
+                for rel in affected_rels:
+                    prior_deleted = state.dvs.get(rel, {}).get("deleted", 0)
+                    dv_entries.append(
+                        {
+                            "file": rel,
+                            "path": dv_rel,
+                            "deleted": prior_deleted + file_counts[rel],
+                        }
+                    )
+            else:
+                kept = affected.filter(~pred | pred.isNull()).drop("_dl_fp", "_dl_ri")
+                add = self._write_data(
+                    table_dir, kept, state.partition_spec, options=self.options(name)
+                )
         inline_changes = [
             {"change_type": "delete", "values": r["values"]}
             for r in state.inline_rows
@@ -594,12 +684,14 @@ class Lake:
             state,
             operation="DELETE",
             add=add,
-            remove=sorted(file_counts),
+            remove=[] if dv_entries else sorted(file_counts),
             inline_remove=inline_ids,
             inline_changes=inline_changes,
             metrics={"num_deleted": n},
             cdf_path=cdf_rel,
             message=message,
+            extra={"dv": dv_entries} if dv_entries else None,
+            touched=sorted(file_counts),
         )
         return n
 
@@ -640,8 +732,9 @@ class Lake:
         add: list[FileEntry] = []
         cdf_rel = None
         if file_counts:
-            paths = [os.path.join(table_dir, p) for p in sorted(file_counts)]
-            affected = self.spark.read.schema(schema).parquet(*paths)
+            affected = self._read_files(
+                name, state, schema, rels=sorted(file_counts)
+            )
             rewritten = apply_set(affected)
             add = self._write_data(
                 table_dir, rewritten, state.partition_spec, options=self.options(name)
@@ -721,6 +814,7 @@ class Lake:
         cdf_path: str | None,
         message: str | None,
         extra: dict | None = None,
+        touched: list[str] | None = None,
     ) -> int:
         if self._txn is not None:
             raise LakeError(
@@ -728,7 +822,7 @@ class Lake:
                 "(the reference's direct path is autocommit-only too, "
                 "src/pgducklake_direct_insert.cpp:276-278)"
             )
-        removed_set = set(remove)
+        removed_set = set(remove) | set(touched or [])
         inline_removed = set(inline_remove)
 
         def validate(fresh: TableState) -> None:
@@ -955,33 +1049,58 @@ class Lake:
             total += len(removed_ids)
         return total
 
-    def vacuum(self, name: str, target_file_size: int | None = None) -> dict:
-        """A22: compact small files (≙ ducklake_merge_adjacent_files) and
-        apply the sort spec to rewritten files. Copy-on-write DML already
-        rewrites deleted rows eagerly, so the delete-threshold rewrite half
-        of the reference's VACUUM is structurally a no-op here.
+    def vacuum(
+        self,
+        name: str,
+        target_file_size: int | None = None,
+        delete_threshold: float | None = None,
+    ) -> dict:
+        """A22: the reference's two-phase VACUUM (src/pgducklake_vacuum.cpp:
+        24-92):
 
-        Returns {"files_removed": n, "files_added": m}.
+        1. ``ducklake_rewrite_data_files``: rewrite files whose
+           deleted-row fraction (from positional delete files) meets
+           ``rewrite_delete_threshold`` (default 0.1) — the DV positions
+           are physically dropped and the DV removed.
+        2. ``ducklake_merge_adjacent_files``: bin-pack small files per
+           partition group, applying the sort spec to rewritten files.
+
+        Returns {"files_removed": n, "files_added": m, "dvs_cleared": k}.
         """
         self._check_writable()
         state = self._state(name)
-        target = int(target_file_size or self.options(name)["target_file_size"])
+        opts = self.options(name)
+        target = int(target_file_size or opts["target_file_size"])
+        threshold = float(
+            delete_threshold
+            if delete_threshold is not None
+            else opts.get("rewrite_delete_threshold", 0.1)
+        )
+        # Phase 1: delete-ratio rewrites.
+        ratio_rewrites = {
+            f
+            for f, d in state.dvs.items()
+            if f in state.files
+            and state.files[f].rows > 0
+            and d["deleted"] / state.files[f].rows >= threshold
+        }
+        # Phase 2: small-file merge groups (excluding phase-1 files).
         groups: dict[tuple, list[FileEntry]] = {}
         for fe in state.files.values():
-            if fe.bytes < target * 0.75:
+            if fe.path not in ratio_rewrites and fe.bytes < target * 0.75:
                 key = tuple(sorted(fe.partition_values.items()))
                 groups.setdefault(key, []).append(fe)
         to_rewrite: list[list[FileEntry]] = [
-            g for g in groups.values() if len(g) > 1
-        ]
+            [state.files[f]] for f in sorted(ratio_rewrites)
+        ] + [g for g in groups.values() if len(g) > 1]
         if not to_rewrite:
-            return {"files_removed": 0, "files_added": 0}
+            return {"files_removed": 0, "files_added": 0, "dvs_cleared": 0}
         table_dir = self._table_dir(name)
         add: list[FileEntry] = []
         remove: list[str] = []
         for group in to_rewrite:
-            paths = [os.path.join(table_dir, fe.path) for fe in group]
-            df = self.spark.read.schema(state.schema).parquet(*paths)
+            rels = [fe.path for fe in group]
+            df = self._read_files(name, state, state.schema, rels=rels)
             n_out = max(1, math.ceil(sum(fe.bytes for fe in group) / target))
             if state.sort_spec:
                 df = df.repartitionByRange(
@@ -995,7 +1114,7 @@ class Lake:
                     options=self.options(name), sort_spec=state.sort_spec,
                 )
             )
-            remove.extend(fe.path for fe in group)
+            remove.extend(rels)
 
         def validate(fresh: TableState) -> None:
             from pg_ducklake_spark.errors import ConcurrentModificationError
@@ -1005,6 +1124,7 @@ class Lake:
                     f"vacuum({name!r}) conflicts with concurrent rewrite"
                 )
 
+        dvs_cleared = len([f for f in remove if f in state.dvs])
         self._log(name).commit(
             {
                 "operation": "OPTIMIZE",
@@ -1015,7 +1135,11 @@ class Lake:
             validate=validate,
             base_version=state.snapshot_id,
         )
-        return {"files_removed": len(remove), "files_added": len(add)}
+        return {
+            "files_removed": len(remove),
+            "files_added": len(add),
+            "dvs_cleared": dvs_cleared,
+        }
 
     def cleanup_old_files(
         self, name: str | None = None, older_than: dt.timedelta | None = None
@@ -1033,22 +1157,30 @@ class Lake:
             state = self._state(tbl)
             table_dir = self._table_dir(tbl)
             live = {os.path.join(table_dir, p) for p in state.files}
-            data_root = os.path.join(table_dir, DATA_DIR)
-            if not os.path.isdir(data_root):
-                continue
-            for root, _dirs, names in os.walk(data_root):
-                for fname in names:
-                    full = os.path.join(root, fname)
-                    if full in live or not fname.endswith(".parquet"):
-                        continue
-                    if cutoff is not None:
-                        mtime = dt.datetime.fromtimestamp(
-                            os.path.getmtime(full), dt.timezone.utc
-                        )
-                        if mtime > cutoff:
+            live_dv_dirs = {
+                os.path.join(table_dir, d["path"]) for d in state.dvs.values()
+            }
+            for sub in (DATA_DIR, "_dv"):
+                root_dir = os.path.join(table_dir, sub)
+                if not os.path.isdir(root_dir):
+                    continue
+                for root, _dirs, names in os.walk(root_dir):
+                    for fname in names:
+                        full = os.path.join(root, fname)
+                        if not fname.endswith(".parquet"):
                             continue
-                    os.unlink(full)
-                    n += 1
+                        if full in live or any(
+                            full.startswith(d + os.sep) for d in live_dv_dirs
+                        ):
+                            continue
+                        if cutoff is not None:
+                            mtime = dt.datetime.fromtimestamp(
+                                os.path.getmtime(full), dt.timezone.utc
+                            )
+                            if mtime > cutoff:
+                                continue
+                        os.unlink(full)
+                        n += 1
         return n
 
     # ----------------------------------------------------------- txn (§7.3)

@@ -1,0 +1,122 @@
+"""Positional delete files (≙ ducklake_delete_file) + the delete-ratio
+vacuum rewrite (vacuum.sql:19-47 semantics: delete files appear, reads
+subtract them, VACUUM rewrites files over the threshold and clears
+them)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def t(spark, lake):
+    lake.create_table("t", "a int, b string")
+    df = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("a"),
+        F.concat(F.lit("v"), F.col("id")).alias("b"),
+    ).coalesce(2)
+    lake.insert("t", df)
+    return lake
+
+
+def test_dv_delete_no_rewrite(t):
+    files_before = {r.path for r in t.list_files("t").collect()}
+    assert t.delete("t", "a < 10") == 10  # default mode: dv
+    files_after = {r.path for r in t.list_files("t").collect()}
+    assert files_before == files_after  # zero data files touched
+    state = t._state("t")
+    assert sum(d["deleted"] for d in state.dvs.values()) == 10
+    assert t.table("t").count() == 90
+    assert t.table("t").filter("a < 10").count() == 0
+
+
+def test_dv_cumulative_deletes(t):
+    t.delete("t", "a < 10")
+    t.delete("t", "a >= 10 AND a < 15")
+    assert t.table("t").count() == 85
+    state = t._state("t")
+    assert sum(d["deleted"] for d in state.dvs.values()) == 15
+    # second delete of same rows is a no-op (positions already subtracted)
+    assert t.delete("t", "a < 15") == 0
+
+
+def test_dv_update_does_not_resurrect(t):
+    t.delete("t", "a < 10")
+    assert t.update("t", {"b": "'upd'"}, "a < 20") == 10  # only live rows
+    assert t.table("t").filter("a < 10").count() == 0  # still deleted
+    assert t.table("t").filter("b = 'upd'").count() == 10
+
+
+def test_dv_time_travel(t):
+    v_before = t.current_snapshot("t")
+    t.delete("t", "a < 50")
+    assert t.table("t", version=v_before).count() == 100
+    assert t.table("t").count() == 50
+
+
+def test_dv_change_feed(t):
+    v = t.current_snapshot("t")
+    t.delete("t", "a < 5")
+    ch = t.table_changes("t", v + 1, v + 1).collect()
+    assert sorted(r.a for r in ch) == [0, 1, 2, 3, 4]
+    assert {r._change_type for r in ch} == {"delete"}
+
+
+def test_vacuum_delete_ratio_rewrite(t):
+    """vacuum.sql shape: delete enough rows to cross the threshold, VACUUM
+    rewrites the files and clears the delete files."""
+    t.delete("t", "a % 2 = 0")  # 50% deleted per file ≥ 0.1 threshold
+    state = t._state("t")
+    assert state.dvs
+    res = t.vacuum("t", target_file_size=1)  # tiny target: no merges, only ratio
+    assert res["dvs_cleared"] >= 1 and res["files_removed"] >= 1
+    state = t._state("t")
+    assert not state.dvs  # delete files gone
+    assert t.table("t").count() == 50
+    assert state.total_rows == 50  # physical rows, no DV subtraction left
+
+
+def test_vacuum_below_threshold_keeps_dv(t):
+    t.delete("t", "a = 0")  # 1/~50 per file < 0.1
+    res = t.vacuum("t", target_file_size=1)
+    assert res["dvs_cleared"] == 0
+    assert t._state("t").dvs
+    assert t.table("t").count() == 99
+
+
+def test_cow_mode_still_available(t):
+    files_before = {r.path for r in t.list_files("t").collect()}
+    assert t.delete("t", "a < 10", mode="cow") == 10
+    files_after = {r.path for r in t.list_files("t").collect()}
+    assert files_before != files_after
+    assert not t._state("t").dvs
+    assert t.table("t").count() == 90
+
+
+def test_dv_cleanup_after_vacuum(t):
+    t.delete("t", "a % 2 = 0")
+    t.vacuum("t", target_file_size=1)
+    dv_dir = os.path.join(t._table_dir("t"), "_dv")
+    n_dv_files = sum(len(fs) for _r, _d, fs in os.walk(dv_dir))
+    assert n_dv_files > 0
+    removed = t.cleanup_old_files("t")
+    assert removed > 0
+    assert t.table("t").count() == 50
+
+
+def test_dv_survives_freeze(spark, t, tmp_path):
+    from pg_ducklake_spark import Lake
+
+    t.delete("t", "a >= 90")
+    out = str(tmp_path / "m.ducklake")
+    t.freeze(out)
+    frozen = Lake.attach_frozen(spark, out)
+    assert frozen.table("t").count() == 90
+    assert frozen.table("t").filter("a >= 90").count() == 0
+
+
+def test_dv_with_scan_pruning(t):
+    t.delete("t", "a = 5")
+    got = t.scan("t", "a < 10").collect()
+    assert sorted(r.a for r in got) == [0, 1, 2, 3, 4, 6, 7, 8, 9]

@@ -18,6 +18,7 @@ def test_vacuum_merges_small_files(spark, lake):
     assert lake.vacuum("t", target_file_size=1 << 20) == {
         "files_removed": 0,
         "files_added": 0,
+        "dvs_cleared": 0,
     }
 
 
