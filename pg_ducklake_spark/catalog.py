@@ -190,8 +190,68 @@ class TableState:
         return T.StructType.fromJson(cur)
 
 
+CHECKPOINT_EVERY = 32
+
+
+def state_to_json(state: TableState) -> dict:
+    return {
+        "snapshot_id": state.snapshot_id,
+        "schema_version": state.schema_version,
+        "files": [
+            dict(f.to_json(), begin_snapshot=f.begin_snapshot)
+            for f in state.files.values()
+        ],
+        "dvs": state.dvs,
+        "inline_rows": state.inline_rows,
+        "next_row_id": state.next_row_id,
+        "partition_spec": state.partition_spec,
+        "sort_spec": state.sort_spec,
+        "options": state.options,
+        "schema_log": [[sid, sj] for sid, sj in state.schema_log],
+        "history": [
+            {
+                "snapshot_id": s.snapshot_id,
+                "timestamp": s.timestamp,
+                "operation": s.operation,
+                "schema_version": s.schema_version,
+                "metrics": s.metrics,
+                "commit_message": s.commit_message,
+                "cdf_path": s.cdf_path,
+            }
+            for s in state.history
+        ],
+    }
+
+
+def state_from_json(d: dict) -> TableState:
+    state = TableState(
+        snapshot_id=d["snapshot_id"],
+        schema_version=d["schema_version"],
+        files={
+            f["path"]: FileEntry.from_json(f, f.get("begin_snapshot", 0))
+            for f in d["files"]
+        },
+        dvs=dict(d.get("dvs", {})),
+        inline_rows=list(d.get("inline_rows", [])),
+        next_row_id=d.get("next_row_id", 0),
+        partition_spec=list(d.get("partition_spec", [])),
+        sort_spec=list(d.get("sort_spec", [])),
+        options=dict(d.get("options", {})),
+        schema_log=[(sid, sj) for sid, sj in d.get("schema_log", [])],
+        history=[SnapshotInfo(**h) for h in d.get("history", [])],
+    )
+    if state.schema_log:
+        state.schema = T.StructType.fromJson(state.schema_log[-1][1])
+    return state
+
+
 class SnapshotLog:
-    """Append-only JSON snapshot log for one table directory."""
+    """Append-only JSON snapshot log for one table directory.
+
+    Every CHECKPOINT_EVERY commits, the full replayed state is rolled up
+    into a ``<id>.ckpt.json`` alongside the log, so cold-start replay is
+    O(CHECKPOINT_EVERY) snapshot reads regardless of table age — the
+    standard Delta-checkpoint growth valve (SURVEY.md scale notes)."""
 
     def __init__(self, table_dir: str):
         self.table_dir = table_dir
@@ -284,9 +344,10 @@ class SnapshotLog:
             )
         if version is None or version == latest:
             if self._cache is None:
-                state = TableState()
+                state, start = self._from_checkpoint(latest)
                 for v in self.versions():
-                    self._apply(state, self.read_snapshot(v))
+                    if start < v <= latest:
+                        self._apply(state, self.read_snapshot(v))
                 self._cache, self._cache_version = state, latest
             else:
                 state = self._cache
@@ -294,12 +355,54 @@ class SnapshotLog:
                     self._apply(state, self.read_snapshot(v))
                 self._cache_version = latest
             return state
-        state = TableState()
+        state, start = self._from_checkpoint(version)
         for v in self.versions():
             if v > version:
                 break
-            self._apply(state, self.read_snapshot(v))
+            if v > start:
+                self._apply(state, self.read_snapshot(v))
         return state
+
+    def _checkpoints(self) -> list[int]:
+        if not self.exists():
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".ckpt.json"):
+                try:
+                    out.append(int(name[: -len(".ckpt.json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _from_checkpoint(self, target: int) -> tuple[TableState, int]:
+        """Latest checkpoint at-or-before ``target`` (or a blank state)."""
+        for cv in reversed(self._checkpoints()):
+            if cv <= target:
+                try:
+                    with open(
+                        os.path.join(self.log_dir, f"{cv:020d}.ckpt.json")
+                    ) as f:
+                        return state_from_json(json.load(f)), cv
+                except (OSError, ValueError, KeyError):
+                    continue  # corrupt/partial checkpoint → older or full replay
+        return TableState(), 0
+
+    def maybe_checkpoint(self, version: int) -> None:
+        """Roll up state into a checkpoint file (best-effort, atomic)."""
+        if version % CHECKPOINT_EVERY != 0:
+            return
+        state = self.replay(version)
+        tmp = os.path.join(self.log_dir, f".tmp-ckpt-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(state_to_json(state), f)
+        final = os.path.join(self.log_dir, f"{version:020d}.ckpt.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
 
     def version_at_timestamp(self, ts: dt.datetime | str) -> int:
         if isinstance(ts, str):
@@ -356,6 +459,7 @@ class SnapshotLog:
             try:
                 os.link(tmp, final)
                 os.unlink(tmp)
+                self.maybe_checkpoint(next_id)
                 return next_id
             except FileExistsError:
                 os.unlink(tmp)

@@ -824,6 +824,13 @@ class Lake:
             )
         removed_set = set(remove) | set(touched or [])
         inline_removed = set(inline_remove)
+        # Fingerprint the delete-file state this commit was computed
+        # against: a concurrent DV on the same file invalidates both a
+        # rewrite (would resurrect deleted rows) and a cumulative DV merge
+        # (would drop the concurrent positions).
+        base_dvs = {
+            f: state.dvs.get(f, {}).get("deleted", -1) for f in removed_set
+        }
 
         def validate(fresh: TableState) -> None:
             from pg_ducklake_spark.errors import ConcurrentModificationError
@@ -833,6 +840,12 @@ class Lake:
                     f"{operation} on {name!r} conflicts: files rewritten by a "
                     "concurrent commit"
                 )
+            for f in removed_set:
+                if fresh.dvs.get(f, {}).get("deleted", -1) != base_dvs[f]:
+                    raise ConcurrentModificationError(
+                        f"{operation} on {name!r} conflicts: delete files "
+                        "changed underneath this commit"
+                    )
             live_inline = {r["row_id"] for r in fresh.inline_rows}
             if not inline_removed <= live_inline:
                 raise ConcurrentModificationError(
