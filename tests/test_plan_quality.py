@@ -1,0 +1,116 @@
+"""Physical-plan quality gates: the properties that decide whether these
+queries survive a 100 TB scale-up (SURVEY.md §4.2). Asserting on
+explain output keeps plan regressions from slipping in silently."""
+
+import re
+
+import pytest
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    from pg_ducklake_spark.plans import QUERIES
+
+    def get(name):
+        return QUERIES[name](spark, sf_dir)
+
+    return get
+
+
+def test_filter_pushdown_reaches_parquet(plans):
+    """q6's range+equality filters must reach the scan (PushedFilters)."""
+    s = formatted(plans("tpch_q6_forecast_revenue"))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", s)
+    assert m and "l_shipdate" in m.group(1) and "l_quantity" in m.group(1)
+
+
+def test_column_pruning(plans):
+    """q6 reads 4 of 11 lineitem columns — ReadSchema must be pruned."""
+    s = formatted(plans("tpch_q6_forecast_revenue"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", s)
+    assert m
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert set(cols) <= {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_dimension_joins_broadcast(plans):
+    """q5's six-way join: every dimension side broadcasts; the only
+    shuffle join key is the fact-to-orders edge."""
+    s = plan_of(plans("tpch_q5_local_supplier_volume"))
+    assert s.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in s
+
+
+def test_no_cartesian_products_anywhere(plans, spark):
+    """Nothing in the library may plan a cartesian product except the
+    deliberately tiny region self-pair query."""
+    from pg_ducklake_spark.plans import QUERIES
+
+    allowed = {"rel_cross_join_small", "sim_bruteforce_topk"}  # broadcast NL by design
+    for name, fn in QUERIES.items():
+        if name in allowed or name.startswith("lake_"):
+            continue
+        plan = plan_of(fn(spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_partial_aggregation_before_shuffle(plans):
+    """q1 must map-side combine (partial HashAggregate under the
+    exchange) — at scale this is the difference between shuffling 6
+    rows per partition and shuffling the table."""
+    s = plan_of(plans("tpch_q1_pricing_summary"))
+    assert re.search(r"HashAggregate.*partial", s, re.I | re.S) or "partial_" in s
+
+
+def test_whole_stage_codegen_on_hot_path(plans):
+    """The q1 aggregation pipeline stays inside whole-stage codegen
+    (AQE finalizes the plan only after execution, so run it first)."""
+    df = plans("tpch_q1_pricing_summary")
+    df.collect()
+    s = plan_of(df)
+    # codegen stages appear as *(N) markers in the final adaptive plan
+    assert "isFinalPlan=true" in s
+    assert re.search(r"\*\(\d+\) HashAggregate", s), "aggregate not codegen'd"
+
+
+def test_minhash_no_shingle_recompute_in_filter(plans):
+    """The dedup shingle pipeline must not re-evaluate the transform
+    inside a pushed Generate filter (the explode_outer fix)."""
+    s = plan_of(plans("dedup_minhash_lsh"))
+    gen = [ln for ln in s.splitlines() if "Generate" in ln]
+    assert gen, "expected a Generate (explode) node"
+    filt = [ln for ln in s.splitlines() if ln.strip().startswith("+- Filter") and "transform(" in ln]
+    assert not filt, "shingle transform re-evaluated in a Filter below Generate"
+
+
+def test_lake_scan_prunes_files(spark, lake):
+    """Metadata min/max pruning: a selective scan plans fewer input
+    files than the table holds."""
+    from pyspark.sql import functions as F
+
+    lake.create_table("t", "a int")
+    for lo in (0, 100, 200):
+        lake.insert(
+            "t",
+            spark.range(lo, lo + 100).select(F.col("id").cast("int").alias("a")).coalesce(1),
+        )
+    assert lake.table_info("t")["file_count"] == 3
+    state = lake._state("t")
+    from pg_ducklake_spark.operators.pruning import prune_files
+
+    assert len(prune_files(state, "a >= 250")) == 1
+    assert len(prune_files(state, "a = 150")) == 1
+    assert len(prune_files(state, "a < 1000")) == 3
+    got = lake.scan("t", "a >= 250").count()
+    assert got == 50
