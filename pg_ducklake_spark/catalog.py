@@ -81,10 +81,13 @@ def to_json_value(v: Any, dtype: T.DataType) -> Any:
         return str(v)
     if isinstance(dtype, T.ArrayType):
         return [to_json_value(x, dtype.elementType) for x in v]
-    if isinstance(dtype, (T.StructType, T.MapType)):
+    if isinstance(dtype, (T.StructType, T.MapType)) or (
+        dtype.simpleString() == "variant"
+    ):
         raise ValueError(
-            f"data inlining unsupported for nested type {dtype.simpleString()}"
-            " (no-inline tier, as reference docs/data_types.md:52-61)"
+            f"data inlining unsupported for type {dtype.simpleString()}"
+            " (no-inline tier, as reference docs/data_types.md:52-61;"
+            " variant is explicitly no-inline)"
         )
     return v
 
@@ -492,11 +495,17 @@ def _stat_to_json(v: Any) -> Any:
 
 
 def collect_file_entries(
-    table_dir: str, commit_rel_dir: str, begin_snapshot: int
+    table_dir: str,
+    commit_rel_dir: str,
+    begin_snapshot: int,
+    fallback_counter: Callable[[str], int] | None = None,
 ) -> list[FileEntry]:
     """Scan a freshly written commit directory: one FileEntry per parquet
     file with row count, size, per-column min/max/null stats (footers
-    only), and partition values parsed from hive-style path segments."""
+    only), and partition values parsed from hive-style path segments.
+
+    ``fallback_counter`` supplies row counts for files whose footers
+    pyarrow cannot parse (e.g. Spark VARIANT logical type)."""
     import pyarrow.parquet as pq
 
     entries: list[FileEntry] = []
@@ -507,8 +516,28 @@ def collect_file_entries(
                 continue
             full = os.path.join(root, name)
             rel = os.path.relpath(full, table_dir)
-            pf = pq.ParquetFile(full)
-            md = pf.metadata
+            try:
+                pf = pq.ParquetFile(full)
+                md = pf.metadata
+            except Exception:
+                if fallback_counter is None:
+                    raise
+                pvals = {}
+                for seg in os.path.relpath(root, base).split(os.sep):
+                    if "=" in seg:
+                        k, _, val = seg.partition("=")
+                        pvals[k] = val
+                entries.append(
+                    FileEntry(
+                        path=rel,
+                        rows=fallback_counter(full),
+                        bytes=os.path.getsize(full),
+                        stats={},
+                        partition_values=pvals,
+                        begin_snapshot=begin_snapshot,
+                    )
+                )
+                continue
             stats: dict[str, dict[str, Any]] = {}
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)

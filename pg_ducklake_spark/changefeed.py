@@ -88,7 +88,9 @@ def table_changes(lake: "Lake", name: str, start, end=None) -> DataFrame:
             )
 
         added = [d["path"] for d in snap.get("add", [])]
-        if added and op not in ("DELETE", "UPDATE"):
+        # DML ops carry explicit change files; their added data files are
+        # rewrites/inserts already represented there.
+        if added and op not in ("DELETE", "UPDATE", "MERGE"):
             paths = [os.path.join(table_dir, p) for p in added]
             parts.append(stamp(lake.spark.read.schema(schema).parquet(*paths), "insert"))
         if snap.get("cdf_path"):

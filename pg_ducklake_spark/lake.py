@@ -330,18 +330,33 @@ class Lake:
                 "compression", str(opts["parquet_compression"])
             ).partitionBy(*[c for c, _ in pcols])
         writer.parquet(out, mode="overwrite")
+
+        def spark_count(path: str) -> int:
+            return self.spark.read.parquet(path).count()
+
         entries = [
             e
-            for e in collect_file_entries(table_dir, commit_rel, 0)
+            for e in collect_file_entries(
+                table_dir, commit_rel, 0, fallback_counter=spark_count
+            )
             if e.rows > 0
         ]
         return entries
+
+    def _check_message(self, name: str, message: str | None) -> None:
+        """A26 require_commit_message option (reference docs/settings.md)."""
+        if message is None and self.options(name).get("require_commit_message"):
+            raise LakeError(
+                f"table {name!r} requires a commit message "
+                "(require_commit_message option is set)"
+            )
 
     def insert(
         self, name: str, df: DataFrame, message: str | None = None
     ) -> int:
         """Append a DataFrame; one snapshot (INSERT..SELECT / VALUES path)."""
         self._check_writable()
+        self._check_message(name, message)
         state = self._state(name)
         entries = self._write_data(
             self._table_dir(name),
@@ -374,6 +389,7 @@ class Lake:
         path, src/pgducklake_direct_insert.cpp:252-908 — no engine
         involvement, just catalog writes)."""
         self._check_writable()
+        self._check_message(name, message)
         state = self._state(name)
         limit = int(self.options(name).get("data_inlining_row_limit", 0) or 0)
         if self._txn is None and 0 < len(rows) <= limit:
@@ -613,6 +629,7 @@ class Lake:
         - ``cow``: copy-on-write rewrite of affected files.
         """
         self._check_writable()
+        self._check_message(name, message)
         state = self._state(name)
         schema = state.schema
         pred = F.expr(where)
@@ -705,6 +722,7 @@ class Lake:
         """UPDATE ... SET col=expr WHERE pred; CoW rewrite of affected
         files; CDF preimage/postimage rows; returns updated count."""
         self._check_writable()
+        self._check_message(name, message)
         state = self._state(name)
         schema = state.schema
         pred = F.expr(where)
@@ -1195,6 +1213,28 @@ class Lake:
                         os.unlink(full)
                         n += 1
         return n
+
+    def merge(
+        self,
+        target: str,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_delete: bool = False,
+        when_not_matched_insert: bool | dict[str, str] = True,
+        message: str | None = None,
+    ) -> dict[str, int]:
+        """MERGE INTO (upsert) — Spark-native bonus; the reference lacks
+        MERGE entirely (docs/ducklake_feature_coverage.md:12)."""
+        from pg_ducklake_spark.operators.merge import merge as _merge
+
+        return _merge(
+            self, target, source, on,
+            when_matched_update=when_matched_update,
+            when_matched_delete=when_matched_delete,
+            when_not_matched_insert=when_not_matched_insert,
+            message=message,
+        )
 
     # ----------------------------------------------------------- txn (§7.3)
 
