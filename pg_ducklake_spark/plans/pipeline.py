@@ -1,0 +1,213 @@
+"""End-to-end training-data pipeline compositions: the operators chained
+the way a 100 TB corpus job actually runs them — quality filter →
+dedup → stats, and cross-modal joins between documents and their
+embeddings (doc_id ↔ vec_id)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pg_ducklake_spark.functions import davg, sql_davg
+from pg_ducklake_spark.plans import query, t
+from pg_ducklake_spark.plans.text import _DUCK_QUALITY, _SPARK_QUALITY
+
+
+@query(
+    "pipe_filter_dedup_stats",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source, text, ({_DUCK_QUALITY}) AS quality
+      FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM kept) x
+      WHERE rn = 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_davg('quality')} AS avg_quality,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+             AS total_tokens
+    FROM deduped
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pipe_filter_dedup_stats(spark, sf_dir):
+    """quality filter → exact dedup (keep lowest doc_id) → per-language
+    corpus stats: the canonical pretraining data-prep chain in one plan
+    (filter pushes to the scan; dedup is one hash shuffle; stats are
+    map-side combined)."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.withColumn("quality", F.expr(_SPARK_QUALITY))
+    kept = scored.filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("quality").alias("avg_quality"),
+            F.sum(F.size(F.split("text", " ")).cast("long")).cast("long").alias(
+                "total_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_DOT64 = " + ".join(
+    f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+    for i in range(1, 65)
+)
+_NORM = "sqrt(" + " + ".join(
+    f"CAST({{s}}.embedding[{i}] AS DOUBLE) * CAST({{s}}.embedding[{i}] AS DOUBLE)"
+    for i in range(1, 65)
+) + ")"
+
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+@query(
+    "pipe_crossmodal_dup_check",
+    oracle=f"""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(list_aggregate(list_sort(list_distinct(
+                 string_split(lower(text), ' '))), 'string_agg', ' ')) AS h
+      FROM documents
+    ),
+    pairs AS (
+      SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
+      FROM fps d1 JOIN fps d2 ON d1.h = d2.h AND d1.doc_id < d2.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ({_DOT64}) / (({_NORM.format(s='a')}) * ({_NORM.format(s='b')}))
+             AS emb_cosine
+    FROM pairs
+    JOIN embeddings a ON a.vec_id = doc_a
+    JOIN embeddings b ON b.vec_id = doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def pipe_crossmodal_dup_check(spark, sf_dir):
+    """Cross-modal verification: bag-of-words fingerprint duplicate pairs
+    joined to their embedding vectors (doc_id ↔ vec_id) with the pair's
+    cosine — text dedup validated in embedding space."""
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " ")
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", fp.alias("h"))
+    d1 = docs.select(F.col("doc_id").alias("doc_a"), "h")
+    d2 = docs.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = d1.join(d2, "h").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("emb_b"))
+    dot = F.expr(_SPARK_DOT.format(a="emb_a", b="emb_b"))
+    na = F.sqrt(F.expr(_SPARK_DOT.format(a="emb_a", b="emb_a")))
+    nb = F.sqrt(F.expr(_SPARK_DOT.format(a="emb_b", b="emb_b")))
+    return (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select("doc_a", "doc_b", (dot / (na * nb)).alias("emb_cosine"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "pipe_embedding_quality_corr",
+    oracle=f"""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_davg(f'({_DUCK_QUALITY})')} AS avg_text_quality,
+           {sql_davg('CAST(n_chars AS DOUBLE)')} AS avg_chars
+    FROM embeddings JOIN documents ON vec_id = doc_id
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def pipe_embedding_quality_corr(spark, sf_dir):
+    """Per-cluster (embedding label) text-quality profile — the join a
+    curation job runs to decide which clusters to keep."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    docs = t(spark, sf_dir, "documents")
+    return (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg(F.expr(_SPARK_QUALITY)).alias("avg_text_quality"),
+            davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "rel_window_ntile_ranks",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           CAST(DENSE_RANK() OVER w2 AS BIGINT) AS drnk,
+           ROUND(CAST(PERCENT_RANK() OVER w AS DOUBLE), 10) AS prnk
+    FROM orders
+    WHERE o_orderkey <= 200
+    WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey),
+           w2 AS (ORDER BY o_orderstatus)
+    ORDER BY o_orderkey
+    """,
+)
+def rel_window_ntile_ranks(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w2 = Window.orderBy("o_orderstatus")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.dense_rank().over(w2).cast("long").alias("drnk"),
+            F.round(F.percent_rank().over(w).cast("double"), 10).alias("prnk"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "rel_array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    WHERE vec_id < 20
+    ORDER BY vec_id
+    """,
+)
+def rel_array_functions(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
+            "first_component"
+        ),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias(
+            "n_positive"
+        ),
+    ).orderBy("vec_id")
