@@ -172,6 +172,19 @@ def sim_lsh_bucket_topk(spark, sf_dir):
     )
 
 
+@query("sim_ivf_topk")  # no oracle: k-means training is not SQL-expressible
+def sim_ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means cells + nprobe search) — the trained-index scale
+    path next to sign-LSH. Driver runs a rows-only check; exactness is
+    covered by tests/test_ivf.py's recall-vs-bruteforce assertions."""
+    from pg_ducklake_spark.operators.ivf import ivf_build, ivf_search
+
+    emb = t(spark, sf_dir, "embeddings")
+    index = ivf_build(spark, emb, k=8, seed=42)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_search(index, queries, topk=10, nprobe=2).orderBy("q_id", "rnk")
+
+
 @query(
     "sim_embedding_near_dup",
     oracle=f"""
