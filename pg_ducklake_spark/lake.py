@@ -914,6 +914,13 @@ class Lake:
         )
         return self.spark.createDataFrame(rows, schema=schema)
 
+    def register_metadata_views(self, name: str) -> None:
+        """A19 SQL introspection: register ``<t>_snapshots`` and
+        ``<t>_files`` temp views so metadata is queryable with plain SQL
+        (≙ FROM ducklake.snapshots('t') / list_files)."""
+        self.snapshots(name).createOrReplaceTempView(f"{name}_snapshots")
+        self.list_files(name).createOrReplaceTempView(f"{name}_files")
+
     def current_snapshot(self, name: str) -> int:
         return self._state(name).snapshot_id
 

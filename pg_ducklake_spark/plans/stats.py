@@ -1,0 +1,110 @@
+"""Statistical-moment queries with order-independent exactness.
+
+stddev/variance/correlation are normally computed from floating sums
+(order-dependent → cross-engine drift); here every moment derives from
+exact decimal sums of x, x², xy, so both engines produce identical
+doubles at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_ducklake_spark.plans import query, t
+
+_DEC = "decimal(38,10)"
+
+
+def _dsum(col):
+    return F.sum(col.cast(_DEC)).cast("string").cast("double")
+
+
+def _sql_dsum(expr: str) -> str:
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+
+@query(
+    "stats_value_moments",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_sql_dsum('value')} / COUNT(*) AS mean,
+           sqrt(({_sql_dsum('value * value')}
+                 - {_sql_dsum('value')} * {_sql_dsum('value')} / COUNT(*))
+                / (COUNT(*) - 1)) AS stddev_samp
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stats_value_moments(spark, sf_dir):
+    """Sample stddev from exact decimal Σx and Σx² — deterministic on
+    both engines regardless of summation order."""
+    ev = t(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    sx = _dsum(F.col("value"))
+    sxx = _dsum(F.col("value") * F.col("value"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            n.alias("n"),
+            (sx / n).alias("mean"),
+            F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))).alias("stddev_samp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stats_price_quantity_corr",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ({_sql_dsum('l_quantity * l_extendedprice')}
+            - {_sql_dsum('l_quantity')} * {_sql_dsum('l_extendedprice')} / COUNT(*))
+           / (sqrt({_sql_dsum('l_quantity * l_quantity')}
+                   - {_sql_dsum('l_quantity')} * {_sql_dsum('l_quantity')} / COUNT(*))
+              * sqrt({_sql_dsum('l_extendedprice * l_extendedprice')}
+                     - {_sql_dsum('l_extendedprice')} * {_sql_dsum('l_extendedprice')}
+                       / COUNT(*)))
+             AS corr_qty_price
+    FROM lineitem
+    """,
+)
+def stats_price_quantity_corr(spark, sf_dir):
+    """Pearson correlation from exact decimal sums (Σx, Σy, Σxy, Σx²,
+    Σy²) — the moment-sketch pattern that scales with one map-side
+    combine and no second pass."""
+    li = t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = _dsum(F.col("l_quantity"))
+    sy = _dsum(F.col("l_extendedprice"))
+    sxy = _dsum(F.col("l_quantity") * F.col("l_extendedprice"))
+    sxx = _dsum(F.col("l_quantity") * F.col("l_quantity"))
+    syy = _dsum(F.col("l_extendedprice") * F.col("l_extendedprice"))
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return li.agg(n.alias("n"), corr.alias("corr_qty_price"))
+
+
+@query(
+    "stats_histogram_fixed_bins",
+    oracle="""
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT least(CAST(floor(value / 10.0) AS BIGINT), 19) AS bin
+      FROM events) x
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def stats_histogram_fixed_bins(spark, sf_dir):
+    """Fixed-width histogram — one groupBy, the building block under
+    every distributed quantile/profile job."""
+    ev = t(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / 10.0).cast("long"), F.lit(19))
+    return (
+        ev.groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )

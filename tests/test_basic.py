@@ -84,3 +84,16 @@ def test_ctas_from_sql_and_df(spark, lake):
     assert lake.create_table_as("t4", df) == 5
     snaps = lake.snapshots("t4").collect()
     assert len(snaps) == 1 and snaps[0].operation == "CREATE TABLE AS"
+
+
+def test_metadata_sql_views(spark, lake):
+    """A19 introspection via SQL views over snapshots/files."""
+    lake.create_table("t", "a int")
+    lake.insert("t", spark.createDataFrame([(1,)], "a int"))
+    lake.register_metadata_views("t")
+    snaps = spark.sql(
+        "SELECT operation FROM t_snapshots ORDER BY snapshot_id"
+    ).collect()
+    assert [r.operation for r in snaps] == ["CREATE TABLE", "INSERT"]
+    files = spark.sql("SELECT path, rows FROM t_files").collect()
+    assert sum(r.rows for r in files) == 1
