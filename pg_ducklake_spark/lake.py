@@ -281,6 +281,60 @@ class Lake:
 
         self._alter_schema(name, f"RENAME COLUMN {old} TO {new}", xf)
 
+    _UPCASTS = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
+        ("float", "double"),
+    }
+
+    def alter_column_type(self, name: str, col_name: str, new_type: str) -> None:
+        """A4 ALTER COLUMN TYPE. Safe widenings (int→bigint, float→double
+        …) are metadata-only — parquet upcasts at read time; any other
+        conversion rewrites every live file under the new schema in the
+        same snapshot (the reference's type change is a rewrite too)."""
+        self._check_writable()
+        state = self._state(name)
+        field = next((f for f in state.schema.fields if f.name == col_name), None)
+        if field is None:
+            raise LakeError(f"column {col_name!r} not found in {name!r}")
+        new_dt = _parse_schema(f"x {new_type}")[0].dataType
+        new_fields = [
+            T.StructField(col_name, new_dt, f.nullable) if f.name == col_name else f
+            for f in state.schema.fields
+        ]
+        new_schema = T.StructType(new_fields)
+        snap = {
+            "operation": f"ALTER TABLE ALTER COLUMN {col_name} TYPE {new_type}",
+            "schema": new_schema.jsonValue(),
+            "schema_version": state.schema_version + 1,
+            "metrics": {},
+        }
+        old_s = field.dataType.simpleString()
+        new_s = new_dt.simpleString()
+        if (old_s, new_s) in self._UPCASTS or old_s == new_s:
+            self._log(name).commit(snap, base_version=state.snapshot_id)
+            return
+        # Narrowing/converting change: rewrite all live files, one snapshot.
+        df = self._read_files(name, state, state.schema).withColumn(
+            col_name, F.col(col_name).cast(new_dt)
+        )
+        entries = self._write_data(
+            self._table_dir(name), df, state.partition_spec,
+            schema=new_schema, options=self.options(name),
+        )
+        snap["add"] = [e.to_json() for e in entries]
+        snap["remove"] = sorted(state.files)
+
+        def validate(fresh: TableState) -> None:
+            from pg_ducklake_spark.errors import ConcurrentModificationError
+
+            if set(snap["remove"]) - set(fresh.files):
+                raise ConcurrentModificationError(
+                    f"alter_column_type({name!r}) conflicts with concurrent rewrite"
+                )
+
+        self._log(name).commit(snap, validate=validate, base_version=state.snapshot_id)
+
     def _alter_schema(self, name: str, op: str, transform) -> None:
         self._check_writable()
         state = self._state(name)

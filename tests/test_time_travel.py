@@ -71,3 +71,23 @@ def test_view_pins_travel_schema(spark, t):
     t.time_travel("t", 2).createOrReplaceTempView("t_v2")
     t.insert("t", spark.createDataFrame([(9,)], "a int"))
     assert sorted(r.a for r in spark.table("t_v2").collect()) == [1, 2]
+
+
+def test_alter_column_type_upcast_metadata_only(spark, t):
+    """int→bigint is metadata-only: same files, new read schema."""
+    files_before = sorted(r.path for r in t.list_files("t").collect())
+    t.alter_column_type("t", "a", "bigint")
+    assert sorted(r.path for r in t.list_files("t").collect()) == files_before
+    assert dict(t.table("t").dtypes)["a"] == "bigint"
+    assert sorted(r.a for r in t.table("t").collect()) == [1, 2, 3]
+    # historical schema unaffected
+    assert dict(t.table("t", version=3).dtypes)["a"] == "int"
+
+
+def test_alter_column_type_conversion_rewrites(spark, t):
+    """int→string requires a rewrite; data converts, one snapshot."""
+    v = t.current_snapshot("t")
+    t.alter_column_type("t", "a", "string")
+    assert t.current_snapshot("t") == v + 1
+    assert dict(t.table("t").dtypes)["a"] == "string"
+    assert sorted(r.a for r in t.table("t").collect()) == ["1", "2", "3"]
