@@ -23,6 +23,7 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customer",
@@ -32,8 +33,13 @@ HEADLINE = [
     "rel_window_rank",
     "dedup_exact_stats",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "text_quality_scores",
     "sim_bruteforce_topk",
+    "sim_lsh_bucket_topk",
+    "ts_asof_join",
+    "stats_price_quantity_corr",
+    "pipe_filter_dedup_stats",
 ]
 
 
