@@ -154,16 +154,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
     — the join key distribution is the scale knob.
     """
     docs = t(spark, sf_dir, "documents")
-    shingled = _spark_shingled(docs)
+    # Persist the per-doc shingle arrays (one small row per doc): the
+    # exploded pair join, its mirror side, and the sizes branch all
+    # derive from it — without the persist the whole tokenize+transform
+    # pipeline re-runs once per consumer.
+    shingled = _spark_shingled(docs).persist()
     # explode_outer: plain explode pushes a size()>0 filter below the
     # Generate that re-evaluates the whole shingle expression per row,
     # interpreted — explode_outer skips that filter; nulls drop after.
-    exploded = (
-        shingled.select("doc_id", F.explode_outer("shingles").alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-        .persist()  # both sides of the self-join; at cluster scale the
-        # shuffle exchange is reused instead, but local mode recomputes
-    )
+    exploded = shingled.select(
+        "doc_id", F.explode_outer("shingles").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
     sizes = shingled.select(
         "doc_id", F.size("shingles").cast("long").alias("n_shingles")
     )
