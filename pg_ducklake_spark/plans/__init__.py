@@ -80,6 +80,7 @@ from pg_ducklake_spark.plans import advanced  # noqa: E402,F401
 from pg_ducklake_spark.plans import timeseries  # noqa: E402,F401
 from pg_ducklake_spark.plans import pipeline  # noqa: E402,F401
 from pg_ducklake_spark.plans import stats  # noqa: E402,F401
+from pg_ducklake_spark.plans import relational2  # noqa: E402,F401
 from pg_ducklake_spark.plans import dedup  # noqa: E402,F401
 from pg_ducklake_spark.plans import similarity  # noqa: E402,F401
 from pg_ducklake_spark.plans import text  # noqa: E402,F401

@@ -91,3 +91,25 @@ def test_append_batch_equal_length_contract(spark, lake):
         lake.append_batch("t", {"a": [1, 2], "b": ["x"]})
     got = sorted((r.a, r.b) for r in lake.table("t").collect())
     assert got == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_flush_respects_partition_and_sort_spec(spark, lake):
+    """Flushed inline rows land hive-partitioned and sorted like any
+    other write (reference: sort applies at flush/compaction)."""
+    import json
+
+    lake.create_table(
+        "t", "a int, cat string",
+        partition_by=["cat"], sorted_by=["a ASC"],
+        options={"data_inlining_row_limit": 10},
+    )
+    lake.insert_rows(
+        "t",
+        [{"a": 3, "cat": "x"}, {"a": 1, "cat": "y"}, {"a": 2, "cat": "x"}],
+    )
+    lake.flush_inlined_data("t")
+    pv = [json.loads(r.partition_values) for r in lake.list_files("t").collect()]
+    assert {d.get("_p_cat") for d in pv} == {"x", "y"}
+    assert lake.table_info("t")["inlined_rows"] == 0
+    assert sorted((r.a, r.cat) for r in lake.table("t").collect()) == [
+        (1, "y"), (2, "x"), (3, "x")]
