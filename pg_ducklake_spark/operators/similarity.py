@@ -2,8 +2,10 @@
 (array<float>). Parameterized library surface; oracle-verified fixed
 variants in plans/similarity.py.
 
-Dot products stay JVM-side (zip_with/aggregate inside codegen); the
-LSH variants turn O(Q·N) scans into bucket equi-joins.
+Dot products stay JVM-side; when ``dim`` is known they unroll into a
+flat sum that runs inside whole-stage codegen (higher-order
+zip_with/aggregate is interpreted per element — ~10× slower in pairwise
+scoring). The LSH variants turn O(Q·N) scans into bucket equi-joins.
 """
 
 from __future__ import annotations
@@ -14,9 +16,15 @@ from pyspark.sql import functions as F
 from pg_ducklake_spark.functions.hashing import hyperplanes
 
 
-def dot(a: str | Column, b: str | Column) -> Column:
+def dot(a: str | Column, b: str | Column, dim: int | None = None) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
+    if dim is not None:
+        # Unrolled: left-associated like the fold below, but codegen-able.
+        out = a.getItem(0).cast("double") * b.getItem(0).cast("double")
+        for i in range(1, dim):
+            out = out + a.getItem(i).cast("double") * b.getItem(i).cast("double")
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -24,15 +32,17 @@ def dot(a: str | Column, b: str | Column) -> Column:
     )
 
 
-def cosine(a: str | Column, b: str | Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+def cosine(a: str | Column, b: str | Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim)))
 
 
-def normalize(df: DataFrame, vec_col: str, out_col: str | None = None) -> DataFrame:
+def normalize(
+    df: DataFrame, vec_col: str, out_col: str | None = None, dim: int | None = None
+) -> DataFrame:
     """L2-normalize once so downstream cosine = plain dot product (saves
     two norms per pair at query time)."""
     out = out_col or vec_col
-    nrm = F.sqrt(dot(vec_col, vec_col))
+    nrm = F.sqrt(dot(vec_col, vec_col, dim))
     return df.withColumn(
         out,
         F.transform(F.col(vec_col), lambda x: (x.cast("double") / nrm).cast("double")),
@@ -45,6 +55,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k: broadcast the query set against one corpus scan.
 
@@ -52,6 +63,8 @@ def cosine_topk(
     the corpus streams through unshuffled. For huge query sets use
     ann_lsh_topk instead.
     """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
@@ -62,7 +75,7 @@ def cosine_topk(
         F.desc("cosine"), F.asc(F.col(id_col))
     )
     return (
-        scored.withColumn("cosine", cosine("q_vec", vec_col))
+        scored.withColumn("cosine", cosine("q_vec", vec_col, dim))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", F.col(id_col).alias("neighbor_id"), "cosine", "rnk")
@@ -76,9 +89,13 @@ def lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = 8, seed: int = 7,
         dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(n_planes, dim, seed)
     bucket = None
+    v = F.col(vec_col)
     for j, plane in enumerate(planes):
-        arr = F.array(*[F.lit(c) for c in plane])
-        bit = F.when(dot(vec_col, arr) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        # Constant plane coefficients inline as literals — codegen-able.
+        d = v.getItem(0).cast("double") * F.lit(plane[0])
+        for i in range(1, dim):
+            d = d + v.getItem(i).cast("double") * F.lit(plane[i])
+        bit = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return df.withColumn("_lsh_bucket", bucket)
 
@@ -106,7 +123,7 @@ def ann_lsh_topk(
     scored = cb.join(qb, "_lsh_bucket").filter(F.col(id_col) != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(F.col(id_col)))
     return (
-        scored.withColumn("cosine", cosine("q_vec", vec_col))
+        scored.withColumn("cosine", cosine("q_vec", vec_col, dim))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", F.col(id_col).alias("neighbor_id"), "cosine", "rnk")

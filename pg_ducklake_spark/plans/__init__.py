@@ -74,6 +74,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # Import for registration side effects (order = display order).
 from pg_ducklake_spark.plans import tpch  # noqa: E402,F401
+from pg_ducklake_spark.plans import tpch2  # noqa: E402,F401
 from pg_ducklake_spark.plans import analytics  # noqa: E402,F401
 from pg_ducklake_spark.plans import relational  # noqa: E402,F401
 from pg_ducklake_spark.plans import advanced  # noqa: E402,F401

@@ -235,12 +235,11 @@ def rel_intersect(spark, sf_dir):
 def rel_grouping_sets(spark, sf_dir):
     t(spark, sf_dir, "orders").createOrReplaceTempView("adv_orders")
     return spark.sql(
-        """
+        f"""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS STRING)
-                    AS DOUBLE) AS total
+               {sql_dsum('o_totalprice')} AS total
         FROM adv_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY status, priority

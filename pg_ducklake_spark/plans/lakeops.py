@@ -18,6 +18,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from pg_ducklake_spark.functions import sql_dsum as _sql_dsum
 from pg_ducklake_spark.plans import query, t
 
 
@@ -106,10 +107,9 @@ def lake_change_feed(spark, sf_dir):
 
 @query(
     "lake_ctas_partitioned",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR)
-                AS DOUBLE) AS total
+           {_sql_dsum('o_totalprice')} AS total
     FROM orders WHERE o_orderkey <= 5000
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -133,10 +133,9 @@ def lake_ctas_partitioned(spark, sf_dir):
 
 @query(
     "lake_vacuum_consistency",
-    oracle="""
+    oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
-             AS total_bal
+           {_sql_dsum('s_acctbal')} AS total_bal
     FROM supplier
     """,
 )

@@ -70,10 +70,12 @@ _NORM = "sqrt(" + " + ".join(
     for i in range(1, 65)
 ) + ")"
 
-_SPARK_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-)
+# Unrolled 64-term dot (0-based Spark indexing): stays in whole-stage
+# codegen, unlike aggregate/zip_with which interprets per element.
+def _spark_dot64(a: str, b: str) -> str:
+    return "(" + " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(64)
+    ) + ")"
 
 
 @query(
@@ -114,9 +116,9 @@ def pipe_crossmodal_dup_check(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("emb_b"))
-    dot = F.expr(_SPARK_DOT.format(a="emb_a", b="emb_b"))
-    na = F.sqrt(F.expr(_SPARK_DOT.format(a="emb_a", b="emb_a")))
-    nb = F.sqrt(F.expr(_SPARK_DOT.format(a="emb_b", b="emb_b")))
+    dot = F.expr(_spark_dot64("emb_a", "emb_b"))
+    na = F.sqrt(F.expr(_spark_dot64("emb_a", "emb_a")))
+    nb = F.sqrt(F.expr(_spark_dot64("emb_b", "emb_b")))
     return (
         pairs.join(ea, "doc_a")
         .join(eb, "doc_b")

@@ -111,10 +111,10 @@ def rel_outer_join_coalesce(spark, sf_dir):
 
 @query(
     "rel_scalar_subquery",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_acctbal
     FROM customer
-    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+    WHERE c_acctbal > (SELECT {sql_dsum('c_acctbal')}
                               / COUNT(c_acctbal) FROM customer)
     ORDER BY c_custkey
     """,
@@ -122,9 +122,7 @@ def rel_outer_join_coalesce(spark, sf_dir):
 def rel_scalar_subquery(spark, sf_dir):
     """hybrid_scan.sql:10-11 scalar-subquery shape (broadcast 1-row join)."""
     cust = t(spark, sf_dir, "customer")
-    avg_bal = cust.agg(
-        (F.sum(F.col("c_acctbal").cast("decimal(38,10)")).cast("double") / F.count("c_acctbal")).alias("avg_bal")
-    )
+    avg_bal = cust.agg((dsum("c_acctbal") / F.count("c_acctbal")).alias("avg_bal"))
     return (
         cust.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
@@ -210,7 +208,7 @@ def rel_window_rank(spark, sf_dir):
 
 @query(
     "rel_window_running_total",
-    oracle="""
+    oracle=f"""
     SELECT day, daily,
            CAST(SUM(daily) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
                 AS DOUBLE) AS running_total,
@@ -218,7 +216,7 @@ def rel_window_rank(spark, sf_dir):
                 AS DOUBLE) AS ma7
     FROM (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS daily
+             {sql_dsum('value')} AS daily
       FROM events GROUP BY 1) d
     ORDER BY day
     """,

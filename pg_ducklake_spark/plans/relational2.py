@@ -95,23 +95,20 @@ def rel2_except_all_bag(spark, sf_dir):
     SELECT c_nationkey, {sql_dsum('c_acctbal')} AS nation_balance
     FROM customer
     GROUP BY c_nationkey
-    HAVING SUM(CAST(c_acctbal AS DECIMAL(38,10)))
-           > (SELECT SUM(CAST(c_acctbal AS DECIMAL(38,10))) / 20 FROM customer)
+    HAVING {sql_dsum('c_acctbal')}
+           > (SELECT {sql_dsum('c_acctbal')} / 20 FROM customer)
     ORDER BY c_nationkey
     """,
 )
 def rel2_having_subquery(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     per_nation = cust.groupBy("c_nationkey").agg(
-        F.sum(F.col("c_acctbal").cast("decimal(38,10)")).alias("bal_dec"),
         dsum("c_acctbal").alias("nation_balance"),
     )
-    threshold = cust.agg(
-        (F.sum(F.col("c_acctbal").cast("decimal(38,10)")) / 20).alias("thr")
-    )
+    threshold = cust.agg((dsum("c_acctbal") / 20).alias("thr"))
     return (
         per_nation.join(F.broadcast(threshold))
-        .filter(F.col("bal_dec") > F.col("thr"))
+        .filter(F.col("nation_balance") > F.col("thr"))
         .select("c_nationkey", "nation_balance")
         .orderBy("c_nationkey")
     )

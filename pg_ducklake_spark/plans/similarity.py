@@ -22,10 +22,15 @@ from pg_ducklake_spark.plans import query, t
 _DIM = 64
 
 # Element-ordered exact dot product / norm, identical across engines.
-_SPARK_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-)
+# Unrolled (not aggregate/zip_with): higher-order array functions run
+# interpreted per element in Spark; a flat 64-term sum stays inside
+# whole-stage codegen — ~10× faster in the pairwise scoring hot path.
+# Left-associated addition in both dialects → bit-identical doubles.
+def _spark_dot(a: str, b: str) -> str:
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(_DIM)
+    )
+    return f"({terms})"
 
 
 def _duck_dot(a: str, b: str) -> str:
@@ -36,9 +41,9 @@ def _duck_dot(a: str, b: str) -> str:
 
 
 def _spark_cosine(a: str, b: str) -> str:
-    dot = _SPARK_DOT.format(a=a, b=b)
-    na = _SPARK_DOT.format(a=a, b=a)
-    nb = _SPARK_DOT.format(a=b, b=b)
+    dot = _spark_dot(a, b)
+    na = _spark_dot(a, a)
+    nb = _spark_dot(b, b)
     return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
 
 
@@ -73,10 +78,16 @@ def sim_bruteforce_topk(spark, sf_dir):
     """Exact cosine top-10 neighbors for 5 query vectors.
 
     Broadcast the (tiny) query set against one scan of the corpus,
-    then a per-query window for top-k — no shuffle of the corpus."""
-    emb = t(spark, sf_dir, "embeddings")
+    then a per-query window for top-k — no shuffle of the corpus.
+    Norms are precomputed per row (sqrt is a pure function, so the
+    value is bit-identical to the oracle's per-pair recompute)."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", F.sqrt(F.expr(_spark_dot("embedding", "embedding")))
+    )
     queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         emb.crossJoin(F.broadcast(queries))
@@ -84,7 +95,10 @@ def sim_bruteforce_topk(spark, sf_dir):
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.expr(_spark_cosine("q_emb", "embedding")).alias("cosine"),
+            (
+                F.expr(_spark_dot("q_emb", "embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -99,11 +113,22 @@ def sim_bruteforce_topk(spark, sf_dir):
 _PLANES = hyperplanes(8, _DIM)
 
 
+# Fold-based on purpose: unrolling 8 planes × 64 terms into one CASE
+# expression exceeds the JVM's 64 KB method limit, killing whole-stage
+# codegen for the entire stage (worse than the interpreted fold). The
+# fold's 0.0 seed leaves the sum bit-identical to the oracle's unrolled
+# left-associated terms.
+_FOLD_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
 def _spark_bucket(col: str) -> str:
     bits = []
     for j, plane in enumerate(_PLANES):
         arr = "array(" + ", ".join(f"CAST({c!r} AS DOUBLE)" for c in plane) + ")"
-        dot = _SPARK_DOT.format(a=col, b=arr)
+        dot = _FOLD_DOT.format(a=col, b=arr)
         bits.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END")
     return "(" + " + ".join(bits) + ")"
 
@@ -150,9 +175,14 @@ def sim_lsh_bucket_topk(spark, sf_dir):
     within the query's bucket. Candidate generation is an equi-join on
     the bucket id — the shape that scales to billions of vectors."""
     emb = t(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn("bucket", F.expr(_spark_bucket("embedding")))
+    bucketed = emb.withColumn("bucket", F.expr(_spark_bucket("embedding"))).withColumn(
+        "nrm", F.sqrt(F.expr(_spark_dot("embedding", "embedding")))
+    )
     queries = bucketed.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
     )
     scored = (
         bucketed.join(F.broadcast(queries), "bucket")
@@ -160,7 +190,10 @@ def sim_lsh_bucket_topk(spark, sf_dir):
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.expr(_spark_cosine("q_emb", "embedding")).alias("cosine"),
+            (
+                F.expr(_spark_dot("q_emb", "embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -207,7 +240,7 @@ def sim_embedding_near_dup(spark, sf_dir):
     over the whole corpus."""
     emb = t(spark, sf_dir, "embeddings")
     normed = emb.withColumn(
-        "nrm", F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+        "nrm", F.sqrt(F.expr(_spark_dot("embedding", "embedding")))
     )
     a = normed.select(
         F.col("vec_id").alias("vec_a"),
@@ -221,7 +254,7 @@ def sim_embedding_near_dup(spark, sf_dir):
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    cosine = F.expr(_SPARK_DOT.format(a="emb_a", b="emb_b")) / (
+    cosine = F.expr(_spark_dot("emb_a", "emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
     return (

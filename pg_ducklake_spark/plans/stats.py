@@ -2,25 +2,23 @@
 
 stddev/variance/correlation are normally computed from floating sums
 (order-dependent → cross-engine drift); here every moment derives from
-exact decimal sums of x, x², xy, so both engines produce identical
-doubles at any parallelism.
+exact fixed-point sums of x, x², xy, so both engines produce identical
+doubles at any parallelism. digits=4 because inputs have ≤2 decimals, so
+every product has ≤4 — exact — while price² (~1.2e10) × 10⁴ still fits
+int64 (×10¹⁰ would not).
 """
 
 from __future__ import annotations
 
+from functools import partial
+
 from pyspark.sql import functions as F
 
+from pg_ducklake_spark.functions import dsum, sql_dsum
 from pg_ducklake_spark.plans import query, t
 
-_DEC = "decimal(38,10)"
-
-
-def _dsum(col):
-    return F.sum(col.cast(_DEC)).cast("string").cast("double")
-
-
-def _sql_dsum(expr: str) -> str:
-    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+_dsum = partial(dsum, digits=4)
+_sql_dsum = partial(sql_dsum, digits=4)
 
 
 @query(

@@ -382,14 +382,13 @@ def q15_top_supplier(spark, sf_dir):
 
 @query(
     "tpch_q17_small_quantity_revenue",
-    oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / 7.0
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice')} / 7.0
            AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
       AND l_quantity < (
-        SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
-                      / COUNT(l_quantity))
+        SELECT 0.2 * (SUM(l_quantity) / COUNT(l_quantity))
         FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
     """,
 )
@@ -397,8 +396,10 @@ def q17_small_quantity_revenue(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     # Correlated scalar subquery decorrelated by hand: per-part exact avg.
+    # Integer-valued l_quantity: plain double SUM/COUNT is exact, so the
+    # threshold matches the oracle bit-for-bit without decimal overhead.
     per_part_avg = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
-        (F.lit(0.2) * davg("l_quantity")).alias("qty_threshold")
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count("l_quantity"))).alias("qty_threshold")
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -413,14 +414,14 @@ def q17_small_quantity_revenue(spark, sf_dir):
     oracle="""
     SELECT c_custkey, c_name, o_orderkey,
            CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+           SUM(l_quantity) AS sum_qty
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (
       SELECT l_orderkey FROM lineitem
       GROUP BY l_orderkey
-      HAVING SUM(CAST(l_quantity AS DECIMAL(38,10))) > 150)
+      HAVING SUM(l_quantity) > 150)
     GROUP BY c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 20
@@ -430,7 +431,9 @@ def q18_large_volume_customer(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("q"))
+        # l_quantity is integer-valued: a double SUM is exact below 2^53,
+        # so it's order-independent without any decimal/fixed-point cost.
+        .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 150)
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
@@ -447,7 +450,7 @@ def q18_large_volume_customer(spark, sf_dir):
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
             "o_totalprice",
         )
-        .agg(dsum("l_quantity").alias("sum_qty"))
+        .agg(F.sum("l_quantity").alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )

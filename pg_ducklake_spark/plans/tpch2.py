@@ -1,0 +1,239 @@
+"""TPC-H q2/q9/q11/q12/q20 adapted to the driver's column subset.
+
+The synthetic testdata has no ``partsupp`` table and no
+``l_shipmode``/``l_commitdate``/``l_receiptdate`` columns (TESTDATA.md),
+so these five queries — the only TPC-H shapes missing from
+``plans/tpch.py`` — are adapted: the part↔supplier relation is derived
+from ``lineitem`` (min unit price per (part, supplier) stands in for
+``ps_supplycost``), and q12's ship-mode split pivots on
+``l_returnflag``. The *query shapes* the reference's delegated surface
+must support (SURVEY.md §2.B: correlated subqueries, HAVING over scalar
+subquery, semi joins, multi-way star joins — test/regression/sql/
+fdw.sql:28-49, hybrid_scan.sql:10-11) are preserved exactly.
+
+Scale notes: q2's per-part minimum is a window over the partkey shuffle
+(no self-join); q11's global threshold is a broadcast scalar; q20's
+inner aggregate is a semi-join build side. All dimension joins
+broadcast; fact-side filters sit on the scan for parquet pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pg_ducklake_spark.functions import dsum, sql_dsum
+from pg_ducklake_spark.plans import query, t
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+    FROM eu JOIN part ON p_partkey = ps_partkey
+    WHERE p_size = 15
+      AND ps_supplycost = (SELECT MIN(e2.ps_supplycost) FROM eu e2
+                           WHERE e2.ps_partkey = eu.ps_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    partsupp = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        partsupp.join(F.broadcast(supp), F.col("ps_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    # Correlated MIN subquery decorrelated to a window — one shuffle on
+    # ps_partkey instead of a self-join (same trick scales to 100 TB:
+    # the window state is one double per partkey).
+    w = Window.partitionBy("ps_partkey")
+    best = eu.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("min_cost")
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    return (
+        best.join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, {sql_dsum('amount')} AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    nat = t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH supplied AS (
+      SELECT l_partkey AS ps_partkey, l_extendedprice AS val
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1')
+    SELECT ps_partkey, {sql_dsum('val')} AS value
+    FROM supplied
+    GROUP BY ps_partkey
+    HAVING {sql_dsum('val')} > (SELECT {sql_dsum('val')} * 0.001 FROM supplied)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    supplied = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(F.col("l_partkey").alias("ps_partkey"), F.col("l_extendedprice").alias("val"))
+    )
+    per_part = supplied.groupBy("ps_partkey").agg(dsum("val").alias("value"))
+    threshold = supplied.agg((dsum("val") * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("ps_partkey", "value")
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q12_priority_split",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > o_orderdate + INTERVAL 15 DAY
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_priority_split(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 15 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 50)
+    ORDER BY s_name
+    """,
+)
+def q20_excess_suppliers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        # Integer-valued l_quantity: plain double SUM is exact below 2^53.
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
