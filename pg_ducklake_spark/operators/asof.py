@@ -91,6 +91,46 @@ def asof_join(
     return out
 
 
+def asof_self_join(
+    df: DataFrame,
+    left_pred,
+    right_pred,
+    on: str = "ts",
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Same-source as-of enrichment in ONE scan.
+
+    Rows matching ``right_pred`` carry ``[on] + right_cols`` forward
+    (per ``by`` keys, ordered by ``on``) to later rows matching
+    ``left_pred``. Equivalent to ``asof_join(df.filter(left_pred),
+    df.filter(right_pred), ...)`` but reads and shuffles the source once
+    — when both sides come from the same table (the common
+    event-enrichment case) this halves the scan and the shuffle, which
+    is the dominant cost at 100 TB.
+    """
+    by = by or []
+    right_cols = right_cols or []
+    side = F.when(right_pred, F.lit(0)).when(left_pred, F.lit(1))
+    tagged = df.withColumn("_side", side).filter(F.col("_side").isNotNull())
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.select(
+        "*",
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(c)), True)
+            .over(w)
+            .alias(f"{right_prefix}{c}")
+            for c in [on] + right_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")
+
+
 def asof_join_range(
     left: DataFrame,
     right: DataFrame,

@@ -46,6 +46,9 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic test table (see TESTDATA.md).
 
@@ -53,7 +56,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; read it as raw nanos (legacy conf) and rebuild a
     TIMESTAMP_NTZ via integer microsecond arithmetic — timezone-free and
     truncating exactly like DuckDB's nanos→micros read.
+
+    The returned DataFrame is memoized per (session, sf_dir, name):
+    DataFrames are immutable lazy plans, so sharing one object across
+    queries only skips the repeated parquet-footer schema inference —
+    scans still re-read the files at execution.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read_table(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = f"{sf_dir}/{name}.parquet"
@@ -70,6 +88,23 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         return df
     return spark.read.parquet(path)
+
+
+def rebalance(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Spread a small single-file scan across the cluster before a heavy
+    per-row transform chain.
+
+    Spark fuses everything up to the first exchange into the scan stage,
+    and a single-row-group parquet file scans as ONE task — so an
+    expensive fused chain (tokenize → shingle → explode → hash) runs on
+    one core while the rest idle. Round-robin-shuffling the *raw* rows
+    first is cheap (pre-explode, pre-transform) and buys full
+    parallelism for the chain. On a production lake the writer emits
+    many properly-sized files and scans are already parallel; this is
+    the single-file analog of that layout.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(partitions or sc.defaultParallelism)
 
 
 # Import for registration side effects (order = display order).

@@ -70,7 +70,7 @@ def q8_market_share(spark, sf_dir):
     return (
         joined.groupBy("o_year")
         .agg((dsum(nat_vol) / dsum("volume")).alias("mkt_share"))
-        .orderBy("o_year")
+        .coalesce(1).sortWithinPartitions("o_year")
     )
 
 

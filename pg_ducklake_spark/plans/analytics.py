@@ -63,7 +63,7 @@ def events_by_type(spark, sf_dir):
             dsum("value").alias("total_value"),
             davg("value").alias("avg_value"),
         )
-        .orderBy(F.desc("n"), F.asc("event_type"))
+        .coalesce(1).sortWithinPartitions(F.desc("n"), F.asc("event_type"))
     )
 
 
@@ -88,7 +88,7 @@ def events_daily(spark, sf_dir):
             F.countDistinct("user_id").alias("users"),
             dsum("value").alias("total_value"),
         )
-        .orderBy("day")
+        .coalesce(1).sortWithinPartitions("day")
     )
 
 

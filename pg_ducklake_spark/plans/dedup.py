@@ -26,7 +26,7 @@ from pg_ducklake_spark.functions.hashing import (
     sql_h32,
     sql_minhash,
 )
-from pg_ducklake_spark.plans import query, t
+from pg_ducklake_spark.plans import query, rebalance, t
 
 # ---------------------------------------------------------------- exact
 
@@ -103,7 +103,9 @@ _DUCK_TOKS = "string_split(lower(text), ' ')"
 
 
 def _spark_shingled(docs):
-    return docs.select(
+    # rebalance: tokenize+shingle is the expensive fused chain — spread
+    # the raw doc rows across cores before it, not after.
+    return rebalance(docs.select("doc_id", "text")).select(
         "doc_id",
         F.expr(_SPARK_TOKS).alias("toks"),
     ).select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
@@ -187,7 +189,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .coalesce(1).sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -310,7 +312,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         .withColumn("est_jaccard", matches.cast("double") / F.lit(_K))
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
-        .orderBy("doc_a", "doc_b")
+        .coalesce(1).sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -399,5 +401,5 @@ def dedup_simhash_pairs(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
         .distinct()
-        .orderBy("doc_a", "doc_b")
+        .coalesce(1).sortWithinPartitions("doc_a", "doc_b")
     )

@@ -9,7 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pg_ducklake_spark.functions import davg, sql_davg
-from pg_ducklake_spark.plans import query, t
+from pg_ducklake_spark.plans import query, rebalance, t
 from pg_ducklake_spark.plans.text import _DUCK_QUALITY, _SPARK_QUALITY
 
 
@@ -43,7 +43,7 @@ def pipe_filter_dedup_stats(spark, sf_dir):
     corpus stats: the canonical pretraining data-prep chain in one plan
     (filter pushes to the scan; dedup is one hash shuffle; stats are
     map-side combined)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = rebalance(t(spark, sf_dir, "documents"))
     scored = docs.withColumn("quality", F.expr(_SPARK_QUALITY))
     kept = scored.filter(F.col("quality") >= 0.5)
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -57,7 +57,7 @@ def pipe_filter_dedup_stats(spark, sf_dir):
                 "total_tokens"
             ),
         )
-        .orderBy("lang")
+        .coalesce(1).sortWithinPartitions("lang")
     )
 
 
@@ -107,7 +107,7 @@ def pipe_crossmodal_dup_check(spark, sf_dir):
     fp = F.md5(
         F.array_join(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " ")
     )
-    docs = t(spark, sf_dir, "documents").select("doc_id", fp.alias("h"))
+    docs = rebalance(t(spark, sf_dir, "documents")).select("doc_id", fp.alias("h"))
     d1 = docs.select(F.col("doc_id").alias("doc_a"), "h")
     d2 = docs.select(F.col("doc_id").alias("doc_b"), "h")
     pairs = d1.join(d2, "h").filter(F.col("doc_a") < F.col("doc_b")).select(
@@ -143,7 +143,7 @@ def pipe_embedding_quality_corr(spark, sf_dir):
     """Per-cluster (embedding label) text-quality profile — the join a
     curation job runs to decide which clusters to keep."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "label")
-    docs = t(spark, sf_dir, "documents")
+    docs = rebalance(t(spark, sf_dir, "documents"))
     return (
         emb.join(docs, emb.vec_id == docs.doc_id)
         .groupBy("label")

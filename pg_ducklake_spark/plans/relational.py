@@ -202,7 +202,7 @@ def rel_window_rank(spark, sf_dir):
         cust.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("c_custkey", "c_nationkey", "c_acctbal", "rnk")
-        .orderBy("c_nationkey", "rnk")
+        .coalesce(1).sortWithinPartitions("c_nationkey", "rnk")
     )
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pg_ducklake_spark.functions.hashing import hyperplanes
-from pg_ducklake_spark.plans import query, t
+from pg_ducklake_spark.plans import query, rebalance, t
 
 _DIM = 64
 
@@ -106,7 +106,7 @@ def sim_bruteforce_topk(spark, sf_dir):
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 10)
         .select("q_id", "rnk", "neighbor_id", "cosine")
-        .orderBy("q_id", "rnk")
+        .coalesce(1).sortWithinPartitions("q_id", "rnk")
     )
 
 
@@ -174,7 +174,7 @@ def sim_lsh_bucket_topk(spark, sf_dir):
     """Approximate NN: sign-LSH (8 hyperplanes → 256 buckets), top-5
     within the query's bucket. Candidate generation is an equi-join on
     the bucket id — the shape that scales to billions of vectors."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = rebalance(t(spark, sf_dir, "embeddings"))
     bucketed = emb.withColumn("bucket", F.expr(_spark_bucket("embedding"))).withColumn(
         "nrm", F.sqrt(F.expr(_spark_dot("embedding", "embedding")))
     )
@@ -201,7 +201,7 @@ def sim_lsh_bucket_topk(spark, sf_dir):
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
         .select("q_id", "rnk", "neighbor_id", "cosine")
-        .orderBy("q_id", "rnk")
+        .coalesce(1).sortWithinPartitions("q_id", "rnk")
     )
 
 
@@ -215,7 +215,7 @@ def sim_ivf_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     index = ivf_build(spark, emb, k=8, seed=42)
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_search(index, queries, topk=10, nprobe=2).orderBy("q_id", "rnk")
+    return ivf_search(index, queries, topk=10, nprobe=2).coalesce(1).sortWithinPartitions("q_id", "rnk")
 
 
 @query(

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pg_ducklake_spark.functions import davg, sql_davg
-from pg_ducklake_spark.plans import query, t
+from pg_ducklake_spark.plans import query, rebalance, t
 
 # n-gram-heuristic language ID: function-word hit rate per language.
 _STOPWORDS = {
@@ -69,7 +69,7 @@ def _duck_predicted() -> str:
 def text_langid_confusion(spark, sf_dir):
     """Heuristic language ID (stopword hit count, argmax with
     lexicographic tiebreak) → confusion matrix against the labeled lang."""
-    docs = t(spark, sf_dir, "documents")
+    docs = rebalance(t(spark, sf_dir, "documents"))
     scores = _spark_lang_scores()
     scored = docs.select(
         "doc_id", "lang", *[scores[lg].alias(f"score_{lg}") for lg in _LANGS]
@@ -120,7 +120,7 @@ _DUCK_QUALITY = """
 def text_quality_scores(spark, sf_dir):
     """Length / punctuation-ratio / word-length quality score, with a
     keep-threshold count per source — the classic pretraining filter."""
-    docs = t(spark, sf_dir, "documents")
+    docs = rebalance(t(spark, sf_dir, "documents"))
     q = F.expr(_SPARK_QUALITY)
     return (
         docs.groupBy("source")
@@ -129,7 +129,7 @@ def text_quality_scores(spark, sf_dir):
             davg(q).alias("avg_quality"),
             F.count(F.when(q >= 0.5, 1)).alias("n_keep"),
         )
-        .orderBy("source")
+        .coalesce(1).sortWithinPartitions("source")
     )
 
 
@@ -149,7 +149,7 @@ def text_quality_scores(spark, sf_dir):
 )
 def text_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish regex token counts per language."""
-    docs = t(spark, sf_dir, "documents")
+    docs = rebalance(t(spark, sf_dir, "documents"))
     ws = F.size(F.split("text", " ")).cast("long")
     bpe = F.size(
         F.expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")
@@ -183,7 +183,7 @@ def text_token_counts(spark, sf_dir):
 def text_fingerprint_dups(spark, sf_dir):
     """Bag-of-words fingerprint (md5 of the sorted distinct token set):
     catches reordered/duplicated-content docs that exact dedup misses."""
-    docs = t(spark, sf_dir, "documents")
+    docs = rebalance(t(spark, sf_dir, "documents"))
     fp = F.md5(
         F.array_join(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " ")
     )
@@ -223,7 +223,7 @@ def text_char_ngram_profile(spark, sf_dir):
     — the feature table an n-gram language classifier trains on."""
     from pyspark.sql import Window
 
-    docs = t(spark, sf_dir, "documents")
+    docs = rebalance(t(spark, sf_dir, "documents"))
     grams = docs.select(
         "lang",
         F.explode(

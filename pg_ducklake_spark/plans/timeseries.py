@@ -33,12 +33,18 @@ def _clicks(spark, sf_dir):
 )
 def ts_asof_join(spark, sf_dir):
     """For every purchase, the latest click at-or-before it by the same
-    user (union+window strategy: one shuffle, no range explosion)."""
-    from pg_ducklake_spark.operators.asof import asof_join
+    user (tagged single-scan window strategy: one scan, one shuffle, no
+    range explosion)."""
+    from pg_ducklake_spark.operators.asof import asof_self_join
 
-    purchases = _purchases(spark, sf_dir)
-    clicks = _clicks(spark, sf_dir).select("user_id", "ts")
-    joined = asof_join(purchases, clicks, on="ts", by=["user_id"], right_prefix="click_")
+    joined = asof_self_join(
+        t(spark, sf_dir, "events"),
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "click",
+        on="ts",
+        by=["user_id"],
+        right_prefix="click_",
+    )
     return joined.select(
         "event_id",
         "user_id",
@@ -46,7 +52,7 @@ def ts_asof_join(spark, sf_dir):
         F.expr("timestampdiff(MICROSECOND, click_ts, ts)").cast("long").alias(
             "gap_micros"
         ),
-    ).orderBy("event_id")
+    ).coalesce(1).sortWithinPartitions("event_id")
 
 
 @query(
@@ -62,11 +68,16 @@ def ts_asof_join(spark, sf_dir):
     """,
 )
 def ts_asof_gap_stats(spark, sf_dir):
-    from pg_ducklake_spark.operators.asof import asof_join
+    from pg_ducklake_spark.operators.asof import asof_self_join
 
-    purchases = _purchases(spark, sf_dir)
-    clicks = _clicks(spark, sf_dir).select("user_id", "ts")
-    joined = asof_join(purchases, clicks, on="ts", by=["user_id"], right_prefix="click_")
+    joined = asof_self_join(
+        t(spark, sf_dir, "events"),
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "click",
+        on="ts",
+        by=["user_id"],
+        right_prefix="click_",
+    )
     gap = F.expr("timestampdiff(MICROSECOND, click_ts, ts)").cast("double") / 1_000_000.0
     return joined.agg(
         F.count(F.lit(1)).alias("purchases"),

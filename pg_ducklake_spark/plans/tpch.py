@@ -58,7 +58,7 @@ def q1_pricing_summary(spark, sf_dir):
             davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .coalesce(1).sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -167,7 +167,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
         .agg(dsum(rev).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .coalesce(1).sortWithinPartitions(F.desc("revenue"), F.asc("n_name"))
     )
 
 
@@ -319,7 +319,7 @@ def q13_customer_distribution(spark, sf_dir):
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
+        .coalesce(1).sortWithinPartitions(F.desc("custdist"), F.desc("c_count"))
     )
 
 
