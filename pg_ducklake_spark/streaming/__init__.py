@@ -10,6 +10,7 @@ applyInPandasWithState.
 from pg_ducklake_spark.streaming.stream import (
     running_totals_stateful,
     stream_lake_appends,
+    streaming_exact_dedup,
     windowed_event_counts,
 )
 
@@ -17,4 +18,5 @@ __all__ = [
     "stream_lake_appends",
     "windowed_event_counts",
     "running_totals_stateful",
+    "streaming_exact_dedup",
 ]

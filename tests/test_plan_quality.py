@@ -65,6 +65,24 @@ def test_no_cartesian_products_anywhere(plans, spark):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
+def test_no_sort_merge_joins_in_library(spark):
+    """Every join in the query library either broadcasts its small side
+    or hashes — a SortMergeJoin at these dimension sizes means a missing
+    broadcast hint or a stats-estimation regression. (At 100 TB the
+    fact-fact edges would legitimately SMJ; the library's joins are all
+    fact-dim or pre-aggregated.)"""
+    from pg_ducklake_spark.plans import QUERIES
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name.startswith("lake_") or name in ("sim_ivf_topk", "mm_feature_extraction"):
+            continue
+        plan = plan_of(fn(spark, "/root/testdata/sf0.01"))
+        if "SortMergeJoin" in plan:
+            offenders.append(name)
+    assert not offenders, f"SortMergeJoin planned in: {offenders}"
+
+
 def test_partial_aggregation_before_shuffle(plans):
     """q1 must map-side combine (partial HashAggregate under the
     exchange) — at scale this is the difference between shuffling 6

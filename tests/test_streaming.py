@@ -141,6 +141,45 @@ def test_stateful_running_totals_across_batches(spark, lake, tmp_path):
     assert latest[1] == (3, 7.0)
 
 
+def test_streaming_exact_dedup_drops_resends(spark, lake, tmp_path):
+    """streaming_exact_dedup emits each content digest once; a re-sent
+    document in a later batch is dropped (state bounded by watermark)."""
+    from pg_ducklake_spark.streaming import stream_lake_appends, streaming_exact_dedup
+
+    lake.create_table("docs", "doc_id bigint, text string, ts timestamp")
+    batch1 = spark.createDataFrame(
+        [(1, "hello world", "2026-01-01 00:00:00"),
+         (2, "unique text", "2026-01-01 00:01:00")],
+        "doc_id bigint, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    lake.insert("docs", batch1)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            streaming_exact_dedup(stream_lake_appends(lake, "docs"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.doc_id for r in spark.read.parquet(out).collect())
+
+    assert run_once() == [1, 2]
+
+    # batch 2: one resend (same text), one new doc
+    batch2 = spark.createDataFrame(
+        [(3, "hello world", "2026-01-01 00:05:00"),
+         (4, "fresh content", "2026-01-01 00:06:00")],
+        "doc_id bigint, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    lake.insert("docs", batch2)
+    got = run_once()
+    assert 4 in got and 3 not in got, f"resend not dropped: {got}"
+
+
 def test_stream_rejects_missing_table(spark, lake):
     from pg_ducklake_spark.errors import TableNotFoundError
     from pg_ducklake_spark.streaming import stream_lake_appends
