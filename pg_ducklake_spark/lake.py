@@ -55,6 +55,7 @@ from pg_ducklake_spark.errors import (
 )
 
 _TRANSFORM_RE = re.compile(r"^(year|month|day|hour)\s*\(\s*(\w+)\s*\)$", re.I)
+_BUCKET_RE = re.compile(r"^bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)$", re.I)
 _SORT_RE = re.compile(
     r"^(?P<expr>.+?)(?:\s+(?P<dir>ASC|DESC))?(?:\s+NULLS\s+(?P<nulls>FIRST|LAST))?$",
     re.I,
@@ -78,6 +79,14 @@ def _partition_columns(spec: list[str]) -> list[tuple[str, Column]]:
     """
     out = []
     for entry in spec:
+        b = _BUCKET_RE.match(entry.strip())
+        if b:
+            # Iceberg-style bucket(n, col): pmod(hash, n) — co-locates
+            # rows by key so bucketed_join can join bucket-to-bucket
+            # without a global shuffle (operators/colocated.py).
+            n, col = int(b.group(1)), b.group(2)
+            out.append((f"_p_bucket_{col}", F.pmod(F.hash(F.col(col)), F.lit(n))))
+            continue
         m = _TRANSFORM_RE.match(entry.strip())
         if m:
             fn, col = m.group(1).lower(), m.group(2)
@@ -1060,8 +1069,9 @@ class Lake:
         self._check_writable()
         state = self._state(name)
         for entry in spec:
+            b = _BUCKET_RE.match(entry.strip())
             m = _TRANSFORM_RE.match(entry.strip())
-            col = m.group(2) if m else entry.strip()
+            col = b.group(2) if b else (m.group(2) if m else entry.strip())
             if col not in [f.name for f in state.schema.fields]:
                 raise LakeError(f"partition column {col!r} not in table {name!r}")
         self._log(name).commit(
