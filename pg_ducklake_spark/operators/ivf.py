@@ -37,18 +37,36 @@ class IvfIndex:
     k: int
 
 
-def _assign(df: DataFrame, centroids: DataFrame, vec_col: str) -> DataFrame:
-    """Nearest-centroid (max cosine) cell per row via broadcast join +
-    per-row rank — no ML dependency at query time."""
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", cosine(vec_col, "centroid")
+def _assign(df: DataFrame, centroid_rows: list[tuple[int, list[float]]],
+            vec_col: str) -> DataFrame:
+    """Nearest-centroid (max cosine) cell per row, computed map-side.
+
+    The centroid matrix is embedded as an array literal and the argmax
+    runs per row via array_max over (sim, -cell) structs — ZERO shuffle
+    (the crossJoin+window alternative shuffles corpus × k rows keyed by
+    the whole row, which dies at a billion vectors). Ties break to the
+    smaller cell id via the negated-cell struct field."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(cell).cast("long").alias("cell"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("centroid"),
+            )
+            for cell, vec in centroid_rows
+        ]
     )
-    w = Window.partitionBy(*df.columns).orderBy(F.desc("_sim"), F.asc("cell"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_sim", "centroid")
-    )
+    v = F.col(vec_col)
+    vnorm = F.sqrt(dot(v, v))
+
+    def sim_struct(c):
+        d = dot(v, c["centroid"])
+        cn = F.sqrt(dot(c["centroid"], c["centroid"]))
+        return F.struct(
+            (d / (vnorm * cn)).alias("sim"), (-c["cell"]).alias("negcell")
+        )
+
+    best = F.array_max(F.transform(cents, sim_struct))
+    return df.withColumn("cell", (-best["negcell"]).cast("long"))
 
 
 def ivf_build(
@@ -74,11 +92,13 @@ def ivf_build(
         ).alias("features")
     )
     model = KMeans(k=k, seed=seed, maxIter=20).fit(feats)
+    centroid_rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell bigint, centroid array<double>",
+        centroid_rows, "cell bigint, centroid array<double>"
     )
-    assigned = _assign(corpus, centroids, vec_col).persist()
+    assigned = _assign(corpus, centroid_rows, vec_col).persist()
     return IvfIndex(spark, centroids, assigned, id_col, vec_col, k)
 
 
