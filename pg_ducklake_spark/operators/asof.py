@@ -154,8 +154,12 @@ def asof_join_range(
     for k in by:
         cond = cond & (F.col(k) == F.col(f"_rk_{k}"))
     cond = cond & (F.col(f"{right_prefix}{on}") <= F.col(on))
-    joined = left.join(F.broadcast(r), cond, "left")
-    w = Window.partitionBy(*[F.col(c) for c in lcols]).orderBy(
+    # Narrow surrogate key: ranking per left ROW must not shuffle by the
+    # full row (wide keys + arbitrary payload columns kill the exchange
+    # at scale); a monotonic id gives the same grouping with an 8-byte key.
+    tagged = left.withColumn("_asof_rid", F.monotonically_increasing_id())
+    joined = tagged.join(F.broadcast(r), cond, "left")
+    w = Window.partitionBy("_asof_rid").orderBy(
         F.col(f"{right_prefix}{on}").desc_nulls_last()
     )
     return (

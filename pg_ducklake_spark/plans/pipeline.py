@@ -157,6 +157,38 @@ def pipe_embedding_quality_corr(spark, sf_dir):
 
 
 @query(
+    "pipe_source_quota_cap",
+    oracle=f"""
+    SELECT source, doc_id, quality
+    FROM (
+      SELECT source, doc_id, ({_DUCK_QUALITY}) AS quality,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY ({_DUCK_QUALITY}) DESC, doc_id ASC) AS rn
+      FROM documents) x
+    WHERE rn <= 50
+    ORDER BY source, quality DESC, doc_id
+    """,
+)
+def pipe_source_quota_cap(spark, sf_dir):
+    """Per-source quota capping: keep only the top-N docs by quality per
+    source — the domain-mix balancing step every pretraining pipeline
+    runs. One window shuffle on source; at 100 TB the per-source state
+    is a bounded top-N heap, never the full partition."""
+    docs = rebalance(t(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("quality", F.expr(_SPARK_QUALITY))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("source", "doc_id", "quality")
+        .coalesce(1)
+        .sortWithinPartitions("source", F.desc("quality"), "doc_id")
+    )
+
+
+@query(
     "rel_window_ntile_ranks",
     oracle="""
     SELECT o_orderkey,
