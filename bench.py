@@ -56,6 +56,25 @@ HEADLINE = [
     "ts_asof_join",
     "stats_price_quantity_corr",
     "pipe_filter_dedup_stats",
+    # Full north-star families (dedup / similarity / text / time-series /
+    # pipeline / event analytics) — the engine's flagship surface.
+    "dedup_exact_groups",
+    "dedup_simhash_pairs",
+    "sim_embedding_near_dup",
+    "pipe_crossmodal_dup_check",
+    "pipe_embedding_quality_corr",
+    "pipe_source_quota_cap",
+    "ts_asof_gap_stats",
+    "ts_range_join_conversions",
+    "ts_time_bucket_rollup",
+    "text_langid_confusion",
+    "text_token_counts",
+    "text_fingerprint_dups",
+    "text_char_ngram_profile",
+    "stats_value_moments",
+    "events_value_quantiles",
+    "events_retention",
+    "events_purchase_funnel",
 ]
 
 
