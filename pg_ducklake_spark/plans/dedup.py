@@ -365,7 +365,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     the 4 signature bytes, so candidates come from 4 equi-joins on
     (byte_id, byte_val) — the standard scale-out simhash blocking.
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = rebalance(t(spark, sf_dir, "documents"))
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
