@@ -49,6 +49,8 @@ DEFAULT_OPTIONS: dict[str, Any] = {
     "target_file_size": 64 * 1024 * 1024,
     "parquet_compression": "snappy",
     "parquet_row_group_size": 122880,
+    "parquet_row_group_size_bytes": None,
+    "parquet_version": None,
     "per_thread_output": True,
     "hive_file_pattern": True,
     "rewrite_delete_threshold": 0.1,

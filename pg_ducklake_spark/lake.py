@@ -384,14 +384,21 @@ class Lake:
         opts = {**DEFAULT_OPTIONS, **(options or {})}
         if sort_spec:
             df = df.sortWithinPartitions(*_sort_columns(sort_spec))
-        writer = df.write.option("compression", str(opts["parquet_compression"]))
         pcols = _partition_columns(partition_spec)
+        for cname, cexpr in pcols:
+            df = df.withColumn(cname, cexpr)
+        # A26 writer options (reference docs/settings.md): compression
+        # (+level via codec string), row-group sizing, format version.
+        writer = df.write.option("compression", str(opts["parquet_compression"]))
+        if opts.get("parquet_row_group_size_bytes"):
+            writer = writer.option(
+                "parquet.block.size", int(opts["parquet_row_group_size_bytes"])
+            )
+        if opts.get("parquet_version"):
+            v = str(opts["parquet_version"]).lower().lstrip("v")
+            writer = writer.option("parquet.writer.version", f"v{v}")
         if pcols:
-            for cname, cexpr in pcols:
-                df = df.withColumn(cname, cexpr)
-            writer = df.write.option(
-                "compression", str(opts["parquet_compression"])
-            ).partitionBy(*[c for c, _ in pcols])
+            writer = writer.partitionBy(*[c for c, _ in pcols])
         writer.parquet(out, mode="overwrite")
 
         def spark_count(path: str) -> int:

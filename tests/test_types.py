@@ -139,3 +139,32 @@ def test_csv_ingestion(spark, lake, tmp_path):
     assert dict(df.dtypes)["score"] == "double"
     rows = {r.id: (r.name, r.score) for r in df.collect()}
     assert rows[1] == ("ann", 9.5) and rows[3][1] is None
+
+
+def test_parquet_writer_options_honored(spark, lake):
+    """A26 writer options flow to the parquet files: a small
+    parquet_row_group_size_bytes yields multiple row groups, and
+    parquet_compression selects the codec."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    lake.create_table(
+        "w",
+        "a bigint, s string",
+        options={"parquet_row_group_size_bytes": 64 * 1024,
+                 "parquet_compression": "gzip"},
+    )
+    df = spark.range(200_000).select(
+        F.col("id").alias("a"), F.md5(F.col("id").cast("string")).alias("s")
+    ).coalesce(1)
+    lake.insert("w", df)
+    files = glob.glob(os.path.join(lake._table_dir("w"), "data", "**", "*.parquet"),
+                      recursive=True)
+    assert files
+    meta = pq.ParquetFile(files[0]).metadata
+    assert meta.num_row_groups > 1, "row-group size option ignored"
+    assert meta.row_group(0).column(0).compression.lower() == "gzip"
+    assert lake.table("w").count() == 200_000
