@@ -232,3 +232,40 @@ def rel2_date_arithmetic(spark, sf_dir):
             F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
         ).cast("long").alias("days_since_epoch_start"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "rel2_salted_skew_join",
+    oracle=f"""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum('l_extendedprice')} AS total_price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY s_name
+    """,
+)
+def rel2_salted_skew_join(spark, sf_dir):
+    """Skew-salted fact-dim join: the salt fans each hot key across
+    ``salt`` reducers, and because salting only redistributes rows, the
+    result is provably identical to the plain join — which is exactly
+    what the oracle checks. (operators/skew.py; at 100 TB this is the
+    manual fallback when AQE's skew splitting isn't enough.)"""
+    from pg_ducklake_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(
+        li.withColumnRenamed("l_suppkey", "k"),
+        supp.withColumnRenamed("s_suppkey", "k"),
+        on="k",
+        salt=8,
+    )
+    return (
+        joined.groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("s_name")
+    )
