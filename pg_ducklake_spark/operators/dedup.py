@@ -53,14 +53,30 @@ def shingle(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
 
 
 def jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8, n: int = 3
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8, n: int = 3,
+    prune_unique: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) by word
-    n-gram Jaccard; candidates from the shingle equi-join."""
+    n-gram Jaccard; candidates from the shingle equi-join.
+
+    ``prune_unique`` drops shingles appearing in exactly one document
+    from the pair join — lossless (a singleton shingle can never be in
+    an intersection; union sizes still count it via ``sizes``) and the
+    decisive scale lever: on web-scale corpora most shingles are unique,
+    so the join input shrinks by the whole tail."""
     sh = shingle(df, text_col, id_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    joinable = sh
+    if prune_unique:
+        shared = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") >= 2)
+            .select("shingle")
+        )
+        joinable = sh.join(shared, "shingle")
+    a = joinable.select(F.col("id").alias("id_a"), "shingle")
+    b = joinable.select(F.col("id").alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -170,8 +170,19 @@ def dedup_ngram_jaccard(spark, sf_dir):
     sizes = shingled.select(
         "doc_id", F.size("shingles").cast("long").alias("n_shingles")
     )
-    a = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = exploded.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Lossless candidate pruning: a shingle in exactly one doc can never
+    # appear in an intersection, so it can skip the pair join entirely
+    # (sizes above still count it toward the union). On web-scale
+    # corpora the unique tail is most of the data.
+    shared = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("shingle")
+    )
+    joinable = exploded.join(shared, "shingle")
+    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, ["shingle"])
         .filter(F.col("doc_a") < F.col("doc_b"))
