@@ -176,6 +176,7 @@ class TableState:
     partition_spec: list[str] = field(default_factory=list)
     sort_spec: list[dict] = field(default_factory=list)
     options: dict[str, Any] = field(default_factory=dict)
+    table_stats: dict | None = None
     history: list[SnapshotInfo] = field(default_factory=list)
     # per-snapshot schema versions: snapshot_id -> schema json (only changes)
     schema_log: list[tuple[int, dict]] = field(default_factory=list)
@@ -212,6 +213,7 @@ def state_to_json(state: TableState) -> dict:
         "partition_spec": state.partition_spec,
         "sort_spec": state.sort_spec,
         "options": state.options,
+        "table_stats": state.table_stats,
         "schema_log": [[sid, sj] for sid, sj in state.schema_log],
         "history": [
             {
@@ -242,6 +244,7 @@ def state_from_json(d: dict) -> TableState:
         partition_spec=list(d.get("partition_spec", [])),
         sort_spec=list(d.get("sort_spec", [])),
         options=dict(d.get("options", {})),
+        table_stats=d.get("table_stats"),
         schema_log=[(sid, sj) for sid, sj in d.get("schema_log", [])],
         history=[SnapshotInfo(**h) for h in d.get("history", [])],
     )
@@ -325,6 +328,8 @@ class SnapshotLog:
                 state.sort_spec = val
             elif key == "options":
                 state.options.update(val)
+            elif key == "table_stats":
+                state.table_stats = val
         state.history.append(
             SnapshotInfo(
                 snapshot_id=sid,

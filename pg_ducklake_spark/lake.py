@@ -1012,6 +1012,51 @@ class Lake:
             "sort_spec": list(state.sort_spec),
         }
 
+    def analyze(self, name: str) -> dict:
+        """Compute and persist table + per-column statistics — the
+        ``ducklake_table_stats`` / ``ducklake_table_column_stats`` analog
+        (metadata schema contract, reference src/pgducklake_freeze.cpp
+        table list). One distributed scan produces row count plus
+        per-column null count, approx NDV, and min/max; the result is
+        committed to the snapshot log so ``table_stats`` answers from
+        metadata without touching data."""
+        self._check_writable()
+        state = self._state(name)
+        df = self.table(name)
+        aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+        for f in state.schema.fields:
+            c = f.name
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+            if not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType,
+                                           T.BinaryType, T.VariantType)):
+                aggs.append(F.approx_count_distinct(c).alias(f"{c}__ndv"))
+                aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+                aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        cols = {}
+        for f in state.schema.fields:
+            c = f.name
+            cols[c] = {
+                "nulls": int(row.get(f"{c}__nulls") or 0),
+                "ndv": int(row[f"{c}__ndv"]) if f"{c}__ndv" in row else None,
+                "min": row.get(f"{c}__min"),
+                "max": row.get(f"{c}__max"),
+            }
+        stats = {
+            "snapshot_id": state.snapshot_id,
+            "row_count": int(row["__rows"]),
+            "columns": cols,
+        }
+        self._log(name).commit(
+            {"operation": "ANALYZE", "set": {"table_stats": stats}, "metrics": {}}
+        )
+        return stats
+
+    def table_stats(self, name: str) -> dict | None:
+        """Last ANALYZE result (None if never analyzed); includes the
+        snapshot it was computed at so staleness is visible."""
+        return self._state(name).table_stats
+
     def list_files(self, name: str, version: int | None = None) -> DataFrame:
         state = self._state(name, version)
         rows = [

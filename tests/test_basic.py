@@ -97,3 +97,30 @@ def test_metadata_sql_views(spark, lake):
     assert [r.operation for r in snaps] == ["CREATE TABLE", "INSERT"]
     files = spark.sql("SELECT path, rows FROM t_files").collect()
     assert sum(r.rows for r in files) == 1
+
+
+def test_analyze_table_stats(spark, lake):
+    """ANALYZE persists table + column stats to the snapshot log
+    (ducklake_table_stats / ducklake_table_column_stats analog) and a
+    fresh Lake replays them from metadata."""
+    from pyspark.sql import functions as F
+
+    from pg_ducklake_spark import Lake
+
+    lake.create_table("t", "a bigint, s string")
+    lake.insert(
+        "t",
+        spark.range(500).select(
+            F.col("id").alias("a"), (F.col("id") % 7).cast("string").alias("s")
+        ),
+    )
+    assert lake.table_stats("t") is None
+    st = lake.analyze("t")
+    assert st["row_count"] == 500
+    assert st["columns"]["a"]["nulls"] == 0
+    assert st["columns"]["a"]["min"] == "0" and st["columns"]["a"]["max"] == "499"
+    assert 6 <= st["columns"]["s"]["ndv"] <= 8  # approx NDV of 7
+    fresh = Lake(spark, lake.path)
+    replayed = fresh.table_stats("t")
+    assert replayed["row_count"] == 500
+    assert replayed["snapshot_id"] == st["snapshot_id"]
