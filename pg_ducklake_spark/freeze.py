@@ -61,6 +61,11 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
             sort_direction VARCHAR, null_order VARCHAR);
         CREATE TABLE ducklake_inlined_data(
             table_id BIGINT, row_id BIGINT, values_json VARCHAR);
+        CREATE TABLE ducklake_table_stats(
+            table_id BIGINT, snapshot_id BIGINT, row_count BIGINT);
+        CREATE TABLE ducklake_table_column_stats(
+            table_id BIGINT, column_name VARCHAR, null_count BIGINT,
+            ndv BIGINT, min_value VARCHAR, max_value VARCHAR);
         """
     )
     con.execute(
@@ -115,6 +120,17 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
                 "INSERT INTO ducklake_inlined_data VALUES (?, ?, ?)",
                 [tid, r["row_id"], json.dumps(r["values"])],
             )
+        if state.table_stats:
+            ts = state.table_stats
+            con.execute(
+                "INSERT INTO ducklake_table_stats VALUES (?, ?, ?)",
+                [tid, ts["snapshot_id"], ts["row_count"]],
+            )
+            for cname, cs in ts["columns"].items():
+                con.execute(
+                    "INSERT INTO ducklake_table_column_stats VALUES (?, ?, ?, ?, ?, ?)",
+                    [tid, cname, cs["nulls"], cs["ndv"], cs["min"], cs["max"]],
+                )
     con.close()
 
 
