@@ -71,6 +71,7 @@ HEADLINE = [
     "text_token_counts",
     "text_fingerprint_dups",
     "text_char_ngram_profile",
+    "text_repetition_scores",
     "stats_value_moments",
     "events_value_quantiles",
     "events_retention",

@@ -242,3 +242,62 @@ def text_char_ngram_profile(spark, sf_dir):
         .select("lang", "trigram", F.col("n").cast("long").alias("n"))
         .orderBy("lang", F.desc("n"), "trigram")
     )
+
+
+@query(
+    "text_repetition_scores",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN dup_trigram_frac > 0.2 THEN 1 END) AS BIGINT)
+             AS n_repetitive
+    FROM (
+      SELECT source,
+             CASE WHEN len(toks) >= 3 THEN
+               1.0 - CAST(len(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 1, 1)),
+                       i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))))
+                     AS DOUBLE)
+                     / CAST(len(toks) - 2 AS DOUBLE)
+             ELSE 0.0 END AS dup_trigram_frac
+      FROM (SELECT source, string_split(lower(text), ' ') AS toks
+            FROM documents) tk) x
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_repetition_scores(spark, sf_dir):
+    """Intra-document repetition (duplicate-trigram fraction) — the
+    Gopher-style repetition filter: a doc whose trigrams are mostly
+    repeats of themselves is boilerplate/spam. Pure per-row array math,
+    no shuffle before the per-source rollup."""
+    docs = rebalance(t(spark, sf_dir, "documents"))
+    toks = F.split(F.lower("text"), " ")
+    n = F.size(toks)
+    distinct_tri = F.size(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        )
+    )
+    frac = F.when(
+        n >= 3,
+        F.lit(1.0) - distinct_tri.cast("double") / (n - 2).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("source", frac.alias("dup_trigram_frac"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("dup_trigram_frac") > 0.2, 1)).alias("n_repetitive"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("source")
+    )
