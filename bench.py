@@ -114,6 +114,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "plan_build_sec": round(sum(build.values()), 4),
+                "total_incl_plan_build": round(total + sum(build.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warmup_iters": WARMUP,
                 "timed_iters": ITERS,
