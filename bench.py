@@ -89,6 +89,11 @@ def main() -> None:
     spark = get_spark("bench")
 
     names = [n for n in HEADLINE if n in QUERIES]
+    # Session warmup: the first analysis after session start pays JVM
+    # parser/analyzer class-loading (~3 s) — a once-per-process cost,
+    # not a per-query one; absorb it before any query is measured.
+    spark.sql("SELECT 1").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").limit(1).collect()
     dfs = {}
     build = {}
     for name in names:
