@@ -177,6 +177,10 @@ class TableState:
     sort_spec: list[dict] = field(default_factory=list)
     options: dict[str, Any] = field(default_factory=dict)
     table_stats: dict | None = None
+    # catalog-level views / macros (≙ ducklake_view, ducklake_macro*):
+    # name -> definition dict; only populated on the lake's catalog log
+    views: dict[str, dict] = field(default_factory=dict)
+    macros: dict[str, dict] = field(default_factory=dict)
     history: list[SnapshotInfo] = field(default_factory=list)
     # per-snapshot schema versions: snapshot_id -> schema json (only changes)
     schema_log: list[tuple[int, dict]] = field(default_factory=list)
@@ -214,6 +218,8 @@ def state_to_json(state: TableState) -> dict:
         "sort_spec": state.sort_spec,
         "options": state.options,
         "table_stats": state.table_stats,
+        "views": state.views,
+        "macros": state.macros,
         "schema_log": [[sid, sj] for sid, sj in state.schema_log],
         "history": [
             {
@@ -245,6 +251,8 @@ def state_from_json(d: dict) -> TableState:
         sort_spec=list(d.get("sort_spec", [])),
         options=dict(d.get("options", {})),
         table_stats=d.get("table_stats"),
+        views=dict(d.get("views", {})),
+        macros=dict(d.get("macros", {})),
         schema_log=[(sid, sj) for sid, sj in d.get("schema_log", [])],
         history=[SnapshotInfo(**h) for h in d.get("history", [])],
     )
@@ -330,6 +338,19 @@ class SnapshotLog:
                 state.options.update(val)
             elif key == "table_stats":
                 state.table_stats = val
+            elif key == "views":
+                # merge; a None value drops the view (DROP VIEW)
+                for vname, vdef in val.items():
+                    if vdef is None:
+                        state.views.pop(vname, None)
+                    else:
+                        state.views[vname] = vdef
+            elif key == "macros":
+                for mname, mdef in val.items():
+                    if mdef is None:
+                        state.macros.pop(mname, None)
+                    else:
+                        state.macros[mname] = mdef
         state.history.append(
             SnapshotInfo(
                 snapshot_id=sid,

@@ -66,6 +66,12 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
         CREATE TABLE ducklake_table_column_stats(
             table_id BIGINT, column_name VARCHAR, null_count BIGINT,
             ndv BIGINT, min_value VARCHAR, max_value VARCHAR);
+        CREATE TABLE ducklake_view(
+            view_id BIGINT, view_name VARCHAR, sql VARCHAR, columns VARCHAR);
+        CREATE TABLE ducklake_macro(macro_id BIGINT, macro_name VARCHAR);
+        CREATE TABLE ducklake_macro_impl(macro_id BIGINT, body VARCHAR);
+        CREATE TABLE ducklake_macro_parameters(
+            macro_id BIGINT, parameter_index BIGINT, parameter_name VARCHAR);
         """
     )
     con.execute(
@@ -131,6 +137,23 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
                     "INSERT INTO ducklake_table_column_stats VALUES (?, ?, ?, ?, ?, ?)",
                     [tid, cname, cs["nulls"], cs["ndv"], cs["min"], cs["max"]],
                 )
+    # views + macros (≙ ducklake_view / ducklake_macro* —
+    # src/pgducklake_freeze.cpp table list)
+    for vid, (vname, vdef) in enumerate(sorted(lake.views().items()), start=1):
+        con.execute(
+            "INSERT INTO ducklake_view VALUES (?, ?, ?, ?)",
+            [vid, vname, vdef["sql"], json.dumps(vdef["columns"])],
+        )
+    for mid, (mname, mdef) in enumerate(sorted(lake.macros().items()), start=1):
+        con.execute("INSERT INTO ducklake_macro VALUES (?, ?)", [mid, mname])
+        con.execute(
+            "INSERT INTO ducklake_macro_impl VALUES (?, ?)", [mid, mdef["body"]]
+        )
+        for i, p in enumerate(mdef["parameters"]):
+            con.execute(
+                "INSERT INTO ducklake_macro_parameters VALUES (?, ?, ?)",
+                [mid, i, p],
+            )
     con.close()
 
 
@@ -176,6 +199,28 @@ class FrozenLake:
             self._tables[name] = {"cols": cols, "files": files,
                                   "inline": [json.loads(r[0]) for r in inline],
                                   "dvs": dvs, "name": name}
+        self._views: dict[str, dict] = {}
+        self._macros: dict[str, dict] = {}
+        try:
+            for vname, sql, cols_json in con.execute(
+                "SELECT view_name, sql, columns FROM ducklake_view ORDER BY view_id"
+            ).fetchall():
+                self._views[vname] = {"sql": sql, "columns": json.loads(cols_json)}
+            for mid, mname, body in con.execute(
+                "SELECT m.macro_id, m.macro_name, i.body FROM ducklake_macro m"
+                " JOIN ducklake_macro_impl i USING (macro_id) ORDER BY m.macro_id"
+            ).fetchall():
+                params = [
+                    r[0]
+                    for r in con.execute(
+                        "SELECT parameter_name FROM ducklake_macro_parameters"
+                        " WHERE macro_id = ? ORDER BY parameter_index",
+                        [mid],
+                    ).fetchall()
+                ]
+                self._macros[mname] = {"parameters": params, "body": body}
+        except duckdb.CatalogException:  # older frozen files
+            pass
         con.close()
 
     def list_tables(self) -> list[str]:
@@ -247,15 +292,23 @@ class FrozenLake:
         return df
 
     def sql(self, query: str) -> DataFrame:
+        from pg_ducklake_spark.views import expand_macros
+
         for tbl in self.list_tables():
             self.table(tbl).createOrReplaceTempView(tbl)
-        return self.spark.sql(query)
+        for vname, vdef in self._views.items():
+            body = expand_macros(vdef["sql"], self._macros)
+            self.spark.sql(body).select(*vdef["columns"]).createOrReplaceTempView(
+                vname
+            )
+        return self.spark.sql(expand_macros(query, self._macros))
 
     def __getattr__(self, item):
         if item in {
             "insert", "insert_rows", "append_batch", "delete", "update",
             "create_table", "create_table_as", "drop_table", "vacuum",
             "set_option", "set_partition", "set_sort", "flush_inlined_data",
+            "create_view", "drop_view", "create_macro", "drop_macro",
         }:
             def rejected(*_a, **_k):
                 raise ReadOnlyError(

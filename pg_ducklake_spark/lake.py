@@ -196,6 +196,10 @@ class Lake:
             if if_not_exists:
                 return
             raise TableAlreadyExistsError(f"table {name!r} already exists")
+        if name in self.views():
+            raise TableAlreadyExistsError(
+                f"cannot create table {name!r}: a view with that name exists"
+            )
         st = _parse_schema(schema)
         snap = {
             "operation": "CREATE TABLE",
@@ -638,9 +642,21 @@ class Lake:
         return df.filter(F.expr(where))
 
     def sql(self, query: str) -> DataFrame:
-        """Spark SQL over all lake tables (registered as temp views)."""
+        """Spark SQL over all lake tables (registered as temp views),
+        with persisted lake views registered on top and scalar macros
+        textually expanded before planning (views.py)."""
+        from pg_ducklake_spark.views import expand_macros
+
         for tbl in self.list_tables():
             self.table(tbl).createOrReplaceTempView(tbl)
+        cat = self._catalog_state()
+        if cat is not None:
+            for vname, vdef in cat.views.items():
+                body = expand_macros(vdef["sql"], cat.macros)
+                self.spark.sql(body).select(*vdef["columns"]).createOrReplaceTempView(
+                    vname
+                )
+            query = expand_macros(query, cat.macros)
         return self.spark.sql(query)
 
     # ------------------------------------------------------------- DML
@@ -1112,6 +1128,123 @@ class Lake:
         if table is not None and self._log(table).exists():
             out.update(self._state(table).options)
         return out
+
+    # ------------------------------- views & macros (≙ ducklake_view/macro)
+
+    _CATALOG_TABLE = "_lake_views"
+
+    def _catalog_log(self, create: bool = False) -> SnapshotLog | None:
+        log = SnapshotLog(os.path.join(self.path, self._CATALOG_TABLE))
+        if not log.exists():
+            if not create:
+                return None
+            log.commit(
+                {"operation": "CREATE CATALOG",
+                 "schema": T.StructType([]).jsonValue(),
+                 "schema_version": 1, "metrics": {}}
+            )
+        return log
+
+    def _catalog_state(self) -> TableState | None:
+        log = self._catalog_log()
+        return log.replay() if log is not None else None
+
+    def create_view(self, name: str, sql: str, or_replace: bool = False) -> None:
+        """Persist a view (≙ ducklake_view). The defining query is
+        validated now and its **output columns are pinned at creation**
+        (reference behavior: a view over time_travel keeps its creation
+        schema, test/regression/sql/time_travel.sql:21-23) — a later
+        ``ADD COLUMN`` on a base table never leaks into a ``SELECT *``
+        view. The query text is re-planned per statement, so filters
+        above the view still push down into the base scans."""
+        from pg_ducklake_spark.views import check_ident
+
+        self._check_writable()
+        check_ident(name, "view")
+        cat = self._catalog_state()
+        if cat is not None and name in cat.views and not or_replace:
+            raise LakeError(f"view {name!r} already exists (use or_replace=True)")
+        if self._log(name).exists():
+            raise TableAlreadyExistsError(
+                f"cannot create view {name!r}: a table with that name exists"
+            )
+        df = self.sql(sql)  # validates + resolves the creation-time schema
+        vdef = {
+            "sql": sql,
+            "columns": list(df.columns),
+            "schema": df.schema.jsonValue(),
+            "created_at": utcnow_iso(),
+        }
+        self._catalog_log(create=True).commit(
+            {"operation": f"CREATE VIEW {name}",
+             "set": {"views": {name: vdef}}, "metrics": {}}
+        )
+
+    def drop_view(self, name: str, if_exists: bool = False) -> None:
+        self._check_writable()
+        cat = self._catalog_state()
+        if cat is None or name not in cat.views:
+            if if_exists:
+                return
+            raise LakeError(f"view {name!r} does not exist")
+        self._catalog_log(create=True).commit(
+            {"operation": f"DROP VIEW {name}",
+             "set": {"views": {name: None}}, "metrics": {}}
+        )
+
+    def views(self) -> dict[str, dict]:
+        cat = self._catalog_state()
+        return dict(cat.views) if cat is not None else {}
+
+    def view(self, name: str) -> DataFrame:
+        cat = self._catalog_state()
+        if cat is None or name not in cat.views:
+            raise LakeError(f"view {name!r} does not exist")
+        return self.sql(f"SELECT * FROM {name}")
+
+    def create_macro(
+        self, name: str, parameters: list[str], body: str,
+        or_replace: bool = False,
+    ) -> None:
+        """Persist a scalar SQL macro (≙ ducklake_macro/_impl/_parameters):
+        ``create_macro('price', ['p', 'd'], 'p * (1 - d)')`` makes
+        ``price(l_extendedprice, l_discount)`` usable in any
+        ``lake.sql`` query. Expanded textually before planning, so the
+        body inlines into whole-stage codegen like any expression."""
+        from pg_ducklake_spark.views import check_ident
+
+        self._check_writable()
+        check_ident(name, "macro")
+        for p in parameters:
+            check_ident(p, "macro parameter")
+        cat = self._catalog_state()
+        if cat is not None and name in cat.macros and not or_replace:
+            raise LakeError(f"macro {name!r} already exists (use or_replace=True)")
+        mdef = {
+            "parameters": list(parameters),
+            "body": body,
+            "created_at": utcnow_iso(),
+        }
+        self._catalog_log(create=True).commit(
+            {"operation": f"CREATE MACRO {name}",
+             "set": {"macros": {name: mdef}}, "metrics": {}}
+        )
+
+    def drop_macro(self, name: str, if_exists: bool = False) -> None:
+        self._check_writable()
+        cat = self._catalog_state()
+        if cat is None or name not in cat.macros:
+            if if_exists:
+                return
+            raise LakeError(f"macro {name!r} does not exist")
+        self._catalog_log(create=True).commit(
+            {"operation": f"DROP MACRO {name}",
+             "set": {"macros": {name: None}}, "metrics": {}}
+        )
+
+    def macros(self) -> dict[str, dict]:
+        cat = self._catalog_state()
+        return dict(cat.macros) if cat is not None else {}
 
     # ------------------------------------- partition & sort specs (A12-A15)
 

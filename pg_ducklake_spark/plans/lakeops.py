@@ -210,3 +210,52 @@ def lake_schema_evolution(spark, sf_dir):
         spark.createDataFrame([(90, "NEW", "z1")], "r_regionkey int, r_name string, zone string"),
     )
     return lake.table("r").orderBy("r_regionkey")
+
+
+@query(
+    "lake_view_macro",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(round(CAST(s_acctbal AS DECIMAL(18,2)) * 0.9, 2))
+                AS DECIMAL(18,2)) AS discounted
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_acctbal > 0
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def lake_view_macro(spark, sf_dir):
+    """Persisted view + scalar macro (≙ ducklake_view / ducklake_macro*):
+    the view pre-joins supplier→nation, the macro computes a discount;
+    the outer aggregate runs through ``lake.sql`` with both expanded —
+    proving view registration, macro inlining, and pushdown compose."""
+    lake = _tmp_lake(spark)
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").cast("int"), "s_acctbal"
+    )
+    nat = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int"), "n_name"
+    )
+    lake.create_table("supp", "s_suppkey bigint, s_nationkey int, s_acctbal double")
+    lake.create_table("nat", "n_nationkey int, n_name string")
+    lake.insert("supp", sup)
+    lake.insert("nat", nat)
+    lake.create_macro(
+        "discounted", ["x"], "round(CAST(x AS DECIMAL(18,2)) * 0.9, 2)"
+    )
+    lake.create_view(
+        "supp_by_nation",
+        "SELECT n_name, s_acctbal FROM supp JOIN nat ON s_nationkey = n_nationkey",
+    )
+    return lake.sql(
+        """
+        SELECT n_name,
+               count(*) AS n_suppliers,
+               CAST(sum(discounted(s_acctbal)) AS DECIMAL(18,2)) AS discounted
+        FROM supp_by_nation
+        WHERE s_acctbal > 0
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
