@@ -659,6 +659,16 @@ class Lake:
             query = expand_macros(query, cat.macros)
         return self.spark.sql(query)
 
+    def execute(self, statement: str) -> Any:
+        """One SQL statement, routed like the reference's PG prompt:
+        DDL/DML statement shapes (CREATE/ALTER/DROP/INSERT/UPDATE/
+        DELETE/VACUUM/CALL/SET) dispatch to the Lake API; queries fall
+        through to ``sql``. Returns a DataFrame for queries, an
+        affected-row count for DML, None for DDL (sqlexec.py)."""
+        from pg_ducklake_spark.sqlexec import execute as _execute
+
+        return _execute(self, statement)
+
     # ------------------------------------------------------------- DML
 
     def _uri_to_rel(self, table_dir: str, uri: str) -> str:

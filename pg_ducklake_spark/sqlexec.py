@@ -1,0 +1,341 @@
+"""SQL statement dispatcher — ``Lake.execute(sql)``.
+
+The reference's entire user surface is SQL typed at a Postgres prompt
+(CREATE TABLE ... USING ducklake, INSERT, UPDATE, DELETE, VACUUM,
+CALL ducklake.* — test/regression/sql/*.sql). This module gives the
+same entry point on Spark: one ``execute`` call that recognizes the
+reference's statement shapes and routes them to the corresponding
+``Lake`` methods, falling back to ``lake.sql`` for queries. Returns a
+DataFrame for SELECT-like statements, an affected-row count for DML
+(dml_row_count.sql pins those counts), and None for DDL.
+
+Parsing is deliberately shallow: statement-head regexes plus quote- and
+paren-aware splitting. Everything *inside* expressions is handed to
+Spark SQL untouched, so the full Catalyst expression surface is
+available in WHERE/SET/SELECT bodies — this is a router, not a parser.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING, Any
+
+from pg_ducklake_spark.errors import LakeError
+
+if TYPE_CHECKING:
+    from pg_ducklake_spark.lake import Lake
+
+
+def _strip(sql: str) -> str:
+    # drop line comments, collapse whitespace, drop trailing ;
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    return sql.strip().rstrip(";").strip()
+
+
+def split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parens and single-quoted literals."""
+    out, buf, depth, in_str = [], [], 0, False
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if buf:
+        out.append("".join(buf).strip())
+    return out
+
+
+_CREATE_TABLE = re.compile(
+    r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"\((?P<cols>.*)\)\s*(?:USING\s+\w+\s*)?$",
+    re.I | re.S,
+)
+_CTAS = re.compile(
+    r"^CREATE\s+TABLE\s+(?P<name>\w+)\s+(?:USING\s+\w+\s+)?AS\s+(?P<query>.+)$",
+    re.I | re.S,
+)
+_CREATE_VIEW = re.compile(
+    r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+)\s+AS\s+"
+    r"(?P<query>.+)$",
+    re.I | re.S,
+)
+_CREATE_MACRO = re.compile(
+    r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?MACRO\s+(?P<name>\w+)\s*"
+    r"\((?P<params>[^)]*)\)\s+AS\s+(?P<body>.+)$",
+    re.I | re.S,
+)
+_DROP = re.compile(
+    r"^DROP\s+(?P<kind>TABLE|VIEW|MACRO)\s+(?P<ifex>IF\s+EXISTS\s+)?"
+    r"(?P<name>\w+)$",
+    re.I,
+)
+_ALTER = re.compile(r"^ALTER\s+TABLE\s+(?P<name>\w+)\s+(?P<rest>.+)$", re.I | re.S)
+_INSERT = re.compile(
+    r"^INSERT\s+INTO\s+(?P<name>\w+)\s*(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?P<body>(?:VALUES|SELECT|WITH|TABLE)\s+.+)$",
+    re.I | re.S,
+)
+_UPDATE = re.compile(
+    r"^UPDATE\s+(?P<name>\w+)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+))?$",
+    re.I | re.S,
+)
+_DELETE = re.compile(
+    r"^DELETE\s+FROM\s+(?P<name>\w+)(?:\s+WHERE\s+(?P<where>.+))?$", re.I | re.S
+)
+_VACUUM = re.compile(r"^VACUUM\s+(?:VERBOSE\s+)?(?P<name>\w+)$", re.I)
+_CALL = re.compile(
+    r"^CALL\s+(?:ducklake\.)?(?P<proc>\w+)\s*\((?P<args>.*)\)$", re.I | re.S
+)
+_SET_GUC = re.compile(
+    r"^SET\s+(?:ducklake|lake)\.(?P<name>\w+)\s*=\s*(?P<value>.+)$", re.I
+)
+
+
+def _literal(tok: str) -> Any:
+    tok = tok.strip()
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1].replace("''", "'")
+    low = tok.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "none"):
+        return None
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    return tok
+
+
+def execute(lake: "Lake", sql: str) -> Any:
+    """Route one SQL statement to the Lake API (see module docstring)."""
+    stmt = _strip(sql)
+    head = stmt.split(None, 1)[0].upper() if stmt else ""
+
+    if head in ("SELECT", "WITH", "TABLE", "VALUES", "EXPLAIN", "DESCRIBE", "SHOW"):
+        return lake.sql(stmt)
+
+    if head == "CREATE":
+        m = _CTAS.match(stmt)
+        if m:
+            return lake.create_table_as(m.group("name"), m.group("query"))
+        m = _CREATE_TABLE.match(stmt)
+        if m:
+            if re.search(r"\bIF\s+NOT\s+EXISTS\b", stmt, re.I):
+                lake.create_table(m.group("name"), m.group("cols"), if_not_exists=True)
+            else:
+                lake.create_table(m.group("name"), m.group("cols"))
+            return None
+        m = _CREATE_VIEW.match(stmt)
+        if m:
+            lake.create_view(
+                m.group("name"), m.group("query"),
+                or_replace=bool(m.group("replace")),
+            )
+            return None
+        m = _CREATE_MACRO.match(stmt)
+        if m:
+            params = [p.strip() for p in m.group("params").split(",") if p.strip()]
+            lake.create_macro(
+                m.group("name"), params, m.group("body").strip(),
+                or_replace=bool(m.group("replace")),
+            )
+            return None
+        raise LakeError(f"unsupported CREATE statement: {stmt[:80]!r}")
+
+    if head == "DROP":
+        m = _DROP.match(stmt)
+        if not m:
+            raise LakeError(f"unsupported DROP statement: {stmt[:80]!r}")
+        kind, name, ifex = m.group("kind").upper(), m.group("name"), bool(m.group("ifex"))
+        if kind == "TABLE":
+            try:
+                lake.drop_table(name)
+            except LakeError:
+                if not ifex:
+                    raise
+        elif kind == "VIEW":
+            lake.drop_view(name, if_exists=ifex)
+        else:
+            lake.drop_macro(name, if_exists=ifex)
+        return None
+
+    if head == "ALTER":
+        m = _ALTER.match(stmt)
+        if not m:
+            raise LakeError(f"unsupported ALTER statement: {stmt[:80]!r}")
+        name, rest = m.group("name"), m.group("rest").strip()
+        m2 = re.match(r"^ADD\s+COLUMN\s+(\w+)\s+(.+)$", rest, re.I)
+        if m2:
+            lake.add_column(name, m2.group(1), m2.group(2))
+            return None
+        m2 = re.match(r"^DROP\s+COLUMN\s+(\w+)$", rest, re.I)
+        if m2:
+            lake.drop_column(name, m2.group(1))
+            return None
+        m2 = re.match(r"^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$", rest, re.I)
+        if m2:
+            lake.rename_column(name, m2.group(1), m2.group(2))
+            return None
+        m2 = re.match(r"^RENAME\s+TO\s+(\w+)$", rest, re.I)
+        if m2:
+            lake.rename_table(name, m2.group(1))
+            return None
+        m2 = re.match(r"^ALTER\s+COLUMN\s+(\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+)$",
+                      rest, re.I)
+        if m2:
+            lake.alter_column_type(name, m2.group(1), m2.group(2))
+            return None
+        m2 = re.match(r"^SET\s+PARTITIONED\s+BY\s*\((.+)\)$", rest, re.I | re.S)
+        if m2:
+            lake.set_partition(name, *[s.strip() for s in
+                                       split_top_level(m2.group(1))])
+            return None
+        m2 = re.match(r"^RESET\s+PARTITIONED\s+BY$", rest, re.I)
+        if m2:
+            lake.reset_partition(name)
+            return None
+        m2 = re.match(r"^SET\s+SORTED\s+BY\s*\((.+)\)$", rest, re.I | re.S)
+        if m2:
+            lake.set_sort(name, *[s.strip() for s in split_top_level(m2.group(1))])
+            return None
+        m2 = re.match(r"^RESET\s+SORTED\s+BY$", rest, re.I)
+        if m2:
+            lake.reset_sort(name)
+            return None
+        raise LakeError(f"unsupported ALTER TABLE action: {rest[:80]!r}")
+
+    if head == "INSERT":
+        m = _INSERT.match(stmt)
+        if not m:
+            raise LakeError(f"unsupported INSERT statement: {stmt[:80]!r}")
+        name = m.group("name")
+        body = m.group("body")
+        # VALUES and SELECT both plan through Spark SQL, so arbitrary
+        # expressions work in either form.
+        df = lake.sql(f"SELECT * FROM ({body})" if body.upper().startswith("VALUES")
+                      else body)
+        cols = m.group("cols")
+        state_schema = lake._state(name).schema
+        if cols:
+            names = [c.strip() for c in cols.split(",")]
+        else:
+            names = [f.name for f in state_schema.fields][: len(df.columns)]
+        if len(names) != len(df.columns):
+            raise LakeError(
+                f"INSERT column count mismatch: {len(names)} target vs "
+                f"{len(df.columns)} provided"
+            )
+        df = df.toDF(*names)
+        # fill unmentioned columns with NULL, cast to table schema
+        from pyspark.sql import functions as F
+
+        sel = []
+        for f in state_schema.fields:
+            if f.name in names:
+                sel.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        df = df.select(*sel)
+        if body.upper().startswith("VALUES"):
+            # The reference pattern-matches small literal INSERTs into a
+            # direct-insert fast path that skips the engine entirely
+            # (src/pgducklake_direct_insert.cpp:252-908). Mirror that:
+            # a VALUES list under the inlining limit goes through
+            # insert_rows → the inline buffer, zero Spark write jobs.
+            n_rows = len(split_top_level(body[len("VALUES"):]))
+            limit = int(lake.options(name).get("data_inlining_row_limit", 0) or 0)
+            if 0 < n_rows <= limit:
+                return lake.insert_rows(name, [r.asDict() for r in df.collect()])
+        return lake.insert(name, df)
+
+    if head == "UPDATE":
+        m = _UPDATE.match(stmt)
+        if not m:
+            raise LakeError(f"unsupported UPDATE statement: {stmt[:80]!r}")
+        sets = {}
+        for part in split_top_level(m.group("sets")):
+            k, _, v = part.partition("=")
+            if not _:
+                raise LakeError(f"cannot parse SET clause {part!r}")
+            sets[k.strip()] = v.strip()
+        return lake.update(m.group("name"), sets, m.group("where") or "true")
+
+    if head == "DELETE":
+        m = _DELETE.match(stmt)
+        if not m:
+            raise LakeError(f"unsupported DELETE statement: {stmt[:80]!r}")
+        return lake.delete(m.group("name"), m.group("where") or "true")
+
+    if head == "VACUUM":
+        m = _VACUUM.match(stmt)
+        if not m:
+            raise LakeError(f"unsupported VACUUM statement: {stmt[:80]!r}")
+        return lake.vacuum(m.group("name"))
+
+    if head == "CALL":
+        m = _CALL.match(stmt)
+        if not m:
+            raise LakeError(f"unsupported CALL statement: {stmt[:80]!r}")
+        proc = m.group("proc").lower()
+        args = [a for a in split_top_level(m.group("args")) if a]
+        pos, kw = [], {}
+        for a in args:
+            km = re.match(r"^(\w+)\s*(?::=|=>)\s*(.+)$", a, re.S)
+            if km:
+                kw[km.group(1).lower()] = _literal(km.group(2))
+            else:
+                pos.append(_literal(a))
+        dispatch = {
+            "set_option": lambda: lake.set_option(
+                *pos, **{("table" if k in ("table_name", "regclass") else k): v
+                         for k, v in kw.items()}
+            ),
+            "flush_inlined_data": lambda: lake.flush_inlined_data(*pos),
+            "cleanup_old_files": lambda: lake.cleanup_old_files(*pos),
+            "freeze": lambda: lake.freeze(*pos),
+            "analyze": lambda: lake.analyze(*pos),
+            "set_partition": lambda: lake.set_partition(*pos),
+            "reset_partition": lambda: lake.reset_partition(*pos),
+            "set_sort": lambda: lake.set_sort(*pos),
+            "reset_sort": lambda: lake.reset_sort(*pos),
+        }
+        if proc not in dispatch:
+            raise LakeError(f"unknown procedure {proc!r}")
+        return dispatch[proc]()
+
+    if head == "SET":
+        m = _SET_GUC.match(stmt)
+        if m and m.group("name").lower() == "as_of_timestamp":
+            val = _literal(m.group("value"))
+            lake.as_of_timestamp = None if val in (None, "") else val
+            return None
+        raise LakeError(f"unsupported SET statement: {stmt[:80]!r}")
+
+    raise LakeError(f"unsupported statement: {stmt[:80]!r}")

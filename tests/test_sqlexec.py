@@ -1,0 +1,122 @@
+"""``Lake.execute`` — the reference's SQL-prompt surface routed to the
+Lake API (statement shapes from test/regression/sql/*.sql)."""
+
+import pytest
+
+from pg_ducklake_spark.errors import LakeError, TableNotFoundError
+from pg_ducklake_spark.sqlexec import split_top_level
+
+
+def test_create_insert_select_roundtrip(lake):
+    assert lake.execute("CREATE TABLE t (id INT, name STRING) USING ducklake") is None
+    n = lake.execute("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    assert n == 3
+    rows = lake.execute("SELECT * FROM t ORDER BY id").collect()
+    assert [(r["id"], r["name"]) for r in rows] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_insert_select_and_column_list(lake):
+    lake.execute("CREATE TABLE src (id INT, v DOUBLE)")
+    lake.execute("INSERT INTO src VALUES (1, 1.5), (2, 2.5)")
+    lake.execute("CREATE TABLE dst (id INT, v DOUBLE, tag STRING)")
+    # column-list insert: unmentioned columns become NULL
+    n = lake.execute("INSERT INTO dst (id, v) SELECT id, v * 2 FROM src")
+    assert n == 2
+    rows = lake.execute("SELECT * FROM dst ORDER BY id").collect()
+    assert rows[0]["v"] == 3.0 and rows[0]["tag"] is None
+
+
+def test_update_delete_row_counts(lake):
+    """dml_row_count.sql: UPDATE/DELETE report affected counts."""
+    lake.execute("CREATE TABLE t (id INT, v INT)")
+    lake.execute("INSERT INTO t VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+    assert lake.execute("UPDATE t SET v = v + 1 WHERE id <= 2") == 2
+    assert lake.execute("DELETE FROM t WHERE v > 35") == 1
+    rows = lake.execute("SELECT sum(v) AS s FROM t").collect()
+    assert rows[0]["s"] == 11 + 21 + 30
+
+
+def test_ctas_and_drop(lake):
+    lake.execute("CREATE TABLE t (id INT)")
+    lake.execute("INSERT INTO t VALUES (1), (2)")
+    n = lake.execute("CREATE TABLE t2 AS SELECT id * 10 AS id FROM t")
+    assert n == 2
+    assert {r["id"] for r in lake.execute("SELECT * FROM t2").collect()} == {10, 20}
+    lake.execute("DROP TABLE t2")
+    with pytest.raises(TableNotFoundError):
+        lake._state("t2")
+    lake.execute("DROP TABLE IF EXISTS t2")
+
+
+def test_alter_statements(lake):
+    lake.execute("CREATE TABLE t (id INT)")
+    lake.execute("INSERT INTO t VALUES (1)")
+    lake.execute("ALTER TABLE t ADD COLUMN v DOUBLE")
+    lake.execute("ALTER TABLE t RENAME COLUMN v TO val")
+    lake.execute("ALTER TABLE t ALTER COLUMN id TYPE BIGINT")
+    assert [f.name for f in lake._state("t").schema.fields] == ["id", "val"]
+    assert lake._state("t").schema["id"].dataType.simpleString() == "bigint"
+    lake.execute("ALTER TABLE t DROP COLUMN val")
+    lake.execute("ALTER TABLE t RENAME TO t_new")
+    assert lake.table("t_new").columns == ["id"]
+
+
+def test_partition_sort_statements(lake):
+    lake.execute("CREATE TABLE t (id INT, ts TIMESTAMP)")
+    lake.execute("ALTER TABLE t SET PARTITIONED BY (year(ts), month(ts))")
+    assert lake.get_partition("t") == ["year(ts)", "month(ts)"]
+    lake.execute("ALTER TABLE t RESET PARTITIONED BY")
+    assert lake.get_partition("t") == []
+    lake.execute("ALTER TABLE t SET SORTED BY (id DESC NULLS LAST)")
+    assert lake.get_sort("t")[0]["direction"] == "DESC"
+
+
+def test_view_macro_statements(lake):
+    lake.execute("CREATE TABLE t (id INT, v DOUBLE)")
+    lake.execute("INSERT INTO t VALUES (1, 2.0), (2, 4.0)")
+    lake.execute("CREATE MACRO twice(x) AS x * 2")
+    lake.execute("CREATE VIEW v1 AS SELECT id, twice(v) AS dv FROM t")
+    rows = lake.execute("SELECT sum(dv) AS s FROM v1").collect()
+    assert rows[0]["s"] == 12.0
+    lake.execute("DROP VIEW v1")
+    lake.execute("DROP MACRO twice")
+    assert lake.views() == {} and lake.macros() == {}
+
+
+def test_call_and_set_statements(lake):
+    lake.execute("CREATE TABLE t (id INT)")
+    lake.execute("CALL set_option('data_inlining_row_limit', 100, table_name => 't')")
+    assert lake.options("t")["data_inlining_row_limit"] == 100
+    lake.execute("INSERT INTO t VALUES (1)")
+    assert lake._state("t").inline_rows  # went to the inline buffer
+    lake.execute("CALL flush_inlined_data('t')")
+    assert not lake._state("t").inline_rows
+    lake.execute("VACUUM t")
+    # A17 session GUC via SET
+    lake.execute("SET ducklake.as_of_timestamp = '2030-01-01T00:00:00+00:00'")
+    assert lake.as_of_timestamp == "2030-01-01T00:00:00+00:00"
+    lake.execute("SET ducklake.as_of_timestamp = NULL")
+    assert lake.as_of_timestamp is None
+
+
+def test_values_with_expressions_and_strings(lake):
+    lake.execute("CREATE TABLE t (id INT, s STRING)")
+    lake.execute(
+        "INSERT INTO t VALUES (1 + 1, upper('a,b')), (10, 'it''s')"
+    )
+    rows = lake.execute("SELECT * FROM t ORDER BY id").collect()
+    assert (rows[0]["id"], rows[0]["s"]) == (2, "A,B")
+    assert rows[1]["s"] == "it's"
+
+
+def test_unsupported_statements_raise(lake):
+    with pytest.raises(LakeError):
+        lake.execute("GRANT ALL ON t TO someone")
+    with pytest.raises(LakeError):
+        lake.execute("CREATE INDEX ix ON t (id)")
+
+
+def test_split_top_level():
+    assert split_top_level("a = f(1, 2), b = 'x,y', c = (1, 2)") == [
+        "a = f(1, 2)", "b = 'x,y'", "c = (1, 2)"
+    ]
