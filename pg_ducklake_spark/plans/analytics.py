@@ -272,3 +272,120 @@ def events_sessionized_gap(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), F.asc("user_id"))
         .limit(30)
     )
+
+
+@query(
+    "events_like_filter",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    WHERE props LIKE '%"k": 7%' AND event_type NOT LIKE 'err%'
+    GROUP BY event_type
+    ORDER BY n DESC, event_type ASC
+    """,
+)
+def events_like_filter(spark, sf_dir):
+    """ClickBench LIKE-matching shape (Q20-ish: URL LIKE '%google%'):
+    substring filter over a high-cardinality string column, then
+    aggregate. Both LIKEs reach the parquet scan as pushed filters."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("props").like('%"k": 7%') & ~F.col("event_type").like("err%"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .coalesce(1).sortWithinPartitions(F.desc("n"), F.asc("event_type"))
+    )
+
+
+@query(
+    "events_minute_histogram",
+    oracle=f"""
+    SELECT CAST(EXTRACT(minute FROM ts) AS INT) AS minute,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_minute_histogram(spark, sf_dir):
+    """ClickBench minute-bucketing shape (Q: GROUP BY extract minute) —
+    a date-part group over the full table with a distinct-count."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.minute("ts").alias("minute"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .coalesce(1).sortWithinPartitions("minute")
+    )
+
+
+@query(
+    "events_top_users_multiagg",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS types,
+           {sql_dsum('value')} AS total_value,
+           MAX(ts) AS last_seen
+    FROM events
+    GROUP BY user_id
+    ORDER BY n DESC, user_id ASC
+    LIMIT 25
+    """,
+)
+def events_top_users_multiagg(spark, sf_dir):
+    """ClickBench top-N shape: GROUP BY high-cardinality key with
+    several aggregates, ORDER BY count LIMIT N. Spark plans this as
+    partial-agg → shuffle → TakeOrdered, so only 25 rows ever reach
+    the driver regardless of user-count."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("types"),
+            dsum("value").alias("total_value"),
+            F.max("ts").alias("last_seen"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(25)
+    )
+
+
+@query(
+    "docs_regexp_classes",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN regexp_matches(text, 'spark|shuffle')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sparky,
+           CAST(SUM(CASE WHEN regexp_matches(text, '^[a-z ]+$')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_plain
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def docs_regexp_classes(spark, sf_dir):
+    """ClickBench regexp shape: two regexp classifications in one scan
+    (conditional aggregation, no self-join)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("text").rlike("spark|shuffle").cast("long")).alias(
+                "n_sparky"
+            ),
+            F.sum(F.col("text").rlike("^[a-z ]+$").cast("long")).alias("n_plain"),
+        )
+        .coalesce(1).sortWithinPartitions("source")
+    )
