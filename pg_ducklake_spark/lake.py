@@ -1517,6 +1517,26 @@ class Lake:
 
         return table_changes(self, name, start, end)
 
+    def stream_changes(self, name: str, starting_version: int = 1) -> DataFrame:
+        """The change feed as an incremental Structured Streaming source
+        (streaming/cdc_source.py): offsets are snapshot ids, each
+        micro-batch is the snapshot delta since the last one, with the
+        same 4 ``_change_type`` values as ``table_changes``."""
+        from pg_ducklake_spark.streaming.cdc_source import LakeCDFDataSource
+
+        self._state(name)  # validate the table exists
+        try:
+            self.spark.dataSource.register(LakeCDFDataSource)
+        except Exception:
+            pass  # already registered on this session
+        return (
+            self.spark.readStream.format("lake_cdf")
+            .option("lake_root", self.path)
+            .option("table", name)
+            .option("startingVersion", starting_version)
+            .load()
+        )
+
     def table_insertions(self, name: str, start, end=None) -> DataFrame:
         from pg_ducklake_spark.changefeed import table_insertions
 

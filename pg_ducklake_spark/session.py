@@ -19,6 +19,14 @@ def get_spark(app_name: str = "pg_ducklake_spark", cpus: int | None = None) -> S
     """Build (or reuse) a local SparkSession with sane analytic defaults."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # Python workers (Pandas UDFs, Python data sources) must be able to
+    # import this package; propagate the repo root before the JVM forks.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
     shuffle = max(4, min(64, cpus))
     builder = (
         SparkSession.builder.appName(app_name)

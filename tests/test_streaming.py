@@ -186,3 +186,78 @@ def test_stream_rejects_missing_table(spark, lake):
 
     with pytest.raises(TableNotFoundError):
         stream_lake_appends(lake, "nope")
+
+
+def test_cdc_stream_matches_batch_change_feed(spark, lake, tmp_path):
+    """The lake_cdf streaming source replays exactly what the batch
+    table_changes feed reports: inserts (file + inline), update
+    pre/postimages, deletes."""
+    lake.create_table(
+        "t", "id int, v double",
+        options={"data_inlining_row_limit": 2},
+    )
+    lake.insert(
+        "t", spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "id int, v double")
+    )
+    lake.insert_rows("t", [{"id": 10, "v": 10.0}])       # inline insert
+    lake.update("t", {"v": "v * 2"}, "id = 2")
+    lake.delete("t", "id = 3")
+
+    got = _run(
+        lake.stream_changes("t"), "cdc_all", str(tmp_path / "ck1")
+    )
+    stream_rows = {
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.sql("SELECT * FROM cdc_all").collect()
+    }
+    batch_rows = {
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in lake.table_changes("t", 1).collect()
+    }
+    assert stream_rows == batch_rows
+    assert {r[2] for r in stream_rows} == {
+        "insert", "delete", "update_preimage", "update_postimage"
+    }
+
+
+def test_cdc_stream_incremental_restart(spark, lake, tmp_path):
+    """A restarted query resumes from its checkpointed snapshot offset
+    and only sees commits made while it was down."""
+    lake.create_table("t", "id int")
+    lake.insert("t", spark.createDataFrame([(1,), (2,)], "id int"))
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run_to_parquet():
+        q = (
+            lake.stream_changes("t")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_to_parquet()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 2
+    lake.insert("t", spark.createDataFrame([(3,), (4,), (5,)], "id int"))
+    run_to_parquet()
+    df = spark.read.parquet(out)
+    assert df.count() == 5  # 2 from batch one + 3 new, no replays
+    assert set(
+        r["_commit_version"] for r in df.select("_commit_version").collect()
+    ) == {2, 3}
+
+
+def test_cdc_stream_starting_version(spark, lake, tmp_path):
+    lake.create_table("t", "id int")
+    lake.insert("t", spark.createDataFrame([(1,)], "id int"))
+    lake.insert("t", spark.createDataFrame([(2,)], "id int"))
+    _run(
+        lake.stream_changes("t", starting_version=3), "cdc_sv",
+        str(tmp_path / "ck2"),
+    )
+    rows = spark.sql("SELECT id FROM cdc_sv").collect()
+    assert [r["id"] for r in rows] == [2]
