@@ -292,16 +292,18 @@ class FrozenLake:
         return df
 
     def sql(self, query: str) -> DataFrame:
+        from pg_ducklake_spark.functions.compat import DUCKDB_COMPAT_MACROS
         from pg_ducklake_spark.views import expand_macros
 
         for tbl in self.list_tables():
             self.table(tbl).createOrReplaceTempView(tbl)
+        macros = {**DUCKDB_COMPAT_MACROS, **self._macros}
         for vname, vdef in self._views.items():
-            body = expand_macros(vdef["sql"], self._macros)
+            body = expand_macros(vdef["sql"], macros)
             self.spark.sql(body).select(*vdef["columns"]).createOrReplaceTempView(
                 vname
             )
-        return self.spark.sql(expand_macros(query, self._macros))
+        return self.spark.sql(expand_macros(query, macros))
 
     def __getattr__(self, item):
         if item in {

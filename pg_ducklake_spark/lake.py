@@ -645,19 +645,21 @@ class Lake:
         """Spark SQL over all lake tables (registered as temp views),
         with persisted lake views registered on top and scalar macros
         textually expanded before planning (views.py)."""
+        from pg_ducklake_spark.functions.compat import DUCKDB_COMPAT_MACROS
         from pg_ducklake_spark.views import expand_macros
 
         for tbl in self.list_tables():
             self.table(tbl).createOrReplaceTempView(tbl)
         cat = self._catalog_state()
+        macros = dict(DUCKDB_COMPAT_MACROS)
         if cat is not None:
+            macros.update(cat.macros)  # user macros shadow compat
             for vname, vdef in cat.views.items():
-                body = expand_macros(vdef["sql"], cat.macros)
+                body = expand_macros(vdef["sql"], macros)
                 self.spark.sql(body).select(*vdef["columns"]).createOrReplaceTempView(
                     vname
                 )
-            query = expand_macros(query, cat.macros)
-        return self.spark.sql(query)
+        return self.spark.sql(expand_macros(query, macros))
 
     def execute(self, statement: str) -> Any:
         """One SQL statement, routed like the reference's PG prompt:

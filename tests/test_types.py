@@ -168,3 +168,26 @@ def test_parquet_writer_options_honored(spark, lake):
     assert meta.num_row_groups > 1, "row-group size option ignored"
     assert meta.row_group(0).column(0).compression.lower() == "gzip"
     assert lake.table("w").count() == 200_000
+
+
+def test_csv_ingestion_over_http(spark, lake, tmp_path):
+    """The reference ingests CSVs straight from https URLs
+    (readme_examples.sql:24-26, README.md:108-110); url sources are
+    spooled driver-side then parsed distributed."""
+    import http.server
+    import threading
+    from pg_ducklake_spark.sources import ingest_csv
+
+    (tmp_path / "remote.csv").write_text("a,b\n1,x\n2,y\n")
+    handler = lambda *args: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *args, directory=str(tmp_path)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/remote.csv"
+        n = ingest_csv(lake, "remote", url)
+        assert n == 2
+        assert {r.a: r.b for r in lake.table("remote").collect()} == {1: "x", 2: "y"}
+    finally:
+        srv.shutdown()
