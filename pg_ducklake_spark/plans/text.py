@@ -301,3 +301,38 @@ def text_repetition_scores(spark, sf_dir):
         .coalesce(1)
         .sortWithinPartitions("source")
     )
+
+
+# One SQL text, two engines: the Spark side expands the DuckDB compat
+# macros (functions/compat.py) and runs the *same string* the DuckDB
+# oracle runs verbatim — proving the compat surface end-to-end through
+# the driver's hash gate.
+_COMPAT_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN regexp_matches(text, 'shuffle|spark')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN starts_with(text, 'the ') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_the,
+       CAST(SUM(list_unique(string_split(text, ' '))) AS BIGINT)
+            AS total_unique_tokens,
+       CAST(MAX(array_length(string_split(text, ' '))) AS BIGINT)
+            AS max_tokens
+FROM documents
+WHERE ends_with(lang, 'n') OR list_contains(string_split(lang, '-'), 'en')
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("text_duckdb_compat_sql", oracle=_COMPAT_SQL)
+def text_duckdb_compat_sql(spark, sf_dir):
+    """DuckDB-dialect SQL executed unchanged: regexp_matches,
+    starts_with/ends_with, string_split, list_unique, list_contains,
+    array_length are all compat macros expanded before planning —
+    every expression stays in whole-stage codegen."""
+    from pg_ducklake_spark.functions.compat import DUCKDB_COMPAT_MACROS
+    from pg_ducklake_spark.views import expand_macros
+
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(expand_macros(_COMPAT_SQL, DUCKDB_COMPAT_MACROS))
