@@ -47,7 +47,9 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
             path_is_relative BOOLEAN, current_snapshot BIGINT);
         CREATE TABLE ducklake_column(
             table_id BIGINT, column_order BIGINT, column_name VARCHAR,
-            column_type VARCHAR, nulls_allowed BOOLEAN);
+            column_type VARCHAR, nulls_allowed BOOLEAN,
+            begin_snapshot BIGINT, initial_default VARCHAR,
+            default_value VARCHAR);
         CREATE TABLE ducklake_data_file(
             table_id BIGINT, path VARCHAR, rows BIGINT, bytes BIGINT,
             begin_snapshot BIGINT, partition_values VARCHAR, stats VARCHAR);
@@ -84,10 +86,16 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
             "INSERT INTO ducklake_table VALUES (?, ?, ?, true, ?)",
             [tid, name, name, state.snapshot_id],
         )
+        from pg_ducklake_spark.lake import Lake as _Lake
+
+        defaults = _Lake._initial_defaults(state, state.schema)
         for order, f in enumerate(state.schema.fields):
+            meta = f.metadata or {}
             con.execute(
-                "INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?)",
-                [tid, order, f.name, f.dataType.simpleString(), f.nullable],
+                "INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+                [tid, order, f.name, f.dataType.simpleString(), f.nullable,
+                 defaults.get(f.name, (0, None))[0],
+                 meta.get("initial_default"), meta.get("default_value")],
             )
         for s in state.history:
             con.execute(
@@ -172,17 +180,27 @@ class FrozenLake:
         for tid, name in con.execute(
             "SELECT table_id, table_name FROM ducklake_table"
         ).fetchall():
-            cols = con.execute(
-                "SELECT column_name, column_type, nulls_allowed FROM ducklake_column"
-                " WHERE table_id = ? ORDER BY column_order",
-                [tid],
-            ).fetchall()
-            files = [
-                r[0]
-                for r in con.execute(
-                    "SELECT path FROM ducklake_data_file WHERE table_id = ?", [tid]
+            try:
+                cols = con.execute(
+                    "SELECT column_name, column_type, nulls_allowed,"
+                    " begin_snapshot, initial_default FROM ducklake_column"
+                    " WHERE table_id = ? ORDER BY column_order",
+                    [tid],
                 ).fetchall()
-            ]
+            except duckdb.BinderException:  # older frozen files
+                cols = [
+                    (c, ty, nl, 0, None)
+                    for c, ty, nl in con.execute(
+                        "SELECT column_name, column_type, nulls_allowed"
+                        " FROM ducklake_column WHERE table_id = ?"
+                        " ORDER BY column_order",
+                        [tid],
+                    ).fetchall()
+                ]
+            files = con.execute(
+                "SELECT path, begin_snapshot FROM ducklake_data_file"
+                " WHERE table_id = ?", [tid]
+            ).fetchall()
             inline = con.execute(
                 "SELECT values_json FROM ducklake_inlined_data WHERE table_id = ?"
                 " ORDER BY row_id",
@@ -230,21 +248,54 @@ class FrozenLake:
         return T.StructType(
             [
                 T.StructField(c, T._parse_datatype_string(ty), nulls)
-                for c, ty, nulls in self._tables[name]["cols"]
+                for c, ty, nulls, _bs, _d in self._tables[name]["cols"]
             ]
         )
 
     def table(self, name: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
         if name not in self._tables:
             raise TableNotFoundError(f"table {name!r} not in frozen lake")
         info = self._tables[name]
         schema = self._schema(name)
-        paths = [os.path.join(self.data_root, p) for p in info["files"]]
-        df = (
-            self.spark.read.schema(schema).parquet(*paths)
-            if paths
-            else self.spark.createDataFrame([], schema)
-        )
+        # Initial defaults: files older than a defaulted column read the
+        # default, not NULL (same per-file-age grouping as Lake).
+        fills = {
+            c: (bs, d) for c, _ty, _nl, bs, d in info["cols"] if d is not None
+        }
+        groups: dict[tuple, list[str]] = {}
+        for path, file_bs in info["files"]:
+            missing = tuple(
+                c for c, (add_bs, _d) in fills.items() if file_bs < add_bs
+            )
+            groups.setdefault(missing, []).append(path)
+        has_dvs = bool(info.get("dvs"))
+        parts = []
+        for missing, group_paths in sorted(groups.items()):
+            g = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.data_root, p) for p in group_paths]
+            )
+            if has_dvs:
+                # _metadata must be captured per scan, before the union
+                g = g.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_fp"),
+                    F.col("_metadata.row_index").alias("_ri"),
+                )
+            for c in missing:
+                dtype = next(
+                    T._parse_datatype_string(ty)
+                    for cc, ty, _nl, _bs, _d in info["cols"] if cc == c
+                )
+                g = g.withColumn(c, F.expr(fills[c][1]).cast(dtype))
+            parts.append(g)
+        if parts:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        else:
+            df = self.spark.createDataFrame([], schema)
         if info.get("dvs"):
             from pyspark.sql import functions as F
             from pyspark.sql import types as T2
@@ -269,14 +320,8 @@ class FrozenLake:
                     F.col("row_index").alias("_ri"),
                 )
             )
-            df = (
-                df.select(
-                    "*",
-                    F.col("_metadata.file_path").alias("_fp"),
-                    F.col("_metadata.row_index").alias("_ri"),
-                )
-                .join(F.broadcast(dv), ["_fp", "_ri"], "left_anti")
-                .drop("_fp", "_ri")
+            df = df.join(F.broadcast(dv), ["_fp", "_ri"], "left_anti").drop(
+                "_fp", "_ri"
             )
         if info["inline"]:
             from pg_ducklake_spark.catalog import from_json_value

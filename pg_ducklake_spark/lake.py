@@ -273,10 +273,59 @@ class Lake:
     # -- schema evolution (A4; old snapshots keep old schemas,
     #    time_travel.sql:13-18)
 
-    def add_column(self, name: str, col_name: str, col_type: str) -> None:
+    def add_column(
+        self, name: str, col_name: str, col_type: str, default: str | None = None
+    ) -> None:
+        """ADD COLUMN, optionally with a DEFAULT (SQL expression string).
+        PG semantics (the reference regenerates PG DDL incl. SET DEFAULT,
+        src/pgducklake_table.cpp:847-937): rows that predate the column
+        read the default (``initial_default`` — applied per-file at scan
+        time, old files are never rewritten), and future inserts that
+        omit the column get it too (``default_value``)."""
+        meta = (
+            {"initial_default": default, "default_value": default}
+            if default is not None
+            else None
+        )
         self._alter_schema(name, f"ADD COLUMN {col_name}", lambda fields: fields + [
-            T.StructField(col_name, _parse_schema(f"x {col_type}")[0].dataType, True)
+            T.StructField(
+                col_name, _parse_schema(f"x {col_type}")[0].dataType, True,
+                metadata=meta,
+            )
         ])
+
+    def set_column_default(self, name: str, col_name: str, default: str) -> None:
+        """ALTER COLUMN SET DEFAULT — affects only future inserts
+        (existing rows keep their values; PG semantics)."""
+        self._set_default_meta(name, col_name, default)
+
+    def drop_column_default(self, name: str, col_name: str) -> None:
+        self._set_default_meta(name, col_name, None)
+
+    def _set_default_meta(self, name: str, col_name: str, default: str | None):
+        def xf(fields):
+            out = []
+            found = False
+            for f in fields:
+                if f.name == col_name:
+                    found = True
+                    meta = dict(f.metadata or {})
+                    if default is None:
+                        meta.pop("default_value", None)
+                    else:
+                        meta["default_value"] = default
+                    f = T.StructField(f.name, f.dataType, f.nullable, meta or None)
+                out.append(f)
+            if not found:
+                raise LakeError(f"column {col_name!r} not found in {name!r}")
+            return out
+
+        self._alter_schema(
+            name,
+            f"ALTER COLUMN {col_name} "
+            + ("DROP DEFAULT" if default is None else f"SET DEFAULT {default}"),
+            xf,
+        )
 
     def drop_column(self, name: str, col_name: str) -> None:
         self._alter_schema(
@@ -428,10 +477,19 @@ class Lake:
     def insert(
         self, name: str, df: DataFrame, message: str | None = None
     ) -> int:
-        """Append a DataFrame; one snapshot (INSERT..SELECT / VALUES path)."""
+        """Append a DataFrame; one snapshot (INSERT..SELECT / VALUES path).
+        Schema columns absent from ``df`` are filled with their
+        default_value (NULL when none)."""
         self._check_writable()
         self._check_message(name, message)
         state = self._state(name)
+        for f in state.schema.fields:
+            if f.name not in df.columns:
+                d = (f.metadata or {}).get("default_value")
+                df = df.withColumn(
+                    f.name,
+                    (F.expr(d) if d is not None else F.lit(None)).cast(f.dataType),
+                )
         entries = self._write_data(
             self._table_dir(name),
             df,
@@ -465,6 +523,17 @@ class Lake:
         self._check_writable()
         self._check_message(name, message)
         state = self._state(name)
+        defaults = {
+            f.name: d
+            for f in state.schema.fields
+            if (d := (f.metadata or {}).get("default_value")) is not None
+        }
+        if defaults:
+            rows = [dict(r) for r in rows]
+            for r in rows:
+                for k, d in defaults.items():
+                    if k not in r:
+                        r[k] = self._eval_default(d, state.schema[k].dataType)
         limit = int(self.options(name).get("data_inlining_row_limit", 0) or 0)
         if self._txn is None and 0 < len(rows) <= limit:
             schema = state.schema
@@ -494,6 +563,20 @@ class Lake:
         )
         return self.insert(name, df, message=message)
 
+    _default_cache: dict[tuple[str, str], Any] | None = None
+
+    def _eval_default(self, expr: str, dtype: T.DataType) -> Any:
+        """Evaluate a default expression to a concrete value (for the
+        JSON inline buffer); memoized per (expr, type)."""
+        if self._default_cache is None:
+            self._default_cache = {}
+        key = (expr, dtype.simpleString())
+        if key not in self._default_cache:
+            self._default_cache[key] = self.spark.sql(
+                f"SELECT CAST(({expr}) AS {dtype.simpleString()}) AS v"
+            ).collect()[0]["v"]
+        return self._default_cache[key]
+
     def append_batch(self, name: str, columns: dict[str, list]) -> int:
         """Direct-insert semantics: equal-length column arrays → N zipped
         rows, correct count returned (insert_unnest.sql:56-70)."""
@@ -519,8 +602,21 @@ class Lake:
                     from_json_value(r["values"].get(f.name), f.dataType)
                     for f in schema.fields
                 )
+                + (r.get("begin_snapshot", 0),)
             )
-        return self.spark.createDataFrame(data, schema=schema)
+        aug = T.StructType(
+            list(schema.fields) + [T.StructField("_dl_bs", T.LongType(), False)]
+        )
+        df = self.spark.createDataFrame(data, schema=aug)
+        for c, (add_snap, expr) in self._initial_defaults(state, schema).items():
+            df = df.withColumn(
+                c,
+                F.when(
+                    (F.col("_dl_bs") < F.lit(add_snap)) & F.col(c).isNull(),
+                    F.expr(expr).cast(schema[c].dataType),
+                ).otherwise(F.col(c)),
+            )
+        return df.drop("_dl_bs")
 
     _DV_SCHEMA = T.StructType(
         [
@@ -528,6 +624,25 @@ class Lake:
             T.StructField("row_index", T.LongType(), False),
         ]
     )
+
+    @staticmethod
+    def _initial_defaults(
+        state: TableState, schema: T.StructType
+    ) -> dict[str, tuple[int, str]]:
+        """col -> (snapshot the column first appeared at, initial_default
+        SQL expr) for every schema field carrying an initial_default."""
+        out: dict[str, tuple[int, str]] = {}
+        for f in schema.fields:
+            d = (f.metadata or {}).get("initial_default")
+            if d is None:
+                continue
+            add_snap = None
+            for sid, sj in state.schema_log:
+                if any(fd["name"] == f.name for fd in sj["fields"]):
+                    add_snap = sid
+                    break
+            out[f.name] = (add_snap or 0, d)
+        return out
 
     def _read_files(
         self,
@@ -551,16 +666,41 @@ class Lake:
                     "_dl_ri", F.lit(None).cast("long")
                 )
             return df
-        paths = [os.path.join(table_dir, p) for p in rels]
-        df = self.spark.read.schema(schema).parquet(*paths)
         applicable = {f: d for f, d in state.dvs.items() if f in set(rels)}
-        if not applicable and not keep_meta:
+        need_meta = keep_meta or bool(applicable)
+        fills = self._initial_defaults(state, schema)
+        # Files that predate a defaulted column must read its
+        # initial_default, not NULL — group files by which defaulted
+        # columns they're missing (group count ≤ #ADD COLUMN DEFAULTs + 1,
+        # independent of file count) and fill per group.
+        groups: dict[tuple, list[str]] = {}
+        for rel in rels:
+            bs = state.files[rel].begin_snapshot
+            missing = tuple(
+                c for c, (add_snap, _e) in fills.items() if bs < add_snap
+            )
+            groups.setdefault(missing, []).append(rel)
+        parts = []
+        for missing, group_rels in sorted(groups.items()):
+            g = self.spark.read.schema(schema).parquet(
+                *[os.path.join(table_dir, p) for p in group_rels]
+            )
+            if need_meta:
+                g = g.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_dl_fp"),
+                    F.col("_metadata.row_index").alias("_dl_ri"),
+                )
+            for c in missing:
+                g = g.withColumn(
+                    c, F.expr(fills[c][1]).cast(schema[c].dataType)
+                )
+            parts.append(g)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if not need_meta:
             return df
-        df = df.select(
-            "*",
-            F.col("_metadata.file_path").alias("_dl_fp"),
-            F.col("_metadata.row_index").alias("_dl_ri"),
-        )
         if applicable:
             dv_paths = sorted(
                 {os.path.join(table_dir, d["path"]) for d in applicable.values()}

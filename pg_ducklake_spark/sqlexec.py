@@ -191,9 +191,21 @@ def execute(lake: "Lake", sql: str) -> Any:
         if not m:
             raise LakeError(f"unsupported ALTER statement: {stmt[:80]!r}")
         name, rest = m.group("name"), m.group("rest").strip()
-        m2 = re.match(r"^ADD\s+COLUMN\s+(\w+)\s+(.+)$", rest, re.I)
+        m2 = re.match(
+            r"^ADD\s+COLUMN\s+(\w+)\s+(.+?)(?:\s+DEFAULT\s+(.+))?$", rest, re.I
+        )
         if m2:
-            lake.add_column(name, m2.group(1), m2.group(2))
+            lake.add_column(name, m2.group(1), m2.group(2), default=m2.group(3))
+            return None
+        m2 = re.match(
+            r"^ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+)$", rest, re.I
+        )
+        if m2:
+            lake.set_column_default(name, m2.group(1), m2.group(2))
+            return None
+        m2 = re.match(r"^ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT$", rest, re.I)
+        if m2:
+            lake.drop_column_default(name, m2.group(1))
             return None
         m2 = re.match(r"^DROP\s+COLUMN\s+(\w+)$", rest, re.I)
         if m2:
@@ -261,7 +273,11 @@ def execute(lake: "Lake", sql: str) -> Any:
             if f.name in names:
                 sel.append(F.col(f.name).cast(f.dataType).alias(f.name))
             else:
-                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+                d = (f.metadata or {}).get("default_value")
+                sel.append(
+                    (F.expr(d) if d is not None else F.lit(None))
+                    .cast(f.dataType).alias(f.name)
+                )
         df = df.select(*sel)
         if body.upper().startswith("VALUES"):
             # The reference pattern-matches small literal INSERTs into a
