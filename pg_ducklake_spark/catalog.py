@@ -373,6 +373,11 @@ class SnapshotLog:
             raise SnapshotNotFoundError(
                 f"snapshot {version} does not exist (latest is {latest})"
             )
+        if version is not None and version < self.min_version():
+            raise SnapshotNotFoundError(
+                f"snapshot {version} has been expired "
+                f"(oldest readable is {self.min_version()})"
+            )
         if version is None or version == latest:
             if self._cache is None:
                 state, start = self._from_checkpoint(latest)
@@ -434,6 +439,57 @@ class SnapshotLog:
             pass
         finally:
             os.unlink(tmp)
+
+    def min_version(self) -> int:
+        """Oldest still-readable snapshot (1 unless history was expired)."""
+        vs = self.versions()
+        return vs[0] if vs else 0
+
+    def expire_before(self, cutoff: int) -> int:
+        """Expire snapshots older than ``cutoff`` (≙ DuckLake's
+        ducklake_expire_snapshots): the state at ``cutoff`` is rolled up
+        into a checkpoint whose history is trimmed to the surviving
+        range, older snapshot JSONs / checkpoints / change-data files
+        are deleted, and time travel below ``cutoff`` raises. The
+        schema log is kept whole (it is tiny and per-file default
+        semantics need original add-snapshot ids). This is the metadata
+        growth valve: a 100 TB table with years of commits keeps a
+        bounded log without losing the live snapshot window."""
+        latest = self.latest_version()
+        cutoff = min(cutoff, latest)
+        if cutoff <= self.min_version():
+            return 0
+        # Collect expired snapshots' change-data paths before deleting.
+        expired = [v for v in self.versions() if v < cutoff]
+        cdf_dirs = []
+        for v in expired:
+            snap = self.read_snapshot(v)
+            if snap.get("cdf_path"):
+                cdf_dirs.append(os.path.join(self.table_dir, snap["cdf_path"]))
+        state = self.replay(cutoff)
+        state.history = [h for h in state.history if h.snapshot_id >= cutoff]
+        tmp = os.path.join(self.log_dir, f".tmp-ckpt-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(state_to_json(state), f)
+        final = os.path.join(self.log_dir, f"{cutoff:020d}.ckpt.json")
+        os.replace(tmp, final)
+        for v in expired:
+            try:
+                os.unlink(os.path.join(self.log_dir, f"{v:020d}.json"))
+            except FileNotFoundError:
+                pass
+        for cv in self._checkpoints():
+            if cv < cutoff:
+                try:
+                    os.unlink(os.path.join(self.log_dir, f"{cv:020d}.ckpt.json"))
+                except FileNotFoundError:
+                    pass
+        import shutil as _shutil
+
+        for d in cdf_dirs:
+            _shutil.rmtree(d, ignore_errors=True)
+        self._cache = None  # cached history includes trimmed entries
+        return len(expired)
 
     def version_at_timestamp(self, ts: dt.datetime | str) -> int:
         if isinstance(ts, str):

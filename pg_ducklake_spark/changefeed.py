@@ -53,6 +53,11 @@ def table_changes(lake: "Lake", name: str, start, end=None) -> DataFrame:
         raise SnapshotNotFoundError(
             f"invalid change-feed range [{a}, {b}] (latest snapshot {latest})"
         )
+    if a < log.min_version():
+        raise SnapshotNotFoundError(
+            f"change-feed range [{a}, {b}] reaches expired snapshots "
+            f"(oldest readable is {log.min_version()})"
+        )
     end_state = log.replay(b)
     schema = end_state.schema_at(b)
     table_dir = lake._table_dir(name)

@@ -50,6 +50,7 @@ from pg_ducklake_spark.catalog import (
 from pg_ducklake_spark.errors import (
     LakeError,
     ReadOnlyError,
+    SnapshotNotFoundError,
     TableAlreadyExistsError,
     TableNotFoundError,
 )
@@ -1579,6 +1580,37 @@ class Lake:
             "files_added": len(add),
             "dvs_cleared": dvs_cleared,
         }
+
+    def expire_snapshots(
+        self,
+        name: str | None = None,
+        older_than: dt.timedelta | dt.datetime | str | None = None,
+        keep_last: int | None = None,
+    ) -> int:
+        """Expire snapshot history (≙ ducklake_expire_snapshots; option
+        ``expire_older_than``): time travel / change feed below the
+        cutoff stop working, the log stays bounded. Expired snapshots'
+        change-data files are deleted; unreferenced *data* files become
+        eligible for ``cleanup_old_files`` as before. Returns the number
+        of snapshots expired."""
+        self._check_writable()
+        if older_than is None and keep_last is None:
+            raise LakeError("pass older_than or keep_last")
+        total = 0
+        for tbl in [name] if name else self.list_tables():
+            log = self._log(tbl)
+            if keep_last is not None:
+                cutoff = log.latest_version() - keep_last + 1
+            else:
+                ts = older_than
+                if isinstance(ts, dt.timedelta):
+                    ts = dt.datetime.now(dt.timezone.utc) - ts
+                try:
+                    cutoff = log.version_at_timestamp(ts)
+                except SnapshotNotFoundError:
+                    continue  # nothing old enough
+            total += log.expire_before(cutoff)
+        return total
 
     def cleanup_old_files(
         self, name: str | None = None, older_than: dt.timedelta | None = None

@@ -335,6 +335,7 @@ def execute(lake: "Lake", sql: str) -> Any:
             ),
             "flush_inlined_data": lambda: lake.flush_inlined_data(*pos),
             "cleanup_old_files": lambda: lake.cleanup_old_files(*pos),
+            "expire_snapshots": lambda: lake.expire_snapshots(*pos, **kw),
             "freeze": lambda: lake.freeze(*pos),
             "analyze": lambda: lake.analyze(*pos),
             "set_partition": lambda: lake.set_partition(*pos),
