@@ -264,3 +264,22 @@ def sim_embedding_near_dup(spark, sf_dir):
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query("sim_pq_topk")  # no oracle: k-means codebook training is not SQL-expressible
+def sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN with exact re-rank (operators/pq.py) —
+    the compressed-codes scale path: 64 floats → 8 one-byte codes, ADC
+    lookup-table scoring, float vectors touched only for the shortlist.
+    Driver runs a rows-only check; recall-vs-bruteforce is asserted in
+    tests/test_pq.py."""
+    from pg_ducklake_spark.operators.pq import pq_encode, pq_search, pq_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    index = pq_train(emb, m=8, k=256, seed=42)
+    enc = pq_encode(index, emb)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (
+        pq_search(index, enc, queries, topk=10, rerank=4, corpus=emb)
+        .coalesce(1).sortWithinPartitions("q_id", "rnk")
+    )
