@@ -126,3 +126,51 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         n.alias("n_bytes"),
         F.posexplode(offsets).alias("frame_no", "byte_offset"),
     )
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Resize image/video payloads to ``width×height`` — binary in,
+    binary out, MEDIA_SCHEMA preserved, the JSON metadata sidecar
+    updated with the new dimensions.
+
+    STUB decode: the fake path deterministically resamples the raw
+    bytes to ``width*height`` samples (evenly-spaced gather — same
+    byte-budget contract as a real bilinear resize); ``fake=False`` is
+    the seam where a real codec plugs in. Everything Spark-side is
+    real: Arrow batching, binary round trip, metadata evolution, and
+    zero shuffle (embarrassingly parallel like extract_features)."""
+    import json as _json
+
+    import numpy as np
+
+    target = int(width) * int(height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                pdf["content"].map(decode_image)  # pragma: no cover
+            out_content, out_meta = [], []
+            for buf, meta in zip(pdf["content"], pdf["metadata"]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                if arr.size == 0:
+                    arr = np.zeros(1, dtype=np.uint8)
+                idx = np.linspace(0, arr.size - 1, target).round().astype(np.int64)
+                out_content.append(arr[idx].tobytes())
+                m = _json.loads(meta) if meta else {}
+                m.update(
+                    {"width": width, "height": height,
+                     "resized_from_bytes": int(arr.size)}
+                )
+                out_meta.append(_json.dumps(m, sort_keys=True))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "content": out_content,
+                    "metadata": out_meta,
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -146,3 +146,30 @@ def test_multimodal_decode_stub_raises():
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_multimodal_resize_roundtrip(spark):
+    """resize_media: binary→binary, exact byte budget, metadata sidecar
+    updated, deterministic."""
+    import json
+
+    from pg_ducklake_spark.operators.multimodal import MEDIA_SCHEMA, resize_media
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytes(range(256)) * 40, json.dumps({"codec": "fake"})),
+            (2, "image", b"\x07" * 10, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in resize_media(media, 16, 16).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert len(r.content) == 16 * 16
+        meta = json.loads(r.metadata)
+        assert meta["width"] == 16 and meta["height"] == 16
+    assert json.loads(out[1].metadata)["codec"] == "fake"  # sidecar preserved
+    assert json.loads(out[1].metadata)["resized_from_bytes"] == 256 * 40
+    assert out[2].content == b"\x07" * 256  # constant payload stays constant
+    again = {r.media_id: r.content for r in resize_media(media, 16, 16).collect()}
+    assert again[1] == out[1].content
