@@ -259,3 +259,45 @@ def lake_view_macro(spark, sf_dir):
         ORDER BY n_name
         """
     )
+
+
+@query(
+    "lake_sql_prompt_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT n_nationkey, n_name,
+             CASE WHEN n_nationkey < 10 THEN 'old' ELSE 'frontier' END AS era
+      FROM nation
+    )
+    SELECT n_nationkey, n_name, era,
+           CASE WHEN era = 'old' THEN n_nationkey * 2 ELSE n_nationkey END
+             AS n_nationkey2
+    FROM base
+    WHERE n_nationkey <> 13
+    ORDER BY n_nationkey
+    """,
+)
+def lake_sql_prompt_roundtrip(spark, sf_dir):
+    """The reference's whole interaction model — SQL statements at a
+    prompt — replayed through Lake.execute: CTAS, ALTER ADD COLUMN with
+    an initial DEFAULT backfilling pre-existing rows, column-list
+    INSERT filling the default, UPDATE/DELETE with predicates, and a
+    final SELECT, all hash-checked against one pure-SQL oracle."""
+    lake = _tmp_lake(spark)
+    t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int"), "n_name"
+    ).createOrReplaceTempView("_nation_src")
+    lake.create_table_as(
+        "n", spark.sql("SELECT * FROM _nation_src WHERE n_nationkey < 10")
+    )
+    lake.execute("ALTER TABLE n ADD COLUMN era STRING DEFAULT 'old'")
+    lake.execute(
+        "INSERT INTO n (n_nationkey, n_name, era) "
+        "SELECT n_nationkey, n_name, 'frontier' FROM _nation_src "
+        "WHERE n_nationkey >= 10"
+    )
+    lake.execute("ALTER TABLE n ADD COLUMN n_nationkey2 INT")
+    lake.execute("UPDATE n SET n_nationkey2 = n_nationkey * 2 WHERE era = 'old'")
+    lake.execute("UPDATE n SET n_nationkey2 = n_nationkey WHERE era <> 'old'")
+    lake.execute("DELETE FROM n WHERE n_nationkey = 13")
+    return lake.execute("SELECT * FROM n ORDER BY n_nationkey")
