@@ -115,25 +115,29 @@ def minhash_near_dups(
     """
     assert k % bands == 0, "k must be divisible by bands"
     rows = k // bands
+    # Expressions are built as SQL strings (one JVM round trip each)
+    # rather than hundreds of composed Column objects — identical plans,
+    # ~10× cheaper client-side construction at k=128.
+    from pg_ducklake_spark.functions.hashing import sql_minhash
+
     coeffs = minhash_coeffs(k, seed)
     sh = shingle(df, text_col, id_col, n)
     hashed = sh.select("id", h32("shingle").alias("h"))
     sigs = hashed.groupBy("id").agg(
-        *[F.min(minhash_col(F.col("h"), a, b)).alias(f"mh{i}")
+        *[F.expr(f"min({sql_minhash('h', a, b)}) AS mh{i}")
           for i, (a, b) in enumerate(coeffs)]
     ).persist()
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band_id"),
-            F.concat_ws(
-                "_", *[F.col(f"mh{band * rows + r}").cast("string") for r in range(rows)]
-            ).alias("band_key"),
+    band_structs = ", ".join(
+        f"struct(CAST({band} AS INT) AS band_id, concat_ws('_', "
+        + ", ".join(
+            f"cast(mh{band * rows + r} as string)" for r in range(rows)
         )
+        + ") AS band_key)"
         for band in range(bands)
-    ]
-    banded = sigs.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "id", "bk.band_id", "bk.band_key"
     )
+    banded = sigs.selectExpr(
+        "id", f"explode(array({band_structs})) AS bk"
+    ).select("id", "bk.band_id", "bk.band_key")
     a = banded.select(F.col("id").alias("id_a"), "band_id", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band_id", "band_key")
     cands = (
@@ -142,11 +146,13 @@ def minhash_near_dups(
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sigs.select(F.col("id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
-    sb = sigs.select(F.col("id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
-    est = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
-    ).cast("double") / F.lit(k)
+    sa = sigs.selectExpr("id AS id_a", *[f"mh{i} AS a{i}" for i in range(k)])
+    sb = sigs.selectExpr("id AS id_b", *[f"mh{i} AS b{i}" for i in range(k)])
+    est = F.expr(
+        "CAST("
+        + " + ".join(f"IF(a{i} = b{i}, 1, 0)" for i in range(k))
+        + f" AS DOUBLE) / {k}"
+    )
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")

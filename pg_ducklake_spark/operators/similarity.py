@@ -17,6 +17,16 @@ from pg_ducklake_spark.functions.hashing import hyperplanes
 
 
 def dot(a: str | Column, b: str | Column, dim: int | None = None) -> Column:
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        # Unrolled as ONE SQL string: the same left-associated
+        # codegen-able tree, built with a single JVM round trip instead
+        # of ~4·dim Column calls (client plan-construction cost only).
+        return F.expr(
+            " + ".join(
+                f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+                for i in range(dim)
+            )
+        )
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     if dim is not None:
@@ -88,16 +98,17 @@ def lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = 8, seed: int = 7,
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(n_planes, dim, seed)
-    bucket = None
-    v = F.col(vec_col)
+    # One SQL string for the whole bucket id: same left-associated
+    # literal-coefficient tree (CAST('<repr>' AS DOUBLE) round-trips the
+    # exact binary64 value), one JVM call instead of ~5·planes·dim.
+    terms = []
     for j, plane in enumerate(planes):
-        # Constant plane coefficients inline as literals — codegen-able.
-        d = v.getItem(0).cast("double") * F.lit(plane[0])
-        for i in range(1, dim):
-            d = d + v.getItem(i).cast("double") * F.lit(plane[i])
-        bit = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("_lsh_bucket", bucket)
+        d = " + ".join(
+            f"CAST({vec_col}[{i}] AS DOUBLE) * CAST('{plane[i]!r}' AS DOUBLE)"
+            for i in range(dim)
+        )
+        terms.append(f"IF(({d}) >= 0, {1 << j}, 0)")
+    return df.withColumn("_lsh_bucket", F.expr(" + ".join(terms)))
 
 
 def ann_lsh_topk(

@@ -283,24 +283,25 @@ def dedup_minhash_lsh(spark, sf_dir):
     # Persist: the signature table is tiny (one row per doc) but feeds the
     # band explode AND both sides of the verification join — without it the
     # whole shingle→md5 pipeline re-runs per consumer.
+    # Expression trees built as SQL strings — identical plan, one JVM
+    # round trip per expression instead of ~8 per composed Column
+    # (client plan-construction cost, not execution cost).
+    from pg_ducklake_spark.functions.hashing import sql_minhash
+
     sigs = hashed.groupBy("doc_id").agg(
         *[
-            F.min(minhash_col(F.col("h"), a, b)).alias(f"mh{i}")
+            F.expr(f"min({sql_minhash('h', a, b)}) AS mh{i}")
             for i, (a, b) in enumerate(_COEFFS)
         ]
     ).persist()
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band_id"),
-            F.concat_ws(
-                "_",
-                *[F.col(f"mh{band * _ROWS + r}").cast("string") for r in range(_ROWS)],
-            ).alias("band_key"),
-        )
+    band_structs = ", ".join(
+        f"struct(CAST({band} AS INT) AS band_id, concat_ws('_', "
+        + ", ".join(f"cast(mh{band * _ROWS + r} as string)" for r in range(_ROWS))
+        + ") AS band_key)"
         for band in range(_BANDS)
-    ]
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    )
+    bands = sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bk"
     ).select("doc_id", "bk.band_id", "bk.band_key")
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_key"
@@ -312,15 +313,17 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_K)])
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_K)])
-    matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_K)
+    sa = sigs.selectExpr("doc_id AS doc_a", *[f"mh{i} AS a{i}" for i in range(_K)])
+    sb = sigs.selectExpr("doc_id AS doc_b", *[f"mh{i} AS b{i}" for i in range(_K)])
+    est = F.expr(
+        "CAST("
+        + " + ".join(f"IF(a{i} = b{i}, 1, 0)" for i in range(_K))
+        + f" AS DOUBLE) / {_K}"
     )
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("est_jaccard", matches.cast("double") / F.lit(_K))
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
         .coalesce(1).sortWithinPartitions("doc_a", "doc_b")
@@ -381,22 +384,21 @@ def dedup_simhash_pairs(spark, sf_dir):
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
     hashed = tokens.select("doc_id", h32("token").alias("th"))
+    # SQL-string expression construction (one JVM call per expr, not
+    # ~8 per bit × 32 bits) — identical plan, far cheaper client-side.
     contrib = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), bit).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{bit}")
+        F.expr(f"sum(IF((shiftright(th, {bit}) & 1) = 1, 1, -1)) AS s{bit}")
         for bit in range(_SIMBITS)
     ]
     per_bit = hashed.groupBy("doc_id").agg(*contrib)
-    simhash = sum(
-        F.when(F.col(f"s{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0)).cast("long")
-        for bit in range(_SIMBITS)
+    simhash = F.expr(
+        "CAST("
+        + " + ".join(f"IF(s{bit} > 0, {1 << bit}, 0)" for bit in range(_SIMBITS))
+        + " AS BIGINT)"
     )
     sims = per_bit.select("doc_id", simhash.alias("simhash"))
-    bytes_df = sims.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("byte_id"),
+    bytes_df = sims.selectExpr(
+        "doc_id", "simhash", "explode(array(0, 1, 2, 3)) AS byte_id"
     ).withColumn("byte_val", F.expr("shiftright(simhash, byte_id * 8) & 255")).persist()
     a = bytes_df.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "byte_id", "byte_val"
