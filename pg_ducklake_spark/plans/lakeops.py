@@ -301,3 +301,45 @@ def lake_sql_prompt_roundtrip(spark, sf_dir):
     lake.execute("UPDATE n SET n_nationkey2 = n_nationkey WHERE era <> 'old'")
     lake.execute("DELETE FROM n WHERE n_nationkey = 13")
     return lake.execute("SELECT * FROM n ORDER BY n_nationkey")
+
+
+@query(
+    "lake_bucketed_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_sql_dsum('o_totalprice')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey <= 20000
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def lake_bucketed_join(spark, sf_dir):
+    """Storage-partitioned join through the driver's hash gate: both
+    tables written with the same bucket(8, custkey) transform, joined
+    bucket-to-bucket (operators/colocated.py — no table-wide shuffle,
+    one independent sub-join per bucket), then aggregated. The oracle
+    is a plain SQL join — proving the co-located decomposition is
+    exactly equivalent."""
+    from pg_ducklake_spark.functions import dsum
+    from pg_ducklake_spark.operators.colocated import bucketed_join
+
+    lake = _tmp_lake(spark)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    ).filter(F.col("o_orderkey") <= 20000)
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    lake.create_table_as("o", orders, partition_by=["bucket(8, custkey)"])
+    lake.create_table_as("c", cust, partition_by=["bucket(8, custkey)"])
+    return (
+        bucketed_join(lake, "o", "c", key="custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .coalesce(1).sortWithinPartitions("c_mktsegment")
+    )
