@@ -80,6 +80,14 @@ class LakeCDFStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[_CdfPartition]:
         log = self._log()
+        if start["version"] + 1 < log.min_version():
+            from pg_ducklake_spark.errors import SnapshotNotFoundError
+
+            raise SnapshotNotFoundError(
+                f"CDC stream offset {start['version'] + 1} has been "
+                f"expired (oldest readable snapshot is {log.min_version()}); "
+                "restart the stream with a fresh checkpoint / startingVersion"
+            )
         parts: list[_CdfPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             snap = log.read_snapshot(v)

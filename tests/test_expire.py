@@ -79,3 +79,20 @@ def test_expire_via_call_statement(lake, spark):
     n = lake.execute("CALL expire_snapshots('t', keep_last => 2)")
     assert n == lake.current_snapshot("t") - 2 + 1 - 1  # all below cutoff
     assert lake.table("t").count() == 3
+
+
+def test_expired_cdc_stream_raises_clearly(lake, spark, tmp_path):
+    """A CDC stream whose checkpointed offset predates expiry must fail
+    with a clear message, not silently skip commits."""
+    _build(lake, spark, n=3)
+    lake.expire_snapshots("t", keep_last=2)
+    q = (
+        lake.stream_changes("t", starting_version=1)
+        .writeStream.format("memory")
+        .queryName("cdc_expired")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="expired"):
+        q.awaitTermination(120)
