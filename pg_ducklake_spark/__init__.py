@@ -15,6 +15,7 @@ idiomatic Spark package:
 """
 
 from pg_ducklake_spark.errors import (
+    AccessControlError,
     ConcurrentModificationError,
     LakeError,
     ReadOnlyError,
@@ -29,6 +30,7 @@ __all__ = [
     "TableNotFoundError",
     "ConcurrentModificationError",
     "ReadOnlyError",
+    "AccessControlError",
 ]
 
 __version__ = "0.1.0"

@@ -34,3 +34,13 @@ class ReadOnlyError(LakeError):
 
 class SnapshotNotFoundError(LakeError):
     """Time travel to a version/timestamp with no snapshot."""
+
+
+class AccessControlError(LakeError):
+    """Operation not permitted for the session's role.
+
+    Mirrors the reference's predefined-role model (ducklake_reader /
+    ducklake_writer / ducklake_superuser; sql/pg_ducklake--0.1.0.sql and
+    test/regression/sql/access_control.sql): writers run DML but DDL and
+    maintenance require ownership.
+    """

@@ -48,6 +48,7 @@ from pg_ducklake_spark.catalog import (
     utcnow_iso,
 )
 from pg_ducklake_spark.errors import (
+    AccessControlError,
     LakeError,
     ReadOnlyError,
     SnapshotNotFoundError,
@@ -134,10 +135,16 @@ class Lake:
         path: str,
         read_only: bool = False,
         create: bool = True,
+        role: str = "admin",
     ):
+        if role not in ("admin", "writer", "reader"):
+            raise LakeError(f"unknown role {role!r} (admin | writer | reader)")
         self.spark = spark
         self.path = os.path.abspath(path)
-        self.read_only = read_only
+        self.read_only = read_only or role == "reader"
+        # Role model ≙ the reference's predefined roles (access_control.sql):
+        # reader = SELECT only, writer = +DML, admin = +DDL/maintenance.
+        self.role = "reader" if self.read_only else role
         self.as_of_timestamp: dt.datetime | str | None = None  # A17 session GUC
         self._logs: dict[str, SnapshotLog] = {}
         self._txn: dict[str, dict] | None = None
@@ -153,6 +160,17 @@ class Lake:
             raise ReadOnlyError(
                 "lake is attached read-only; DML and DDL are rejected "
                 "(reference FDW behavior, src/pgducklake_fdw.cpp:277-304)"
+            )
+
+    def _check_ddl(self) -> None:
+        """DDL and maintenance require ownership (admin role) — the
+        reference rejects ALTER/DROP/VACUUM for non-owner roles
+        (test/regression/sql/access_control.sql §2-3)."""
+        self._check_writable()
+        if self.role == "writer":
+            raise AccessControlError(
+                "role 'writer' may run DML only; DDL and maintenance "
+                "require the admin role (reference access_control.sql)"
             )
 
     def _table_dir(self, name: str) -> str:
@@ -191,7 +209,7 @@ class Lake:
         options: dict[str, Any] | None = None,
         if_not_exists: bool = False,
     ) -> None:
-        self._check_writable()
+        self._check_ddl()
         log = self._log(name)
         if log.exists():
             if if_not_exists:
@@ -231,7 +249,7 @@ class Lake:
         sorted_by: list[str] | None = None,
     ) -> int:
         """CTAS — one snapshot with schema + data (ctas.sql semantics)."""
-        self._check_writable()
+        self._check_ddl()
         df = self.sql(source) if isinstance(source, str) else source
         log = self._log(name)
         if log.exists():
@@ -255,14 +273,14 @@ class Lake:
         return sum(e.rows for e in entries)
 
     def drop_table(self, name: str) -> None:
-        self._check_writable()
+        self._check_ddl()
         if not self._log(name).exists():
             raise TableNotFoundError(f"table {name!r} does not exist")
         shutil.rmtree(self._table_dir(name))
         self._logs.pop(name, None)
 
     def rename_table(self, name: str, new_name: str) -> None:
-        self._check_writable()
+        self._check_ddl()
         if not self._log(name).exists():
             raise TableNotFoundError(f"table {name!r} does not exist")
         if self._log(new_name).exists():
@@ -355,7 +373,7 @@ class Lake:
         …) are metadata-only — parquet upcasts at read time; any other
         conversion rewrites every live file under the new schema in the
         same snapshot (the reference's type change is a rewrite too)."""
-        self._check_writable()
+        self._check_ddl()
         state = self._state(name)
         field = next((f for f in state.schema.fields if f.name == col_name), None)
         if field is None:
@@ -399,7 +417,7 @@ class Lake:
         self._log(name).commit(snap, validate=validate, base_version=state.snapshot_id)
 
     def _alter_schema(self, name: str, op: str, transform) -> None:
-        self._check_writable()
+        self._check_ddl()
         state = self._state(name)
         new_fields = transform(list(state.schema.fields))
         if [f.name for f in new_fields] == [f.name for f in state.schema.fields] and op.startswith("DROP"):
@@ -1189,7 +1207,7 @@ class Lake:
         per-column null count, approx NDV, and min/max; the result is
         committed to the snapshot log so ``table_stats`` answers from
         metadata without touching data."""
-        self._check_writable()
+        self._check_ddl()
         state = self._state(name)
         df = self.table(name)
         aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
@@ -1252,7 +1270,7 @@ class Lake:
     # --------------------------------------------- options (A26)
 
     def set_option(self, option: str, value: Any, table: str | None = None) -> None:
-        self._check_writable()
+        self._check_ddl()
         if table is None:
             # lake-level options live in a zero-data options table dir
             table = "_lake_options"
@@ -1312,7 +1330,7 @@ class Lake:
         above the view still push down into the base scans."""
         from pg_ducklake_spark.views import check_ident
 
-        self._check_writable()
+        self._check_ddl()
         check_ident(name, "view")
         cat = self._catalog_state()
         if cat is not None and name in cat.views and not or_replace:
@@ -1334,7 +1352,7 @@ class Lake:
         )
 
     def drop_view(self, name: str, if_exists: bool = False) -> None:
-        self._check_writable()
+        self._check_ddl()
         cat = self._catalog_state()
         if cat is None or name not in cat.views:
             if if_exists:
@@ -1366,7 +1384,7 @@ class Lake:
         body inlines into whole-stage codegen like any expression."""
         from pg_ducklake_spark.views import check_ident
 
-        self._check_writable()
+        self._check_ddl()
         check_ident(name, "macro")
         for p in parameters:
             check_ident(p, "macro parameter")
@@ -1384,7 +1402,7 @@ class Lake:
         )
 
     def drop_macro(self, name: str, if_exists: bool = False) -> None:
-        self._check_writable()
+        self._check_ddl()
         cat = self._catalog_state()
         if cat is None or name not in cat.macros:
             if if_exists:
@@ -1404,7 +1422,7 @@ class Lake:
     def set_partition(self, name: str, *spec: str) -> None:
         """Applies to *new* files only (partition.sql:42-56 late
         partitioning); existing files keep their layout until OPTIMIZE."""
-        self._check_writable()
+        self._check_ddl()
         state = self._state(name)
         for entry in spec:
             b = _BUCKET_RE.match(entry.strip())
@@ -1418,7 +1436,7 @@ class Lake:
         )
 
     def reset_partition(self, name: str) -> None:
-        self._check_writable()
+        self._check_ddl()
         self._state(name)
         self._log(name).commit(
             {"operation": "RESET PARTITION", "set": {"partition_spec": []},
@@ -1432,7 +1450,7 @@ class Lake:
         """Sort applied at compaction/flush, not on direct inserts —
         exactly the reference's sorted-table contract
         (src/pgducklake_sorted_by.cpp:64-180)."""
-        self._check_writable()
+        self._check_ddl()
         self._state(name)
         self._log(name).commit(
             {"operation": "SET SORT", "set": {"sort_spec": _parse_sort_spec(spec)},
@@ -1440,7 +1458,7 @@ class Lake:
         )
 
     def reset_sort(self, name: str) -> None:
-        self._check_writable()
+        self._check_ddl()
         self._state(name)
         self._log(name).commit(
             {"operation": "RESET SORT", "set": {"sort_spec": []}, "metrics": {}}
@@ -1453,7 +1471,7 @@ class Lake:
 
     def flush_inlined_data(self, name: str | None = None) -> int:
         """Materialize inline-buffer rows to parquet (A20)."""
-        self._check_writable()
+        self._check_ddl()
         tables = [name] if name else self.list_tables()
         total = 0
         for tbl in tables:
@@ -1507,7 +1525,7 @@ class Lake:
 
         Returns {"files_removed": n, "files_added": m, "dvs_cleared": k}.
         """
-        self._check_writable()
+        self._check_ddl()
         state = self._state(name)
         opts = self.options(name)
         target = int(target_file_size or opts["target_file_size"])
@@ -1593,7 +1611,7 @@ class Lake:
         change-data files are deleted; unreferenced *data* files become
         eligible for ``cleanup_old_files`` as before. Returns the number
         of snapshots expired."""
-        self._check_writable()
+        self._check_ddl()
         if older_than is None and keep_last is None:
             raise LakeError("pass older_than or keep_last")
         total = 0
@@ -1618,7 +1636,7 @@ class Lake:
         """A21: physically delete data files no longer referenced by the
         current snapshot (optionally only those unreferenced for longer
         than ``older_than``). Mirrors cleanup_old_files()/(interval)."""
-        self._check_writable()
+        self._check_ddl()
         cutoff = (
             dt.datetime.now(dt.timezone.utc) - older_than if older_than else None
         )
@@ -1729,12 +1747,20 @@ class Lake:
         freeze_lake(self, out_path)
 
     @staticmethod
-    def attach(spark: SparkSession, path: str, read_only: bool = True) -> "Lake":
-        """A24: attach an existing lake (foreign-catalog analog); writes
-        rejected when read_only."""
+    def attach(
+        spark: SparkSession, path: str, read_only: bool = True,
+        role: str | None = None,
+    ) -> "Lake":
+        """A24/A27: attach an existing lake (foreign-catalog analog);
+        writes rejected when read_only; ``role`` opens a reader/writer/
+        admin session (access_control.sql role model)."""
         if not os.path.isdir(path):
             raise LakeError(f"cannot attach: {path} does not exist")
-        return Lake(spark, path, read_only=read_only, create=False)
+        if role is None:
+            role = "reader" if read_only else "admin"
+        else:
+            read_only = role == "reader"
+        return Lake(spark, path, read_only=read_only, create=False, role=role)
 
     @staticmethod
     def attach_frozen(spark: SparkSession, frozen_path: str) -> "FrozenLake":

@@ -111,6 +111,23 @@ _CALL = re.compile(
 _SET_GUC = re.compile(
     r"^SET\s+(?:ducklake|lake)\.(?P<name>\w+)\s*=\s*(?P<value>.+)$", re.I
 )
+_RESET_GUC = re.compile(r"^RESET\s+(?:ducklake|lake)\.(?P<name>\w+)$", re.I)
+_SHOW_GUC = re.compile(r"^SHOW\s+(?:ducklake|lake)\.(?P<name>\w+)$", re.I)
+_TEMP_TABLE = re.compile(r"^CREATE\s+(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+TABLE\b", re.I)
+
+# Reference GUC names (gucs.sql) → this engine's option names.
+_GUC_ALIASES = {"vacuum_delete_threshold": "rewrite_delete_threshold"}
+
+
+def _guc_name(raw: str) -> str:
+    """Resolve a session-option name, honoring reference GUC aliases
+    (test/regression/sql/gucs.sql exercises SET/SHOW/RESET on these)."""
+    from pg_ducklake_spark.catalog import DEFAULT_OPTIONS
+
+    name = _GUC_ALIASES.get(raw.lower(), raw.lower())
+    if name != "as_of_timestamp" and name not in DEFAULT_OPTIONS:
+        raise LakeError(f"unrecognized option {raw!r}")
+    return name
 
 
 def _literal(tok: str) -> Any:
@@ -138,10 +155,25 @@ def execute(lake: "Lake", sql: str) -> Any:
     stmt = _strip(sql)
     head = stmt.split(None, 1)[0].upper() if stmt else ""
 
-    if head in ("SELECT", "WITH", "TABLE", "VALUES", "EXPLAIN", "DESCRIBE", "SHOW"):
+    if head == "SHOW":
+        m = _SHOW_GUC.match(stmt)
+        if m:
+            name = _guc_name(m.group("name"))
+            value = (lake.as_of_timestamp if name == "as_of_timestamp"
+                     else lake.options().get(name))
+            return lake.spark.createDataFrame(
+                [("" if value is None else str(value),)], f"`{name}` string"
+            )
+        return lake.sql(stmt)
+
+    if head in ("SELECT", "WITH", "TABLE", "VALUES", "EXPLAIN", "DESCRIBE"):
         return lake.sql(stmt)
 
     if head == "CREATE":
+        if _TEMP_TABLE.match(stmt):
+            # Parity: the reference rejects TEMP tables on its AM
+            # (test/regression/expected/temp_table.out).
+            raise LakeError("temporary tables are not supported with the lake format")
         m = _CTAS.match(stmt)
         if m:
             return lake.create_table_as(m.group("name"), m.group("query"))
@@ -349,10 +381,27 @@ def execute(lake: "Lake", sql: str) -> Any:
 
     if head == "SET":
         m = _SET_GUC.match(stmt)
-        if m and m.group("name").lower() == "as_of_timestamp":
+        if m:
+            name = _guc_name(m.group("name"))
             val = _literal(m.group("value"))
-            lake.as_of_timestamp = None if val in (None, "") else val
+            if name == "as_of_timestamp":
+                lake.as_of_timestamp = None if val in (None, "") else val
+            else:
+                lake.set_option(name, val)
             return None
         raise LakeError(f"unsupported SET statement: {stmt[:80]!r}")
+
+    if head == "RESET":
+        m = _RESET_GUC.match(stmt)
+        if m:
+            name = _guc_name(m.group("name"))
+            if name == "as_of_timestamp":
+                lake.as_of_timestamp = None
+            else:
+                from pg_ducklake_spark.catalog import DEFAULT_OPTIONS
+
+                lake.set_option(name, DEFAULT_OPTIONS[name])
+            return None
+        raise LakeError(f"unsupported RESET statement: {stmt[:80]!r}")
 
     raise LakeError(f"unsupported statement: {stmt[:80]!r}")

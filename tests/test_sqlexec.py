@@ -120,3 +120,44 @@ def test_split_top_level():
     assert split_top_level("a = f(1, 2), b = 'x,y', c = (1, 2)") == [
         "a = f(1, 2)", "b = 'x,y'", "c = (1, 2)"
     ]
+
+
+def test_guc_set_show_reset(lake):
+    """gucs.sql: SET / SHOW / RESET on session options."""
+    # default
+    rows = lake.execute("SHOW ducklake.vacuum_delete_threshold").collect()
+    assert rows[0][0] == "0.1"
+    # SET (reference GUC name aliases to rewrite_delete_threshold)
+    lake.execute("SET ducklake.vacuum_delete_threshold = 0.5")
+    assert lake.options()["rewrite_delete_threshold"] == 0.5
+    rows = lake.execute("SHOW ducklake.vacuum_delete_threshold").collect()
+    assert rows[0][0] == "0.5"
+    # RESET back to default
+    lake.execute("RESET ducklake.vacuum_delete_threshold")
+    assert lake.options()["rewrite_delete_threshold"] == 0.1
+    # engine-native option names work too
+    lake.execute("SET ducklake.data_inlining_row_limit = 10")
+    assert lake.options()["data_inlining_row_limit"] == 10
+    lake.execute("RESET ducklake.data_inlining_row_limit")
+    assert lake.options()["data_inlining_row_limit"] == 0
+    # as_of_timestamp surfaces through SHOW; empty when unset
+    assert lake.execute("SHOW ducklake.as_of_timestamp").collect()[0][0] == ""
+    lake.execute("SET ducklake.as_of_timestamp = '2030-01-01T00:00:00+00:00'")
+    assert lake.execute("SHOW ducklake.as_of_timestamp").collect()[0][0] == (
+        "2030-01-01T00:00:00+00:00"
+    )
+    lake.execute("RESET ducklake.as_of_timestamp")
+    assert lake.as_of_timestamp is None
+    # unknown option names are rejected
+    with pytest.raises(LakeError):
+        lake.execute("SET ducklake.nonsense = 1")
+    with pytest.raises(LakeError):
+        lake.execute("SHOW ducklake.nonsense")
+
+
+def test_temp_table_rejected(lake):
+    """temp_table.sql: TEMP tables are not supported on the lake AM."""
+    with pytest.raises(LakeError, match="temporary tables"):
+        lake.execute("CREATE TEMP TABLE tt (a int, b int) USING ducklake")
+    with pytest.raises(LakeError, match="temporary tables"):
+        lake.execute("CREATE TEMPORARY TABLE tt (a int) USING ducklake")
