@@ -99,6 +99,25 @@ def _partition_columns(spec: list[str]) -> list[tuple[str, Column]]:
     return out
 
 
+_INTERVAL_UNITS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+    "week": 7 * 86400, "month": 30 * 86400, "year": 365 * 86400,
+}
+
+
+def _parse_interval(val) -> dt.timedelta:
+    """PG-style interval option value → timedelta ('24 hours', '7 days';
+    reference docs/settings.md:182-191)."""
+    if isinstance(val, dt.timedelta):
+        return val
+    if isinstance(val, (int, float)):
+        return dt.timedelta(seconds=val)
+    m = re.match(r"^\s*(\d+(?:\.\d+)?)\s*([a-z]+?)s?\s*$", str(val).lower())
+    if not m or m.group(2) not in _INTERVAL_UNITS:
+        raise LakeError(f"cannot parse interval {val!r} (use e.g. '24 hours')")
+    return dt.timedelta(seconds=float(m.group(1)) * _INTERVAL_UNITS[m.group(2)])
+
+
 def _parse_sort_spec(entries: Iterable[str]) -> list[dict]:
     out = []
     for e in entries:
@@ -1512,6 +1531,8 @@ class Lake:
         name: str,
         target_file_size: int | None = None,
         delete_threshold: float | None = None,
+        rewrite: bool = True,
+        merge_adjacent: bool = True,
     ) -> dict:
         """A22: the reference's two-phase VACUUM (src/pgducklake_vacuum.cpp:
         24-92):
@@ -1522,6 +1543,11 @@ class Lake:
            are physically dropped and the DV removed.
         2. ``ducklake_merge_adjacent_files``: bin-pack small files per
            partition group, applying the sort spec to rewritten files.
+
+        The upstream DuckLake dedicated functions are the same phases run
+        alone (docs/ducklake_feature_coverage.md:95-99 lists them as
+        unsupported in the reference): ``rewrite_data_files`` /
+        ``merge_adjacent_files`` below.
 
         Returns {"files_removed": n, "files_added": m, "dvs_cleared": k}.
         """
@@ -1535,19 +1561,24 @@ class Lake:
             else opts.get("rewrite_delete_threshold", 0.1)
         )
         # Phase 1: delete-ratio rewrites.
-        ratio_rewrites = {
-            f
-            for f, d in state.dvs.items()
-            if f in state.files
-            and state.files[f].rows > 0
-            and d["deleted"] / state.files[f].rows >= threshold
-        }
+        ratio_rewrites = (
+            {
+                f
+                for f, d in state.dvs.items()
+                if f in state.files
+                and state.files[f].rows > 0
+                and d["deleted"] / state.files[f].rows >= threshold
+            }
+            if rewrite
+            else set()
+        )
         # Phase 2: small-file merge groups (excluding phase-1 files).
         groups: dict[tuple, list[FileEntry]] = {}
-        for fe in state.files.values():
-            if fe.path not in ratio_rewrites and fe.bytes < target * 0.75:
-                key = tuple(sorted(fe.partition_values.items()))
-                groups.setdefault(key, []).append(fe)
+        if merge_adjacent:
+            for fe in state.files.values():
+                if fe.path not in ratio_rewrites and fe.bytes < target * 0.75:
+                    key = tuple(sorted(fe.partition_values.items()))
+                    groups.setdefault(key, []).append(fe)
         to_rewrite: list[list[FileEntry]] = [
             [state.files[f]] for f in sorted(ratio_rewrites)
         ] + [g for g in groups.values() if len(g) > 1]
@@ -1671,6 +1702,126 @@ class Lake:
                         os.unlink(full)
                         n += 1
         return n
+
+    def rewrite_data_files(
+        self, name: str, delete_threshold: float | None = None
+    ) -> dict:
+        """≙ ducklake_rewrite_data_files(): VACUUM phase 1 alone — rewrite
+        files whose deleted-row fraction meets the threshold, dropping the
+        positions physically (upstream DuckLake dedicated maintenance fn;
+        the reference only reaches it through VACUUM,
+        docs/ducklake_feature_coverage.md:99)."""
+        return self.vacuum(
+            name, delete_threshold=delete_threshold, merge_adjacent=False
+        )
+
+    def merge_adjacent_files(
+        self, name: str | None = None, target_file_size: int | None = None
+    ) -> dict:
+        """≙ ducklake_merge_adjacent_files(): VACUUM phase 2 alone —
+        bin-pack small files per partition group, no delete-ratio
+        rewrites (docs/ducklake_feature_coverage.md:96)."""
+        totals = {"files_removed": 0, "files_added": 0, "dvs_cleared": 0}
+        for tbl in [name] if name else self.list_tables():
+            r = self.vacuum(tbl, target_file_size=target_file_size, rewrite=False)
+            for k in totals:
+                totals[k] += r[k]
+        return totals
+
+    def delete_orphaned_files(
+        self,
+        name: str | None = None,
+        older_than: dt.timedelta | None = None,
+        dry_run: bool = False,
+    ) -> list[str]:
+        """≙ ducklake_delete_orphaned_files(): remove files in the table's
+        data directories that NO retained snapshot has ever tracked —
+        leftovers of crashed writers whose commit never landed
+        (docs/ducklake_feature_coverage.md:98). Distinct from
+        ``cleanup_old_files``, which GCs files that *were* committed and
+        later rewritten/removed. Returns the affected paths; with
+        ``dry_run=True`` nothing is deleted."""
+        self._check_ddl()
+        cutoff = (
+            dt.datetime.now(dt.timezone.utc) - older_than if older_than else None
+        )
+        out: list[str] = []
+        for tbl in [name] if name else self.list_tables():
+            log = self._log(tbl)
+            table_dir = self._table_dir(tbl)
+            # Every path any retained snapshot ever added (data or DV) —
+            # the checkpointed prefix is covered by replaying from v1's
+            # checkpoint chain: expire_before trims old versions, so walk
+            # what remains plus the live state.
+            tracked: set[str] = set()
+            for v in log.versions():
+                snap = log.read_snapshot(v)
+                for d in snap.get("add", []):
+                    tracked.add(d["path"])
+                for d in snap.get("dv", []):
+                    tracked.add(d["path"])
+                ckpt = snap.get("checkpoint_state")
+                if ckpt:
+                    tracked.update(f["path"] for f in ckpt.get("files", []))
+                    tracked.update(d["path"] for d in ckpt.get("dvs", {}).values())
+            state = self._state(tbl)
+            tracked.update(state.files)
+            tracked.update(d["path"] for d in state.dvs.values())
+            for ck in getattr(log, "_checkpoints", lambda: [])():
+                try:
+                    cs = log.read_checkpoint(ck)  # type: ignore[attr-defined]
+                except AttributeError:
+                    break
+                tracked.update(f["path"] for f in cs.get("files", []))
+                tracked.update(d["path"] for d in cs.get("dvs", {}).values())
+            for sub in (DATA_DIR, "_dv"):
+                root_dir = os.path.join(table_dir, sub)
+                if not os.path.isdir(root_dir):
+                    continue
+                for root, _dirs, names in os.walk(root_dir):
+                    for fname in names:
+                        full = os.path.join(root, fname)
+                        rel = os.path.relpath(full, table_dir)
+                        if rel in tracked:
+                            continue
+                        if cutoff is not None:
+                            mtime = dt.datetime.fromtimestamp(
+                                os.path.getmtime(full), dt.timezone.utc
+                            )
+                            if mtime > cutoff:
+                                continue
+                        out.append(rel)
+                        if not dry_run:
+                            os.unlink(full)
+        return sorted(out)
+
+    def checkpoint(self, name: str | None = None) -> dict:
+        """≙ upstream DuckLake ``CHECKPOINT``: all maintenance ops in one
+        call (docs/ducklake_feature_coverage.md:100) — flush inlined
+        data, rewrite high-delete files, merge adjacent small files,
+        then expire/cleanup per the ``expire_older_than`` /
+        ``delete_older_than`` options when set."""
+        self._check_ddl()
+        summary = {
+            "rows_flushed": 0, "files_removed": 0, "files_added": 0,
+            "dvs_cleared": 0, "snapshots_expired": 0, "files_cleaned": 0,
+        }
+        for tbl in [name] if name else self.list_tables():
+            summary["rows_flushed"] += self.flush_inlined_data(tbl)
+            r = self.vacuum(tbl)
+            summary["files_removed"] += r["files_removed"]
+            summary["files_added"] += r["files_added"]
+            summary["dvs_cleared"] += r["dvs_cleared"]
+            opts = self.options(tbl)
+            if opts.get("expire_older_than"):
+                summary["snapshots_expired"] += self.expire_snapshots(
+                    tbl, older_than=_parse_interval(opts["expire_older_than"])
+                )
+            if opts.get("delete_older_than") is not None:
+                summary["files_cleaned"] += self.cleanup_old_files(
+                    tbl, older_than=_parse_interval(opts["delete_older_than"])
+                )
+        return summary
 
     def merge(
         self,
