@@ -84,10 +84,17 @@ def merge(
     file_counts = {lake._uri_to_rel(table_dir, r["_dl_fp"]): r["count"] for r in hits}
     n_matched = sum(file_counts.values())
 
-    # Inline-buffer rows are not merged in v1 — refuse loudly.
+    # Inline-buffer rows are not merged in v1 — refuse loudly. Hit
+    # detection is a semi-join of the source key set against the
+    # broadcast inline buffer (tiny by contract: bounded by
+    # data_inlining_row_limit) — no driver collect of source keys, no
+    # truncation, works for arbitrarily large merge sources.
     if state.inline_rows:
-        inline_hit = lake._match_inline(
-            state, _keys_pred(on, keys, lake), schema
+        inline_df = lake._inline_df(state, schema)
+        inline_hit = (
+            keys.join(F.broadcast(inline_df.select(*on)), on, "left_semi")
+            .limit(1)
+            .count()
         )
         if inline_hit:
             raise LakeError(
@@ -222,18 +229,16 @@ def merge(
     }
 
 
-def _small(df: DataFrame) -> bool:
-    return True  # local-mode default; AQE overrides on a real cluster
+#: Merge sources at or below this row count get their key set broadcast
+#: to the affected-file probe (one map-side join, no shuffle of the
+#: target scan). Above it, the hint is omitted and the join shuffles on
+#: the merge keys — AQE may still demote it to broadcast at runtime if
+#: the distinct key set turns out small.
+BROADCAST_SOURCE_ROWS = 100_000
 
 
-def _keys_pred(on, keys_df, lake):
-    rows = keys_df.collect()
-    if not rows:
-        return F.lit(False)
-    pred = F.lit(False)
-    for r in rows[:1000]:
-        clause = F.lit(True)
-        for k in on:
-            clause = clause & (F.col(k) == F.lit(r[k]))
-        pred = pred | clause
-    return pred
+def _small(df: DataFrame, threshold_rows: int = BROADCAST_SOURCE_ROWS) -> bool:
+    """Bounded-size probe: scan stops after threshold+1 rows, so the
+    check costs O(threshold) regardless of source size — never a full
+    count of an arbitrarily large merge source."""
+    return df.limit(threshold_rows + 1).count() <= threshold_rows

@@ -157,3 +157,53 @@ def test_salted_join_equivalence(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
     prof = skew_profile(big, "key", top=1).collect()[0]
     assert prof.key == 1 and prof.n == 1000
+
+
+def test_merge_inline_guard_not_truncated(spark, lake):
+    """A merge source with thousands of distinct keys still detects a
+    matching unflushed inline row (the guard is a semi-join against the
+    broadcast inline buffer — no driver collect, no key-count cap)."""
+    lake.create_table("ti", "k int, v string")
+    lake.set_option("data_inlining_row_limit", 10, table="ti")
+    lake.insert_rows("ti", [{"k": 4999, "v": "inline"}])
+    src = spark.range(5000).select(
+        F.col("id").cast("int").alias("k"), F.lit("s").alias("v")
+    )
+    with pytest.raises(LakeError, match="flush"):
+        lake.merge("ti", src, on=["k"], when_matched_update={"v": "source.v"})
+    # a large source with NO matching key passes the guard and merges
+    src2 = spark.range(10_000, 12_000).select(
+        F.col("id").cast("int").alias("k"), F.lit("s").alias("v")
+    )
+    res = lake.merge("ti", src2, on=["k"])
+    assert res["num_inserted"] == 2000
+
+
+def test_merge_small_gate_is_bounded(spark):
+    """_small never full-counts the source: limit(threshold+1) probes."""
+    from pg_ducklake_spark.operators.merge import _small
+
+    assert _small(spark.range(10).withColumnRenamed("id", "k"))
+    assert not _small(
+        spark.range(200_000).withColumnRenamed("id", "k"), threshold_rows=1000
+    )
+
+
+def test_merge_many_key_upsert_counts(spark, lake):
+    """End-to-end merge with a multi-thousand-key source: update +
+    insert counts and values come out exact."""
+    lake.create_table("tb", "k int, v string")
+    lake.insert(
+        "tb",
+        spark.range(3000).select(
+            F.col("id").cast("int").alias("k"), F.lit("old").alias("v")
+        ),
+    )
+    src = spark.range(1000, 5000).select(
+        F.col("id").cast("int").alias("k"), F.lit("new").alias("v")
+    )
+    res = lake.merge("tb", src, on=["k"], when_matched_update={"v": "source.v"})
+    assert res == {"num_updated": 2000, "num_deleted": 0, "num_inserted": 2000}
+    got = lake.table("tb")
+    assert got.count() == 5000
+    assert got.filter("v = 'new'").count() == 4000
