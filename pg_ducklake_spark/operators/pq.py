@@ -135,13 +135,27 @@ def pq_search(
     topk: int = 10,
     rerank: int | None = None,
     corpus: DataFrame | None = None,
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Top-k by ADC score per query → (q_id, neighbor_id, score, rnk).
     With ``rerank`` (and the float ``corpus``), the top ``rerank×topk``
     ADC candidates are re-scored with exact cosine — the standard
     two-stage layout: compressed codes prune, floats only touch the
-    shortlist."""
-    q_rows = queries.select(index.id_col, index.vec_col).collect()
+    shortlist.
+
+    The query batch is materialized on the driver (its LUT ships in the
+    task closure), so it must be small; ``max_query_rows`` makes a
+    misuse fail loudly instead of OOMing the driver — chunk the query
+    set and call per chunk for larger batches."""
+    q_rows = queries.select(index.id_col, index.vec_col).limit(
+        max_query_rows + 1
+    ).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"pq_search query batch exceeds max_query_rows={max_query_rows}; "
+            "split the query set into chunks (the per-query ADC LUT is "
+            "driver-built and broadcast in the task closure)"
+        )
     q_ids = [r[0] for r in q_rows]
     q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float32))
     books, m, dsub = index.codebooks, index.m, index.dsub

@@ -61,3 +61,22 @@ def test_compression_ratio(emb, index):
     """The point of PQ: 64 float32 (256 B) → 8 codes (8 B)."""
     assert index.m * 1 <= 8  # 8 bytes of codes
     assert index.dsub * index.m == len(emb.select("embedding").first()[0])
+
+
+def test_pq_search_query_cap_raises(spark):
+    """Oversized query batches fail loudly instead of OOMing the driver."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pg_ducklake_spark.operators.pq import pq_encode, pq_search, pq_train
+
+    corpus = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 15), i -> CAST(hash(id, i) % 97 AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    index = pq_train(corpus, m=4, k=8, seed=1)
+    enc = pq_encode(index, corpus)
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        pq_search(index, enc, corpus, topk=2, max_query_rows=10)
