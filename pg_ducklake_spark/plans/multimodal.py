@@ -57,7 +57,48 @@ def mm_binary_metadata(spark, sf_dir):
     )
 
 
-@query("mm_feature_extraction")  # no oracle: Pandas-UDF decode path, rows-only check
+@query(
+    "mm_feature_extraction",
+    # The fake featurizer is deterministic byte math (UTF-8 byte stats +
+    # a mod-16 histogram), so DuckDB can recompute it from hex(encode()):
+    # byte i = 16*hexdigit(2i+1) + hexdigit(2i+2). Empty payloads follow
+    # the featurizer's single-zero-byte substitution. Integer byte sums
+    # are exact in float64 (numpy's pairwise mean == sum/n here), and
+    # log2 ulp noise is absorbed by the shared round-to-6.
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n0
+      FROM documents
+    ),
+    bytes AS (
+      SELECT media_id,
+             CASE WHEN n0 = 0 THEN 1 ELSE n0 END AS n,
+             CASE WHEN n0 = 0 THEN [0]
+                  ELSE list_transform(range(0, n0), i ->
+                    (strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1) * 16
+                    + (strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1))
+             END AS bs
+      FROM raw
+    ),
+    hist AS (
+      SELECT media_id, n, bs,
+             list_transform(range(0, 16), k ->
+               len(list_filter(bs, x -> x % 16 = k))) AS cnts
+      FROM bytes
+    )
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           ROUND(CAST(list_sum(bs) AS DOUBLE) / n, 6) AS byte_mean,
+           ROUND(-list_sum(list_transform(cnts, c ->
+             CASE WHEN c > 0
+                  THEN (CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)
+                  ELSE CAST(0.0 AS DOUBLE) END)), 6) AS entropy,
+           ROUND(CAST(cnts[1] AS DOUBLE) / n, 6) AS f0
+    FROM hist
+    ORDER BY media_id
+    """,
+)
 def mm_feature_extraction(spark, sf_dir):
     """Arrow-batched fake-decode feature extraction (mapInPandas); the
     decode stub seam is operators/multimodal.py."""

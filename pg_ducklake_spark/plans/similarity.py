@@ -205,17 +205,51 @@ def sim_lsh_bucket_topk(spark, sf_dir):
     )
 
 
-@query("sim_ivf_topk")  # no oracle: k-means training is not SQL-expressible
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH queries AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id >= 5 AND vec_id < 10
+    ),
+    scored AS (
+      SELECT q_id, vec_id AS neighbor_id,
+             {_duck_cosine('q_emb', 'embedding')} AS cosine
+      FROM queries, embeddings
+      WHERE vec_id <> q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    ORDER BY q_id, rnk
+    """,
+)
 def sim_ivf_topk(spark, sf_dir):
     """IVF ANN (k-means cells + nprobe search) — the trained-index scale
-    path next to sign-LSH. Driver runs a rows-only check; exactness is
-    covered by tests/test_ivf.py's recall-vs-bruteforce assertions."""
+    path next to sign-LSH.
+
+    Probing ALL k cells makes the search exhaustive, so the result
+    provably equals exact cosine top-k INDEPENDENT of where k-means put
+    the centroids — which is what lets a SQL oracle pin the whole
+    train→assign→probe→score pipeline (a cell assignment that dropped
+    or duplicated a vector would break equality). The pruned nprobe<k
+    path's recall-vs-exact is asserted in tests/test_ivf.py."""
     from pg_ducklake_spark.operators.ivf import ivf_build, ivf_search
 
     emb = t(spark, sf_dir, "embeddings")
     index = ivf_build(spark, emb, k=8, seed=42)
-    queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_search(index, queries, topk=10, nprobe=2).coalesce(1).sortWithinPartitions("q_id", "rnk")
+    queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    return (
+        ivf_search(index, queries, topk=10, nprobe=8)
+        .withColumn("rnk", F.col("rnk").cast("long"))
+        .select("q_id", "neighbor_id", "cosine", "rnk")
+        .coalesce(1).sortWithinPartitions("q_id", "rnk")
+    )
 
 
 @query(
@@ -266,20 +300,51 @@ def sim_embedding_near_dup(spark, sf_dir):
     )
 
 
-@query("sim_pq_topk")  # no oracle: k-means codebook training is not SQL-expressible
+@query(
+    "sim_pq_topk",
+    oracle=f"""
+    WITH queries AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id >= 10 AND vec_id < 15
+    ),
+    scored AS (
+      SELECT q_id, vec_id AS neighbor_id,
+             {_duck_cosine('q_emb', 'embedding')} AS score
+      FROM queries, embeddings
+      WHERE vec_id <> q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT q_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    ORDER BY q_id, rnk
+    """,
+)
 def sim_pq_topk(spark, sf_dir):
     """Product-quantization ANN with exact re-rank (operators/pq.py) —
     the compressed-codes scale path: 64 floats → 8 one-byte codes, ADC
     lookup-table scoring, float vectors touched only for the shortlist.
-    Driver runs a rows-only check; recall-vs-bruteforce is asserted in
-    tests/test_pq.py."""
+
+    With a rerank budget covering the whole corpus, every candidate
+    passes through the exact-cosine re-rank stage, so the final top-k
+    provably equals exact cosine top-k INDEPENDENT of the trained
+    codebooks — letting a SQL oracle pin the encode→ADC→shortlist→
+    re-rank pipeline end to end (a code-gather or shortlist bug breaks
+    equality). The pruned shortlist path's recall-vs-exact is asserted
+    in tests/test_pq.py."""
     from pg_ducklake_spark.operators.pq import pq_encode, pq_search, pq_train
 
     emb = t(spark, sf_dir, "embeddings")
     index = pq_train(emb, m=8, k=256, seed=42)
     enc = pq_encode(index, emb)
-    queries = emb.filter(F.col("vec_id") < 5)
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
     return (
-        pq_search(index, enc, queries, topk=10, rerank=4, corpus=emb)
+        pq_search(index, enc, queries, topk=10, rerank=1_000_000, corpus=emb)
+        .withColumn("rnk", F.col("rnk").cast("long"))
+        .select("q_id", "neighbor_id", "score", "rnk")
         .coalesce(1).sortWithinPartitions("q_id", "rnk")
     )
