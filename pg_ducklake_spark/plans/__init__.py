@@ -122,6 +122,7 @@ from pg_ducklake_spark.plans import similarity  # noqa: E402,F401
 from pg_ducklake_spark.plans import text  # noqa: E402,F401
 from pg_ducklake_spark.plans import multimodal  # noqa: E402,F401
 from pg_ducklake_spark.plans import lakeops  # noqa: E402,F401
+from pg_ducklake_spark.plans import clickbench  # noqa: E402,F401
 
 # Driver-sweep ordering. The external correctness sweep verifies
 # queries in dict order and has covered the first 50 entries per round;
