@@ -7,19 +7,21 @@ Prints ONE JSON line:
    "sf": <sf>}
 
 Methodology (mirrors the reference's warmup+avg shape,
-test/benchmark/bench_direct_insert.sh:17-19):
-- Each query's DataFrame is built once (Python plan construction +
-  Catalyst analysis happen here); that client-side cost is reported
-  separately as ``plan_build_sec`` because it is a constant per query
-  — it does not grow with data volume, so at the 100 TB design point
-  it amortizes to noise. The DuckDB-oracle counterpart
-  (tools/bench_oracle.py) re-binds its SQL per iteration; DuckDB's
-  bind+plan is ~1 ms/query, so excluding Spark's plan build keeps the
-  *engine execution* comparison apples-to-apples.
-- 2 warmup executions (JIT/codegen compile, OS page cache — both
-  engines get the same warmth), then ``value`` = sum over queries of
-  the mean wall time of 3 timed ``collect()`` executions: every scan,
-  shuffle, join, and result transfer re-runs each iteration.
+test/benchmark/bench_direct_insert.sh:17-19, and matches
+tools/bench_oracle.py loop-for-loop):
+- 2 warmup iterations, each a full build+execute (JIT/codegen compile,
+  parquet footers, OS page cache — both engines get the same warmth),
+  then 3 timed iterations where EACH iteration rebuilds the query's
+  DataFrame (client plan construction) and collects it (execution) —
+  exactly what the DuckDB side does per iteration (``con.execute`` =
+  parse + bind + optimize + execute in a warmed process). ``value`` is
+  the sum over queries of the mean per-iteration wall time, so it is
+  directly comparable to the oracle sweep's total; ``plan_build_sec``
+  and the implied execution remainder are reported as a breakdown.
+  Plan construction is a per-query constant — it does not grow with
+  data volume, so at the 100 TB design point it amortizes to noise;
+  it is included here because at bench scale it is not noise and
+  hiding it would flatter the comparison.
 """
 
 from __future__ import annotations
@@ -92,25 +94,36 @@ def main() -> None:
     # Session warmup: the first analysis after session start pays JVM
     # parser/analyzer class-loading (~3 s) — a once-per-process cost,
     # not a per-query one; absorb it before any query is measured.
+    # Pre-reading every table's parquet footer mirrors the oracle bench
+    # (tools/bench_oracle.py creates its DuckDB views — footer reads
+    # included — before its timing loop), keeping plan_build_sec a
+    # measure of client plan construction, not one-time schema I/O.
     spark.sql("SELECT 1").collect()
+    from pg_ducklake_spark.plans import TABLES, t as _t
+
+    for tbl in TABLES:
+        if os.path.exists(f"{sf_dir}/{tbl}.parquet"):
+            _t(spark, sf_dir, tbl)
     spark.read.parquet(f"{sf_dir}/region.parquet").limit(1).collect()
-    dfs = {}
-    build = {}
-    for name in names:
-        t0 = time.time()
-        dfs[name] = QUERIES[name](spark, sf_dir)
-        build[name] = time.time() - t0
     for _ in range(WARMUP):
         for name in names:
-            dfs[name].collect()
-    sums = dict.fromkeys(names, 0.0)
+            QUERIES[name](spark, sf_dir).collect()
+    build_sums = dict.fromkeys(names, 0.0)
+    exec_sums = dict.fromkeys(names, 0.0)
     for _ in range(ITERS):
         for name in names:
             t0 = time.time()
-            dfs[name].collect()
-            sums[name] += time.time() - t0
-    times = {n: round(v / ITERS, 4) for n, v in sums.items()}
+            df = QUERIES[name](spark, sf_dir)
+            t1 = time.time()
+            df.collect()
+            t2 = time.time()
+            build_sums[name] += t1 - t0
+            exec_sums[name] += t2 - t1
+    times = {
+        n: round((build_sums[n] + exec_sums[n]) / ITERS, 4) for n in names
+    }
     total = round(sum(times.values()), 4)
+    plan_build = round(sum(build_sums.values()) / ITERS, 4)
     print(
         json.dumps(
             {
@@ -118,13 +131,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "plan_build_sec": round(sum(build.values()), 4),
-                "total_incl_plan_build": round(total + sum(build.values()), 4),
+                "plan_build_sec": plan_build,
+                "exec_sec": round(total - plan_build, 4),
+                "total_incl_plan_build": total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warmup_iters": WARMUP,
                 "timed_iters": ITERS,
-                "timed": "execution (DataFrame built once per query; "
-                "client plan-construction reported in plan_build_sec)",
+                "timed": "build+execute per iteration (same loop as "
+                "tools/bench_oracle.py: each timed pass reconstructs the "
+                "DataFrame and collects it in a warmed process)",
             }
         )
     )

@@ -66,10 +66,10 @@ def q8_market_share(spark, sf_dir):
             "supp_nation",
         )
     )
-    nat_vol = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)
     return (
         joined.groupBy("o_year")
-        .agg((dsum(nat_vol) / dsum("volume")).alias("mkt_share"))
+        .agg((dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END")
+              / dsum("volume")).alias("mkt_share"))
         .coalesce(1).sortWithinPartitions("o_year")
     )
 
@@ -122,9 +122,9 @@ def q19_disjunctive_filter(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
            & F.col("l_quantity").between(20, 30))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.filter(c).agg(
-        dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n")
+        dsum("l_extendedprice * (1 - l_discount)").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -433,7 +433,7 @@ def rel_filter_clause_aggs(spark, sf_dir):
             F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("returned"),
             F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("discounted"),
             dsum(
-                F.when(F.col("l_quantity") > 25, F.col("l_extendedprice")).otherwise(0.0)
+                "CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0.0 END"
             ).alias("bulk_revenue"),
         )
         .orderBy("yr")

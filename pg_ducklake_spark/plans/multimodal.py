@@ -50,7 +50,7 @@ def mm_binary_metadata(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(nbytes).cast("long").alias("total_bytes"),
-            davg(nbytes.cast("double")).alias("avg_bytes"),
+            davg("CAST(octet_length(content) AS DOUBLE)").alias("avg_bytes"),
             F.max(F.octet_length("content")).cast("long").alias("max_bytes"),
         )
         .orderBy("media_type")

@@ -149,8 +149,8 @@ def pipe_embedding_quality_corr(spark, sf_dir):
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            davg(F.expr(_SPARK_QUALITY)).alias("avg_text_quality"),
-            davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+            davg(_SPARK_QUALITY).alias("avg_text_quality"),
+            davg("CAST(n_chars AS DOUBLE)").alias("avg_chars"),
         )
         .orderBy("label")
     )

@@ -103,7 +103,7 @@ def rel_outer_join_coalesce(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("s_suppkey").alias("n_suppliers"),
-            dsum(F.coalesce(F.col("s_acctbal"), F.lit(0.0))).alias("total_acctbal"),
+            dsum("coalesce(s_acctbal, 0.0)").alias("total_acctbal"),
         )
         .orderBy("n_name")
     )

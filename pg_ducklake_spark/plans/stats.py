@@ -40,8 +40,8 @@ def stats_value_moments(spark, sf_dir):
     both engines regardless of summation order."""
     ev = t(spark, sf_dir, "events")
     n = F.count(F.lit(1))
-    sx = _dsum(F.col("value"))
-    sxx = _dsum(F.col("value") * F.col("value"))
+    sx = _dsum("value")
+    sxx = _dsum("value * value")
     return (
         ev.groupBy("event_type")
         .agg(
@@ -74,11 +74,11 @@ def stats_price_quantity_corr(spark, sf_dir):
     combine and no second pass."""
     li = t(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
-    sx = _dsum(F.col("l_quantity"))
-    sy = _dsum(F.col("l_extendedprice"))
-    sxy = _dsum(F.col("l_quantity") * F.col("l_extendedprice"))
-    sxx = _dsum(F.col("l_quantity") * F.col("l_quantity"))
-    syy = _dsum(F.col("l_extendedprice") * F.col("l_extendedprice"))
+    sx = _dsum("l_quantity")
+    sy = _dsum("l_extendedprice")
+    sxy = _dsum("l_quantity * l_extendedprice")
+    sxx = _dsum("l_quantity * l_quantity")
+    syy = _dsum("l_extendedprice * l_extendedprice")
     corr = (sxy - sx * sy / n) / (
         F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
     )

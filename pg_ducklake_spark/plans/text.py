@@ -126,7 +126,7 @@ def text_quality_scores(spark, sf_dir):
         docs.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            davg(q).alias("avg_quality"),
+            davg(_SPARK_QUALITY).alias("avg_quality"),
             F.count(F.when(q >= 0.5, 1)).alias("n_keep"),
         )
         .coalesce(1).sortWithinPartitions("source")
@@ -159,7 +159,7 @@ def text_token_counts(spark, sf_dir):
         .agg(
             F.sum(ws).cast("long").alias("ws_tokens"),
             F.sum(bpe).cast("long").alias("bpe_ish_tokens"),
-            davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+            davg("CAST(n_chars AS DOUBLE)").alias("avg_chars"),
         )
         .orderBy("lang")
     )

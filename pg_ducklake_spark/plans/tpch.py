@@ -44,15 +44,14 @@ _REV = "l_extendedprice * (1 - l_discount)"
 )
 def q1_pricing_summary(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(rev).alias("sum_disc_price"),
-            dsum(rev * (1 + F.col("l_tax"))).alias("sum_charge"),
+            dsum(_REV).alias("sum_disc_price"),
+            dsum(_REV + " * (1 + l_tax)").alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),
@@ -84,12 +83,11 @@ def q3_shipping_priority(spark, sf_dir):
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
-        .agg(dsum(rev).alias("revenue"))
+        .agg(dsum(_REV).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
@@ -155,7 +153,6 @@ def q5_local_supplier_volume(spark, sf_dir):
     supp = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation")
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -166,7 +163,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(rev).alias("revenue"))
+        .agg(dsum(_REV).alias("revenue"))
         .coalesce(1).sortWithinPartitions(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -192,7 +189,7 @@ def q6_forecast_revenue(spark, sf_dir):
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        dsum("l_extendedprice * l_discount").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -282,13 +279,12 @@ def q10_returned_items(spark, sf_dir):
     )
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nat = t(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(rev).alias("revenue"))
+        .agg(dsum(_REV).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -339,10 +335,11 @@ def q14_promo_effect(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
     )
     part = t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
+
     return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
-        (F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue")
+        (F.lit(100.0)
+         * dsum(f"CASE WHEN p_type = 'ECONOMY' THEN {_REV} ELSE 0.0 END")
+         / dsum(_REV)).alias("promo_revenue")
     )
 
 
@@ -366,9 +363,8 @@ def q15_top_supplier(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(rev).alias("total_revenue")
+        dsum(_REV).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     supp = t(spark, sf_dir, "supplier")
