@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
+import urllib.request
 from typing import TYPE_CHECKING
 
 import duckdb
@@ -56,6 +58,8 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
         CREATE TABLE ducklake_delete_file(
             table_id BIGINT, data_file_path VARCHAR, delete_file_path VARCHAR,
             deleted BIGINT);
+        CREATE TABLE ducklake_dv_rows(
+            table_id BIGINT, data_file_path VARCHAR, row_index BIGINT);
         CREATE TABLE ducklake_partition_info(
             table_id BIGINT, partition_key_index BIGINT, expression VARCHAR);
         CREATE TABLE ducklake_sort_info(
@@ -115,6 +119,21 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
                 "INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?)",
                 [tid, f, os.path.join(name, d["path"]), d["deleted"]],
             )
+        # Deleted positions are also embedded verbatim: a frozen file is
+        # then self-contained metadata + plain data files, attachable
+        # from static http hosting (delete "files" are Spark-written
+        # parquet DIRECTORIES, which a static host cannot serve).
+        for p in sorted({d["path"] for d in state.dvs.values()}):
+            files_for_p = sorted(
+                f for f, d in state.dvs.items() if d["path"] == p
+            )
+            con.execute(
+                "INSERT INTO ducklake_dv_rows"
+                " SELECT ?, file, row_index FROM read_parquet(?)"
+                " WHERE file IN (SELECT unnest(CAST(? AS VARCHAR[])))",
+                [tid, os.path.join(lake.path, name, p, "*.parquet"),
+                 files_for_p],
+            )
         for i, expr in enumerate(state.partition_spec):
             con.execute(
                 "INSERT INTO ducklake_partition_info VALUES (?, ?, ?)",
@@ -165,10 +184,39 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
     con.close()
 
 
+def _is_url(path: str) -> bool:
+    return path.startswith(("http://", "https://"))
+
+
 class FrozenLake:
-    """Read-only lake served from a frozen DuckDB metadata file."""
+    """Read-only lake served from a frozen DuckDB metadata file.
+
+    ``frozen_path`` may be a local path or an http(s) URL (reference:
+    ``frozen_url`` server option, src/pgducklake_fdw.cpp:14-16,84-88;
+    test/regression/sql/frozen_fdw.sql). For a URL, the .ducklake file
+    is spooled once driver-side, and data files resolve against
+    ``dirname(url)`` — the serving host keeps the snapshot next to its
+    data, like the reference's static-hosting layout. Referenced data
+    files are mirrored locally on first table access (Spark's parquet
+    reader is filesystem-based, same spool pattern as the https CSV
+    source, sources/csv.py); executors then scan the local mirror, so
+    the one-shot download is driver-side but every scan after it is
+    fully distributed.
+    """
 
     def __init__(self, spark: SparkSession, frozen_path: str, data_root: str | None = None):
+        self._http_root: str | None = None
+        if _is_url(frozen_path):
+            url = frozen_path
+            self._http_root = data_root or url.rsplit("/", 1)[0]
+            if not _is_url(self._http_root):
+                raise LakeError(
+                    "data_root for an http(s) frozen lake must be http(s) too"
+                )
+            self._spool_root = tempfile.mkdtemp(prefix="pg_ducklake_frozen_")
+            frozen_path = os.path.join(self._spool_root, os.path.basename(url))
+            self._download(url, frozen_path)
+            data_root = self._spool_root
         if not os.path.exists(frozen_path):
             raise LakeError(f"frozen file {frozen_path} does not exist")
         self.spark = spark
@@ -214,9 +262,18 @@ class FrozenLake:
                 ).fetchall()
             except duckdb.CatalogException:  # older frozen files
                 dvs = []
+            try:
+                dv_rows = con.execute(
+                    "SELECT data_file_path, row_index FROM ducklake_dv_rows"
+                    " WHERE table_id = ?",
+                    [tid],
+                ).fetchall()
+            except duckdb.CatalogException:  # pre-embedding frozen files
+                dv_rows = None
             self._tables[name] = {"cols": cols, "files": files,
                                   "inline": [json.loads(r[0]) for r in inline],
-                                  "dvs": dvs, "name": name}
+                                  "dvs": dvs, "dv_rows": dv_rows,
+                                  "name": name}
         self._views: dict[str, dict] = {}
         self._macros: dict[str, dict] = {}
         try:
@@ -241,6 +298,24 @@ class FrozenLake:
             pass
         con.close()
 
+    @staticmethod
+    def _download(url: str, dest: str) -> None:
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        with urllib.request.urlopen(url) as resp, open(dest, "wb") as f:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+
+    def _ensure_local(self, rel: str) -> None:
+        """Mirror one referenced file from the http root, once."""
+        if self._http_root is None:
+            return
+        dest = os.path.join(self.data_root, rel)
+        if not os.path.exists(dest):
+            self._download(f"{self._http_root}/{rel}", dest)
+
     def list_tables(self) -> list[str]:
         return sorted(self._tables)
 
@@ -264,6 +339,14 @@ class FrozenLake:
         fills = {
             c: (bs, d) for c, _ty, _nl, bs, d in info["cols"] if d is not None
         }
+        if self._http_root is not None:
+            for path, _bs in info["files"]:
+                self._ensure_local(path)
+            if info.get("dvs") and info.get("dv_rows") is None:
+                raise LakeError(
+                    "frozen file predates embedded delete positions "
+                    "(ducklake_dv_rows); re-freeze it to attach over http"
+                )
         groups: dict[tuple, list[str]] = {}
         for path, file_bs in info["files"]:
             missing = tuple(
@@ -306,19 +389,27 @@ class FrozenLake:
                     T2.StructField("row_index", T2.LongType()),
                 ]
             )
-            dv_paths = sorted(
-                {os.path.join(self.data_root, p) for _f, p in info["dvs"]}
-            )
-            dv = (
-                self.spark.read.schema(dv_schema)
-                .parquet(*dv_paths)
-                .filter(F.col("file").isin([f for f, _p in info["dvs"]]))
-                .select(
-                    F.concat(
-                        F.lit(f"file:{self.data_root}/{name}/"), F.col("file")
-                    ).alias("_fp"),
-                    F.col("row_index").alias("_ri"),
+            if info.get("dv_rows") is not None:
+                # Positions embedded in the frozen file (self-contained
+                # static layout; the DV set is delete-ratio bounded, so
+                # it broadcasts).
+                dv = self.spark.createDataFrame(
+                    [(f, int(ri)) for f, ri in info["dv_rows"]], dv_schema
                 )
+            else:  # pre-embedding frozen files: read the DV parquet
+                dv_paths = sorted(
+                    {os.path.join(self.data_root, p) for _f, p in info["dvs"]}
+                )
+                dv = (
+                    self.spark.read.schema(dv_schema)
+                    .parquet(*dv_paths)
+                    .filter(F.col("file").isin([f for f, _p in info["dvs"]]))
+                )
+            dv = dv.select(
+                F.concat(
+                    F.lit(f"file:{self.data_root}/{name}/"), F.col("file")
+                ).alias("_fp"),
+                F.col("row_index").alias("_ri"),
             )
             df = df.join(F.broadcast(dv), ["_fp", "_ri"], "left_anti").drop(
                 "_fp", "_ri"

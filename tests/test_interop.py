@@ -212,3 +212,43 @@ def test_concurrent_writers_across_processes(spark, tmp_path):
     # contiguous versions: create + 80 commits, none lost or skipped
     assert state.snapshot_id == 81
     assert lake._log("t").versions() == list(range(1, 82))
+
+
+def test_frozen_lake_over_http(spark, filled, tmp_path):
+    """frozen_fdw.sql + src/pgducklake_fdw.cpp:14-16,84-88 — a frozen
+    lake attaches from an http(s) URL: the .ducklake spools once, data
+    files mirror locally on first table access, rows match the source
+    lake exactly (including DV-deleted rows staying deleted)."""
+    import functools
+    import http.server
+    import socketserver
+
+    filled.delete("t", "a = 2")  # leave a delete file in the snapshot
+    root = filled.path
+    filled.freeze(f"{root}/frozen.ducklake")
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(root)
+    )
+    with socketserver.TCPServer(("127.0.0.1", 0), handler) as httpd:
+        port = httpd.server_address[1]
+        th = threading.Thread(target=httpd.serve_forever, daemon=True)
+        th.start()
+        try:
+            frozen = Lake.attach_frozen(
+                spark, f"http://127.0.0.1:{port}/frozen.ducklake"
+            )
+            assert frozen.list_tables() == ["t"]
+            got = sorted((r.a, r.b) for r in frozen.table("t").collect())
+            assert got == [(1, "x"), (3, "z"), (4, "inline")]
+            with pytest.raises(ReadOnlyError):
+                frozen.delete("t", "a = 1")
+        finally:
+            httpd.shutdown()
+
+
+def test_frozen_http_requires_http_data_root(spark):
+    from pg_ducklake_spark.freeze import FrozenLake
+
+    with pytest.raises(LakeError, match="http"):
+        FrozenLake(spark, "http://127.0.0.1:1/x.ducklake", data_root="/local/path")
