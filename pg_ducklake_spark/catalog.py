@@ -42,6 +42,12 @@ from pg_ducklake_spark.errors import (
 LOG_DIR = "_ducklake_log"
 DATA_DIR = "data"
 CDF_DIR = "_change_data"
+TXN_DIR = "_txn"
+#: A multi-table transaction must flip its commit marker within this
+#: window of writing its per-table pending snapshots. After it, the
+#: pending snapshots are permanently aborted (checkpoints may roll past
+#: them) and the marker write refuses — bounding the two-phase limbo.
+TXN_MARKER_TIMEOUT_S = 600.0
 
 # Catalog options and their defaults (reference: docs/settings.md).
 DEFAULT_OPTIONS: dict[str, Any] = {
@@ -274,6 +280,10 @@ class SnapshotLog:
         self.log_dir = os.path.join(table_dir, LOG_DIR)
         self._cache: TableState | None = None
         self._cache_version = 0
+        # (version, txn_id, timestamp) skipped by the current replay /
+        # cached state because their commit marker was absent.
+        self._replay_unresolved: list[tuple[int, str, str]] = []
+        self._cache_unresolved: list[tuple[int, str, str]] = []
 
     # -- log primitives ----------------------------------------------------
 
@@ -302,8 +312,24 @@ class SnapshotLog:
 
     # -- state replay -------------------------------------------------------
 
+    def _txn_marker(self, txn_id: str) -> str:
+        return os.path.join(
+            os.path.dirname(self.table_dir), TXN_DIR, f"{txn_id}.commit"
+        )
+
     def _apply(self, state: TableState, snap: dict) -> None:
         sid = snap["snapshot_id"]
+        txn = snap.get("txn_pending")
+        if txn is not None and not os.path.exists(self._txn_marker(txn)):
+            # Two-phase multi-table commit: the per-table snapshot is
+            # invisible until the lake-level marker flips. Advance the
+            # version counter but apply no effects; remember it so a
+            # cached state is invalidated if the marker lands later.
+            state.snapshot_id = sid
+            self._replay_unresolved.append(
+                (sid, txn, snap.get("timestamp", ""))
+            )
+            return
         state.snapshot_id = sid
         if "schema" in snap and snap["schema"] is not None:
             state.schema = T.StructType.fromJson(snap["schema"])
@@ -378,19 +404,31 @@ class SnapshotLog:
                 f"snapshot {version} has been expired "
                 f"(oldest readable is {self.min_version()})"
             )
+        # A cached state that skipped pending txn snapshots goes stale
+        # the moment one of their markers lands — rebuild from scratch.
+        if self._cache is not None and any(
+            os.path.exists(self._txn_marker(txn))
+            for _v, txn, _ts in self._cache_unresolved
+        ):
+            self._cache = None
         if version is None or version == latest:
             if self._cache is None:
+                self._replay_unresolved = []
                 state, start = self._from_checkpoint(latest)
                 for v in self.versions():
                     if start < v <= latest:
                         self._apply(state, self.read_snapshot(v))
                 self._cache, self._cache_version = state, latest
+                self._cache_unresolved = list(self._replay_unresolved)
             else:
+                self._replay_unresolved = []
                 state = self._cache
                 for v in range(self._cache_version + 1, latest + 1):
                     self._apply(state, self.read_snapshot(v))
                 self._cache_version = latest
+                self._cache_unresolved.extend(self._replay_unresolved)
             return state
+        self._replay_unresolved = []
         state, start = self._from_checkpoint(version)
         for v in self.versions():
             if v > version:
@@ -425,10 +463,31 @@ class SnapshotLog:
         return TableState(), 0
 
     def maybe_checkpoint(self, version: int) -> None:
-        """Roll up state into a checkpoint file (best-effort, atomic)."""
+        """Roll up state into a checkpoint file (best-effort, atomic).
+
+        Deferred while the roll-up range contains a pending multi-table
+        txn snapshot younger than TXN_MARKER_TIMEOUT_S: rolling past it
+        would bake its exclusion into the checkpoint while its marker
+        may still legitimately arrive. Past the timeout the txn is
+        permanently aborted (the marker write refuses too), so the
+        exclusion is final and checkpointing may proceed.
+        """
         if version % CHECKPOINT_EVERY != 0:
             return
         state = self.replay(version)
+        now = dt.datetime.now(dt.timezone.utc)
+        unresolved = {
+            u
+            for u in self._cache_unresolved + self._replay_unresolved
+            if u[0] <= version and not os.path.exists(self._txn_marker(u[1]))
+        }
+        for _v, _txn, ts in unresolved:
+            try:
+                age = (now - dt.datetime.fromisoformat(ts)).total_seconds()
+            except ValueError:
+                age = TXN_MARKER_TIMEOUT_S + 1
+            if age < TXN_MARKER_TIMEOUT_S:
+                return  # young in-flight txn: defer this checkpoint
         tmp = os.path.join(self.log_dir, f".tmp-ckpt-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(state_to_json(state), f)

@@ -1934,12 +1934,52 @@ class _Transaction:
         staged, self.lake._txn = self.lake._txn, None
         if exc_type is not None:
             return False  # rollback: staged files never referenced → GC'd
+        if len(staged) <= 1:
+            # Single table: the per-table hard-link commit is already
+            # atomic; no marker needed.
+            for name, payload in staged.items():
+                self.lake._log(name).commit(
+                    {
+                        "operation": "INSERT",
+                        "add": payload["add"],
+                        "metrics": payload["metrics"],
+                    }
+                )
+            return False
+        # Multi-table: two-phase. Phase 1 writes each table's snapshot
+        # tagged txn_pending (invisible to every reader); phase 2 flips
+        # ONE lake-level marker file, making all of them visible in a
+        # single atomic filesystem operation — a crash anywhere before
+        # the marker leaves NO table changed (reference all-or-nothing
+        # contract, test/isolation/specs/explicit_transaction_commit.spec).
+        import time as _time
+
+        from pg_ducklake_spark.catalog import (
+            TXN_DIR,
+            TXN_MARKER_TIMEOUT_S,
+        )
+
+        txn_id = uuid.uuid4().hex
+        t0 = _time.time()
         for name, payload in staged.items():
             self.lake._log(name).commit(
                 {
                     "operation": "INSERT",
                     "add": payload["add"],
                     "metrics": payload["metrics"],
+                    "txn_pending": txn_id,
                 }
             )
+        if _time.time() - t0 > TXN_MARKER_TIMEOUT_S:
+            raise LakeError(
+                "multi-table transaction exceeded the marker window; "
+                "its pending snapshots are aborted (nothing committed)"
+            )
+        marker_dir = os.path.join(self.lake.path, TXN_DIR)
+        os.makedirs(marker_dir, exist_ok=True)
+        fd = os.open(
+            os.path.join(marker_dir, f"{txn_id}.commit"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+        os.close(fd)
         return False

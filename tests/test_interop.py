@@ -252,3 +252,98 @@ def test_frozen_http_requires_http_data_root(spark):
 
     with pytest.raises(LakeError, match="http"):
         FrozenLake(spark, "http://127.0.0.1:1/x.ducklake", data_root="/local/path")
+
+
+def _two_tables(spark, lake):
+    for n in ("ta", "tb"):
+        lake.create_table(n, "a int")
+        lake.insert(n, spark.createDataFrame([(1,)], "a int"))
+    return lake
+
+
+def test_multi_table_txn_atomic_commit(spark, lake):
+    """explicit_transaction_commit.spec — a BEGIN..COMMIT touching two
+    tables becomes visible all-at-once via one marker flip."""
+    import os as _os
+
+    from pg_ducklake_spark.catalog import TXN_DIR
+
+    _two_tables(spark, lake)
+    with lake.transaction():
+        lake.insert("ta", spark.createDataFrame([(2,)], "a int"))
+        lake.insert("tb", spark.createDataFrame([(3,)], "a int"))
+    assert lake.table("ta").count() == 2
+    assert lake.table("tb").count() == 2
+    markers = _os.listdir(_os.path.join(lake.path, TXN_DIR))
+    assert len(markers) == 1 and markers[0].endswith(".commit")
+    # a fresh attach (cold replay, separate log objects) agrees
+    fresh = Lake.attach(spark, lake.path)
+    assert fresh.table("ta").count() == 2
+    assert fresh.table("tb").count() == 2
+
+
+def test_multi_table_txn_crash_is_all_or_nothing(spark, lake, monkeypatch):
+    """Crash injected between the two phase-1 commits: NEITHER table's
+    rows are visible (the pending snapshot has no marker), matching the
+    spec's neither-or-both contract."""
+    from pg_ducklake_spark.catalog import SnapshotLog
+
+    _two_tables(spark, lake)
+    real_commit = SnapshotLog.commit
+    calls = {"n": 0}
+
+    def crashing_commit(self, snapshot, **kw):
+        if snapshot.get("txn_pending") is not None:
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise OSError("injected crash between table commits")
+        return real_commit(self, snapshot, **kw)
+
+    monkeypatch.setattr(SnapshotLog, "commit", crashing_commit)
+    with pytest.raises(OSError, match="injected"):
+        with lake.transaction():
+            lake.insert("ta", spark.createDataFrame([(2,)], "a int"))
+            lake.insert("tb", spark.createDataFrame([(3,)], "a int"))
+    monkeypatch.undo()
+    # same session AND a cold fresh attach: no partial visibility
+    assert lake.table("ta").count() == 1
+    assert lake.table("tb").count() == 1
+    fresh = Lake.attach(spark, lake.path)
+    assert fresh.table("ta").count() == 1
+    assert fresh.table("tb").count() == 1
+    # and the lake keeps working: a new clean txn commits both
+    with lake.transaction():
+        lake.insert("ta", spark.createDataFrame([(4,)], "a int"))
+        lake.insert("tb", spark.createDataFrame([(5,)], "a int"))
+    assert lake.table("ta").count() == 2
+    assert lake.table("tb").count() == 2
+
+
+def test_pending_txn_resolves_in_cached_reader(spark, lake):
+    """A reader that replayed past an unresolved pending snapshot picks
+    the data up as soon as the marker lands (cache invalidation)."""
+    import os as _os
+    import uuid as _uuid
+
+    from pg_ducklake_spark.catalog import TXN_DIR
+
+    _two_tables(spark, lake)
+    txn_id = _uuid.uuid4().hex
+    log = lake._log("ta")
+    entries = [
+        e.to_json()
+        for e in lake._write_data(
+            lake._table_dir("ta"),
+            spark.createDataFrame([(9,)], "a int"),
+            [],
+            schema=lake._state("ta").schema,
+            options=lake.options("ta"),
+        )
+    ]
+    log.commit({"operation": "INSERT", "add": entries,
+                "metrics": {}, "txn_pending": txn_id})
+    assert lake.table("ta").count() == 1  # pending: invisible, cached
+    marker_dir = _os.path.join(lake.path, TXN_DIR)
+    _os.makedirs(marker_dir, exist_ok=True)
+    open(_os.path.join(marker_dir, f"{txn_id}.commit"), "w").close()
+    assert lake.table("ta").count() == 2  # marker landed: visible
