@@ -271,28 +271,67 @@ def sim_ivf_topk(spark, sf_dir):
 def sim_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, blocked by label (the
     cheap pre-cluster key) so the pairwise check never goes quadratic
-    over the whole corpus."""
+    over the whole corpus.
+
+    Per-pair work is cut with a PROVABLY SOUND distance prefilter: for
+    unit vectors u, v, cos(u,v) = 1 - ||u-v||²/2, and any partial sum
+    of the squared distance is a lower bound on the whole — so a pair
+    whose first 8 normalized components already accumulate squared
+    distance > 0.00201 has true cosine < 0.998995 < 0.999 and is
+    discarded exactly (the 0.00001 slack dwarfs float noise, ~1e-13).
+    Survivors — a vanishing fraction — get the ORIGINAL full-width
+    cosine expression, so emitted values stay bit-identical to the
+    oracle. The 64-term pairwise dot was the hot loop (it runs per
+    joined pair, interpreted when the expression tree outgrows
+    codegen); the prefilter runs ~8× fewer operations per pair."""
     emb = t(spark, sf_dir, "embeddings")
     normed = emb.withColumn(
         "nrm", F.sqrt(F.expr(_spark_dot("embedding", "embedding")))
+    ).withColumn(
+        # unit-vector prefix, computed once per ROW (not per pair)
+        "unit8",
+        F.expr(
+            "array("
+            + ", ".join(
+                f"CAST(embedding[{i}] AS DOUBLE) / nrm" for i in range(8)
+            )
+            + ")"
+        ),
     )
     a = normed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
+        F.col("unit8").alias("u8_a"),
     )
     b = normed.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
+        F.col("unit8").alias("u8_b"),
+    )
+    partial_d2 = " + ".join(
+        f"(u8_a[{i}] - u8_b[{i}]) * (u8_a[{i}] - u8_b[{i}])" for i in range(8)
     )
     cosine = F.expr(_spark_dot("emb_a", "emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
     return (
-        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(
+            b,
+            (F.col("label_a") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b"))
+            & F.expr(f"({partial_d2}) <= 0.00201"),
+        )
+        # The nondeterministic column is a predicate-pushdown fence: it
+        # keeps the 64-term cosine out of the JOIN CONDITION, where it
+        # cannot be split into sub-methods and blows the stage out of
+        # whole-stage codegen (interpreted per-pair evaluation was the
+        # entire cost of this query). In a post-join projection the
+        # expression splits and compiles fine.
+        .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("cosine", cosine)
         .filter(F.col("cosine") > 0.999)
         .select("vec_a", "vec_b", "cosine")

@@ -173,3 +173,44 @@ def test_multimodal_resize_roundtrip(spark):
     assert out[2].content == b"\x07" * 256  # constant payload stays constant
     again = {r.media_id: r.content for r in resize_media(media, 16, 16).collect()}
     assert again[1] == out[1].content
+
+
+def test_embedding_near_dup_prefilter_exact(spark, tmp_path):
+    """The distance prefilter in sim_embedding_near_dup discards only
+    provably-below-threshold pairs: planted near-duplicates survive and
+    their cosines match the DuckDB oracle float-for-float."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_ducklake_spark.plans import ORACLES, QUERIES
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(50, 64)).astype(np.float32)
+    rows = [(i, v, i % 5) for i, v in enumerate(base)]
+    for j, src in enumerate([0, 7, 23]):
+        v = (base[src] + rng.normal(scale=1e-4, size=64)).astype(np.float32)
+        rows.append((50 + j, v, src % 5))
+    tb = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1].tolist() for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tb, os.path.join(str(tmp_path), "embeddings.parquet"))
+    got = [
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in QUERIES["sim_embedding_near_dup"](spark, str(tmp_path)).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(ORACLES["sim_embedding_near_dup"]).fetchall()]
+    assert [(a, b) for a, b, _ in got] == [(0, 50), (7, 51), (23, 52)]
+    assert got == oracle
