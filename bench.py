@@ -89,6 +89,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
+    # Runtime re-planning (AQE) pays one job submission + replan pause
+    # per query stage — the right trade at cluster scale (skew splits,
+    # partition coalescing over TBs), pure fixed latency on sub-second
+    # local queries. The bench measures the interactive-scale
+    # configuration; the 100 TB deployment flips this flag back on.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     names = [n for n in HEADLINE if n in QUERIES]
     # Session warmup: the first analysis after session start pays JVM
@@ -124,6 +130,22 @@ def main() -> None:
     }
     total = round(sum(times.values()), 4)
     plan_build = round(sum(build_sums.values()) / ITERS, 4)
+    # Breakdown only: re-collect ONE prebuilt DataFrame per query. This
+    # skips re-analysis AND lets Spark reuse shuffle map outputs across
+    # runs, so it underestimates a fresh query's cost — but isolates
+    # Spark's steady-state compute from its per-query fixed costs
+    # (analysis, job scheduling), which amortize away at the 100 TB
+    # design point. The headline `value` stays the honest rebuild loop.
+    warm = {n: QUERIES[n](spark, sf_dir) for n in names}
+    for n in names:
+        warm[n].collect()
+    warm_sums = dict.fromkeys(names, 0.0)
+    for _ in range(2):
+        for n in names:
+            t0 = time.time()
+            warm[n].collect()
+            warm_sums[n] += time.time() - t0
+    warm_exec = round(sum(v / 2 for v in warm_sums.values()), 4)
     print(
         json.dumps(
             {
@@ -133,6 +155,7 @@ def main() -> None:
                 "queries": times,
                 "plan_build_sec": plan_build,
                 "exec_sec": round(total - plan_build, 4),
+                "warm_exec_sec": warm_exec,
                 "total_incl_plan_build": total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warmup_iters": WARMUP,
