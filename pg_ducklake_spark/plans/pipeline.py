@@ -245,3 +245,101 @@ def rel_array_functions(spark, sf_dir):
             "n_positive"
         ),
     ).orderBy("vec_id")
+
+
+@query(
+    "pipe_pack_sequences",
+    # Concatenated-stream packing (operators/packing.py): running token
+    # sum cut every 1024 — same integer math spelled in SQL.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ),
+    cum AS (
+      SELECT doc_id, tok,
+             CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c0
+      FROM toks
+    ),
+    seg AS (
+      SELECT doc_id, tok, c0, c0 + tok AS c1,
+             CAST(c0 // 1024 AS BIGINT) AS b0,
+             CAST((c0 + tok - 1) // 1024 AS BIGINT) AS b1
+      FROM cum
+    ),
+    bins AS (
+      SELECT doc_id, tok, c0, c1,
+             unnest(generate_series(b0, b1)) AS bin_id
+      FROM seg
+    )
+    SELECT doc_id,
+           CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(greatest(c0, bin_id * 1024) - bin_id * 1024 AS BIGINT)
+             AS bin_offset,
+           CAST(least(c1, (bin_id + 1) * 1024)
+                - greatest(c0, bin_id * 1024) AS BIGINT) AS seg_tokens,
+           CAST(greatest(c0, bin_id * 1024) - c0 AS BIGINT)
+             AS doc_token_start
+    FROM bins
+    ORDER BY doc_id, bin_id
+    """,
+)
+def pipe_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing of the documents corpus: whitespace
+    token counts laid end-to-end in doc_id order, cut every 1024 —
+    one window pass + one explode (operators/packing.py), documents
+    crossing a cut split across consecutive bins."""
+    from pg_ducklake_spark.operators.packing import pack_sequences
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("tok")
+    )
+    packed = pack_sequences(
+        docs, token_col="tok", max_tokens=1024, order_col="doc_id",
+        id_cols=["doc_id"],
+    )
+    return packed.select(
+        "doc_id", "bin_id", "bin_offset", "seg_tokens", "doc_token_start"
+    ).coalesce(1).sortWithinPartitions("doc_id", "bin_id")
+
+
+@query(
+    "pipe_chunk_documents",
+    oracle="""
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text), 1), 100))
+               AS start
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 100 AS BIGINT) AS chunk_no,
+           CAST(start AS BIGINT) AS start,
+           CAST(length(substr(text, CAST(start AS INTEGER), 120)) AS BIGINT)
+             AS chunk_len,
+           md5(substr(text, CAST(start AS INTEGER), 120)) AS chunk_md5
+    FROM starts
+    WHERE length(substr(text, CAST(start AS INTEGER), 120)) > 0
+    ORDER BY doc_id, chunk_no
+    """,
+)
+def pipe_chunk_documents(spark, sf_dir):
+    """Overlapping fixed-width chunking (120 chars, 20 overlap) — the
+    retrieval/embedding-prep layout; chunks identified by md5 so the
+    oracle compare stays compact (operators/packing.py)."""
+    from pg_ducklake_spark.operators.packing import chunk_documents
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, text_col="text", id_col="doc_id", chunk_chars=120, overlap=20
+    )
+    return (
+        chunks.select(
+            "doc_id", "chunk_no", "start", "chunk_len",
+            F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
+        )
+        .coalesce(1).sortWithinPartitions("doc_id", "chunk_no")
+    )

@@ -269,3 +269,26 @@ def rel2_salted_skew_join(spark, sf_dir):
         .coalesce(1)
         .sortWithinPartitions("s_name")
     )
+
+
+_FUZZY_SQL = """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+"""
+
+
+@query("rel2_fuzzy_name_match", oracle=_FUZZY_SQL)
+def rel2_fuzzy_name_match(spark, sf_dir):
+    """Blocked fuzzy string join: distinct part names self-joined on
+    their first word (the blocking key — an equi-join, never all-pairs)
+    with an edit-distance ≤ 3 refinement. The same SQL text runs on
+    both engines (levenshtein/split_part are shared builtins); at scale
+    the block key bounds candidate volume exactly like an LSH band."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_FUZZY_SQL)
