@@ -1,0 +1,88 @@
+"""Connected components over a pair-edge list — the clustering step
+between near-duplicate PAIR detection (Jaccard / MinHash / SimHash,
+operators/dedup.py) and canonical-document selection: duplicates chain
+(a~b, b~c without a~c), so keep-one-per-pair under-deletes; keep one
+per COMPONENT is the correct training-data dedup contract.
+
+Algorithm: iterative minimum-label propagation with pointer jumping —
+each round every node takes the min component id over itself and its
+neighbors, then labels are compressed by one pointer-jump
+(comp ← comp[comp]), giving O(log n) rounds on chain-shaped graphs
+instead of O(diameter). Every round is two shuffles (one neighbor join,
+one jump join) on the node id; nothing ever touches the driver except
+the convergence counter. This is the standard distributed CC layout
+(the large-star/small-star family); at 100 TB the edge list is the
+scale carrier and rounds stay join-shaped throughout.
+
+Determinism: the result maps every node to the MINIMUM node id
+reachable from it — a pure graph property, independent of execution
+order, partitioning, or iteration count at convergence. That is what
+makes a SQL oracle possible (a recursive CTE computes the same min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    ``component`` is the minimum reachable node id. Raises if the
+    label propagation has not converged after ``max_iter`` rounds
+    (~2^max_iter-diameter graphs — unreachable in practice)."""
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    sym = sym.distinct().persist()
+    comp = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            comp.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "comp")
+        new = (
+            comp.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp ← comp[comp] (path compression)
+        jump = new.select(
+            F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        )
+        # localCheckpoint, not persist: each round's plan references the
+        # previous round's twice, so lineage grows exponentially and a
+        # few dozen rounds OOM the driver during analysis. Checkpointing
+        # materializes the round AND truncates the plan — the required
+        # idiom for iterative DataFrame algorithms.
+        new = (
+            new.join(jump, "comp", "left")
+            .select(
+                "node", F.coalesce("comp2", "comp").alias("comp")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(comp.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            sym.unpersist()
+            return comp.select("node", "comp")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )

@@ -416,3 +416,80 @@ def dedup_simhash_pairs(spark, sf_dir):
         .distinct()
         .coalesce(1).sortWithinPartitions("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------- connected components
+
+
+@query(
+    "dedup_components",
+    # Same shingle/Jaccard pair derivation as dedup_ngram_jaccard (at
+    # threshold 0.5), then min-reachable-id components via a recursive
+    # CTE — the graph property the distributed label-propagation
+    # operator (operators/components.py) converges to, so both engines
+    # must agree exactly.
+    oracle=f"""
+    WITH RECURSIVE shingled AS ({_DUCK_SHINGLED}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles FROM shingled
+    ),
+    pair_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM pair_inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE)
+            / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(MIN(comp) AS BIGINT) AS component
+    FROM reach
+    GROUP BY node
+    ORDER BY doc_id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-duplicate CLUSTERS: Jaccard-0.5 pair edges chained into
+    connected components (keep-one-per-component is the correct dedup
+    contract when duplicates chain a~b~c without a~c). Pair generation
+    is the library operator (operators/dedup.jaccard_pairs); the
+    component labels come from distributed min-label propagation with
+    pointer jumping (operators/components.py) — result is the minimum
+    reachable doc_id, a pure graph property both engines compute."""
+    from pg_ducklake_spark.operators.components import connected_components
+    from pg_ducklake_spark.operators.dedup import jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        rebalance(docs), text_col="text", id_col="doc_id", threshold=0.5
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        comp.select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("comp").cast("long").alias("component"),
+        )
+        .coalesce(1).sortWithinPartitions("doc_id")
+    )

@@ -214,3 +214,32 @@ def test_embedding_near_dup_prefilter_exact(spark, tmp_path):
     oracle = [tuple(r) for r in con.execute(ORACLES["sim_embedding_near_dup"]).fetchall()]
     assert [(a, b) for a, b, _ in got] == [(0, 50), (7, 51), (23, 52)]
     assert got == oracle
+
+
+def test_connected_components_chains_and_cliques(spark):
+    """Min-label propagation with pointer jumping: chains, cliques and
+    isolated pairs resolve to the min reachable id in few rounds."""
+    from pg_ducklake_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, clique 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "src long, dst long",
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from pg_ducklake_spark.operators.components import connected_components
+
+    n = 200  # pointer jumping: ~log2(200) rounds, far under max_iter
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    got = connected_components(edges)
+    assert got.filter("comp != 0").count() == 0
+    assert got.count() == n + 1
