@@ -273,17 +273,25 @@ def sim_embedding_near_dup(spark, sf_dir):
     cheap pre-cluster key) so the pairwise check never goes quadratic
     over the whole corpus.
 
-    Per-pair work is cut with a PROVABLY SOUND distance prefilter: for
-    unit vectors u, v, cos(u,v) = 1 - ||u-v||²/2, and any partial sum
-    of the squared distance is a lower bound on the whole — so a pair
-    whose first 8 normalized components already accumulate squared
-    distance > 0.00201 has true cosine < 0.998995 < 0.999 and is
-    discarded exactly (the 0.00001 slack dwarfs float noise, ~1e-13).
+    Per-pair work is cut with two PROVABLY SOUND pruning layers (the
+    oracle semantics — exact cosine > 0.999 within label — are
+    untouched; both prunes only discard pairs that cannot qualify):
+
+    1. Bucket equi-join: for unit vectors, cos > 0.999 implies
+       ||u-v||² < 0.002, hence |u₀-v₀| ≤ √0.002 < 0.0448 — so a
+       qualifying pair's dim-0 buckets (width 0.0448) differ by at
+       most 1. Joining on (label, adjacent bucket) instead of label
+       alone cuts the candidate set by the dim-0 spread (~10× here),
+       BEFORE any per-pair math runs.
+    2. Prefix distance filter in the join condition: any partial sum
+       of the squared distance lower-bounds the whole, so pairs whose
+       first 8 unit components accumulate > 0.00201 are discarded
+       exactly (5e-6 slack vs ~1e-13 float noise).
+
     Survivors — a vanishing fraction — get the ORIGINAL full-width
     cosine expression, so emitted values stay bit-identical to the
-    oracle. The 64-term pairwise dot was the hot loop (it runs per
-    joined pair, interpreted when the expression tree outgrows
-    codegen); the prefilter runs ~8× fewer operations per pair."""
+    oracle (pinned by the planted-near-duplicate test)."""
+    _W = 0.0448  # > sqrt(0.002): kept pairs differ by ≤ 1 bucket
     emb = t(spark, sf_dir, "embeddings")
     normed = emb.withColumn(
         "nrm", F.sqrt(F.expr(_spark_dot("embedding", "embedding")))
@@ -297,48 +305,90 @@ def sim_embedding_near_dup(spark, sf_dir):
             )
             + ")"
         ),
-    )
+    ).withColumn("b0", F.floor(F.col("unit8")[0] / F.lit(_W)).cast("long"))
+    # Candidates-then-hydrate: the pair join carries ONLY (id, label,
+    # bucket, 8-component unit prefix) — never the 64-float vectors.
+    # Dragging both embeddings through the multi-million-pair candidate
+    # join was ~20 GB of shuffle payload at 20k vectors; the slim join
+    # plus prefix filter leaves a shortlist, and the full vectors join
+    # back for the exact cosine on survivors only (the same
+    # floats-touch-the-shortlist layout as PQ re-ranking).
     a = normed.select(
         F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("label_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
+        F.col("label"),
         F.col("unit8").alias("u8_a"),
+        # one side probes its own and both neighbor buckets, so each
+        # qualifying pair matches the equi-key exactly once
+        F.explode(
+            F.array(F.col("b0") - 1, F.col("b0"), F.col("b0") + 1)
+        ).alias("jb"),
     )
     b = normed.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
+        F.col("label"),
         F.col("unit8").alias("u8_b"),
+        F.col("b0").alias("jb"),
     )
     partial_d2 = " + ".join(
         f"(u8_a[{i}] - u8_b[{i}]) * (u8_a[{i}] - u8_b[{i}])" for i in range(8)
     )
+    # Predicate-pushdown fence: wrapped so the predicate REFERENCES the
+    # nondeterministic _mid column — a bare deterministic conjunct gets
+    # pushed into the JOIN CONDITION, where expressions cannot be split
+    # into sub-methods and the stage falls out of whole-stage codegen
+    # into interpreted per-pair evaluation. The when() branch is always
+    # taken (_mid ≥ 0 by construction), so semantics are unchanged: the
+    # join stays a pure (label, bucket) equi-join and the prefix filter
+    # runs compiled right after it.
+    def fenced(cond):
+        return F.when(F.col("_mid") >= 0, cond).otherwise(F.lit(False))
+
+    # The repartition is a deliberate STAGE BREAK, not a distribution
+    # choice: without it the candidate filter and the 64-term hydrate
+    # cosine fuse into one whole-stage-codegen method, which exceeds
+    # the JVM method limit and silently falls back to interpreted
+    # execution for the WHOLE fused stage — including the hot
+    # million-pair filter (10× slower; the plan string still shows
+    # codegen markers). The shuffle moves only the surviving shortlist
+    # (a handful of id pairs), so its cost is nil at any scale.
+    pairs = (
+        a.join(b, ["label", "jb"])
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .filter(
+            fenced(
+                (F.col("vec_a") < F.col("vec_b"))
+                & F.expr(f"({partial_d2}) <= 0.00201")
+            )
+        )
+        .select("vec_a", "vec_b")
+        .repartition("vec_a")
+    )
+    ea = normed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = normed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     cosine = F.expr(_spark_dot("emb_a", "emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
+    # The threshold filter needs its own fence: unfenced it is pushed
+    # into the hydrate join's CONDITION, and whole-stage codegen —
+    # which fuses the entire pair+hydrate pipeline into one stage here
+    # — silently falls back to interpreted execution when the giant
+    # inlined method fails to compile (the plan string still shows
+    # codegen markers; only the runtime shows the 10× cost).
     return (
-        a.join(
-            b,
-            (F.col("label_a") == F.col("label_b"))
-            & (F.col("vec_a") < F.col("vec_b"))
-            & F.expr(f"({partial_d2}) <= 0.00201"),
-        )
-        # Predicate-pushdown fence: the threshold filter is wrapped so
-        # it REFERENCES the nondeterministic _mid column (a bare
-        # deterministic conjunct would be pushed through the project
-        # into the JOIN CONDITION — where the 64-term cosine cannot be
-        # split into sub-methods and blows the stage out of whole-stage
-        # codegen; interpreted per-pair evaluation was the entire cost
-        # of this query, 8.5s → 2.2s at sf0.1). The when() branch is
-        # always taken (_mid ≥ 0 by construction), so semantics are
-        # unchanged and the cosine evaluates only on prefilter
-        # survivors in a post-join projection.
-        .withColumn("_mid", F.monotonically_increasing_id())
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("_mid2", F.monotonically_increasing_id())
         .withColumn("cosine", cosine)
         .filter(
-            F.when(F.col("_mid") >= 0, F.col("cosine") > 0.999).otherwise(
+            F.when(F.col("_mid2") >= 0, F.col("cosine") > 0.999).otherwise(
                 F.lit(False)
             )
         )
