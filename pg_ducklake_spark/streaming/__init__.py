@@ -11,6 +11,7 @@ from pg_ducklake_spark.streaming.stream import (
     running_totals_stateful,
     stream_lake_appends,
     streaming_exact_dedup,
+    streaming_sessionize,
     windowed_event_counts,
 )
 
@@ -19,4 +20,5 @@ __all__ = [
     "windowed_event_counts",
     "running_totals_stateful",
     "streaming_exact_dedup",
+    "streaming_sessionize",
 ]

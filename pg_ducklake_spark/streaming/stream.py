@@ -128,3 +128,95 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SESS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start_us", T.LongType(), False),
+        T.StructField("session_end_us", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("closed_by", T.StringType(), False),  # gap | timeout
+    ]
+)
+
+_SESS_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    idle_timeout_minutes: int = 60,
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    — the streaming twin of the batch ``events_sessionized_gap`` query.
+
+    Per user, events accumulate into an open session; an event more
+    than ``gap_minutes`` after the previous one CLOSES the session
+    (emitted with ``closed_by='gap'``) and opens a new one. A
+    processing-time timeout closes sessions for users who simply stop
+    sending (``closed_by='timeout'``) — without it, open-session state
+    for dead users would accumulate forever; with it, state is bounded
+    by the active-user set (the watermark/timeout discipline the north
+    star requires of custom stateful operators).
+
+    Events must carry ``user_id`` and ``ts`` (timestamp). Within a
+    micro-batch, events are processed in ts order per user; state
+    holds only (start, last, count) — O(1) per user.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+        out = {k.name: [] for k in _SESS_OUT.fields}
+
+        def emit(start, last, n, why):
+            out["user_id"].append(uid)
+            out["session_start_us"].append(int(start))
+            out["session_end_us"].append(int(last))
+            out["n_events"].append(int(n))
+            out["closed_by"].append(why)
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                emit(start, last, n, "timeout")
+            state.remove()
+            yield pd.DataFrame(out)
+            return
+        start, last, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            ts_us = (
+                pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            ).sort_values()
+            for t_us in ts_us:
+                t_us = int(t_us)
+                if start is None:
+                    start, last, n = t_us, t_us, 1
+                elif t_us - last > gap_us:
+                    emit(start, last, n, "gap")
+                    start, last, n = t_us, t_us, 1
+                else:
+                    last, n = t_us, n + 1
+        if start is not None:
+            state.update((start, last, n))
+            state.setTimeoutDuration(idle_timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

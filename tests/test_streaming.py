@@ -261,3 +261,49 @@ def test_cdc_stream_starting_version(spark, lake, tmp_path):
     )
     rows = spark.sql("SELECT id FROM cdc_sv").collect()
     assert [r["id"] for r in rows] == [2]
+
+
+def test_streaming_sessionize_gap_and_state(spark, lake, tmp_path):
+    """Gap-based streaming sessionization: a session closes when a later
+    event arrives past the gap (emitted closed_by='gap'); open sessions
+    persist in state across micro-batches."""
+    import datetime as dt
+
+    from pg_ducklake_spark.streaming import stream_lake_appends
+    from pg_ducklake_spark.streaming.stream import streaming_sessionize
+
+    lake.create_table("sev", "user_id bigint, ts timestamp_ntz")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    lake.insert(
+        "sev",
+        spark.createDataFrame(
+            [
+                (1, ts(0)), (1, ts(5)), (1, ts(10)),   # session A
+                (1, ts(120)), (1, ts(125)),            # session B (gap 110m)
+                (2, ts(0)),                            # open session
+            ],
+            "user_id bigint, ts timestamp_ntz",
+        ),
+    )
+    rows: list = []
+    q = (
+        streaming_sessionize(stream_lake_appends(lake, "sev"), gap_minutes=30)
+        .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = [
+        (r.user_id, r.n_events, r.closed_by,
+         (r.session_end_us - r.session_start_us) // 60_000_000)
+        for r in rows
+    ]
+    # only user 1's first session closed (by gap); sessions B and user
+    # 2's stay open in state
+    assert closed == [(1, 3, "gap", 10)]
