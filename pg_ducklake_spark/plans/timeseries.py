@@ -146,3 +146,81 @@ def ts_time_bucket_rollup(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), davg("value").alias("avg_value"))
         .orderBy("bucket", "event_type")
     )
+
+
+@query(
+    "ts_gap_fill_locf",
+    # Gap-fill a dense per-(user, minute) grid and carry the last
+    # observation forward — the hypertable locf/interpolate shape.
+    # min(value) is the per-minute observation (exact on both engines);
+    # the LOCF window is ROWS UNBOUNDED PRECEDING..CURRENT with
+    # IGNORE NULLS on each side.
+    oracle="""
+    WITH grid AS (
+      SELECT u.user_id,
+             unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-01 03:59:00',
+                                    INTERVAL 1 MINUTE)) AS minute
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 5) u
+    ),
+    obs AS (
+      SELECT user_id, date_trunc('minute', ts) AS minute,
+             MIN(value) AS v
+      FROM events
+      WHERE user_id < 5
+        AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-01 04:00:00'
+      GROUP BY user_id, date_trunc('minute', ts)
+    )
+    SELECT g.user_id, g.minute, obs.v AS observed,
+           last_value(obs.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.minute
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM grid g LEFT JOIN obs ON obs.user_id = g.user_id
+                             AND obs.minute = g.minute
+    ORDER BY g.user_id, g.minute
+    """,
+)
+def ts_gap_fill_locf(spark, sf_dir):
+    """Dense-grid gap fill with last-observation-carried-forward: the
+    minute grid comes from one explode (no driver loop), observations
+    left-join onto it, and the fill is a single per-user window —
+    one shuffle on user_id, scale-independent of gap width."""
+    from pyspark.sql import Window
+
+    all_ev = t(spark, sf_dir, "events")
+    ev = all_ev.filter(
+        (F.col("user_id") < 5)
+        & (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-01 04:00:00").cast("timestamp_ntz"))
+    )
+    # grid users come from the whole table (not the time window), so a
+    # user idle through the window still gets an all-NULL filled series
+    users = all_ev.filter(F.col("user_id") < 5).select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "sequence(TIMESTAMP_NTZ '2024-01-01 00:00:00',"
+                " TIMESTAMP_NTZ '2024-01-01 03:59:00', INTERVAL 1 MINUTE)"
+            )
+        ).alias("minute"),
+    )
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").cast("timestamp_ntz").alias("minute")
+    ).agg(F.min("value").alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "minute"], "left")
+        .select(
+            "user_id",
+            "minute",
+            F.col("v").alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("filled"),
+        )
+        .coalesce(1).sortWithinPartitions("user_id", "minute")
+    )
