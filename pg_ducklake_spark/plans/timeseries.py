@@ -224,3 +224,125 @@ def ts_gap_fill_locf(spark, sf_dir):
         )
         .coalesce(1).sortWithinPartitions("user_id", "minute")
     )
+
+
+@query(
+    "ts_gap_fill_interpolate",
+    # Linear interpolation between the bracketing observations; NULL
+    # outside the observed range. The lerp is written with identical
+    # operation order on both engines (IEEE-exact), rounded to 6 to
+    # absorb nothing-but-paranoia; epoch-minute arithmetic is integer.
+    oracle="""
+    WITH grid AS (
+      SELECT u.user_id,
+             unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-01 03:59:00',
+                                    INTERVAL 1 MINUTE)) AS minute
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 5) u
+    ),
+    obs AS (
+      SELECT user_id, date_trunc('minute', ts) AS minute,
+             MIN(value) AS v
+      FROM events
+      WHERE user_id < 5
+        AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-01 04:00:00'
+      GROUP BY user_id, date_trunc('minute', ts)
+    ),
+    brk AS (
+      SELECT g.user_id, g.minute, obs.v,
+             CAST(epoch(g.minute) AS BIGINT) / 60 AS m,
+             last_value(obs.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN obs.v IS NOT NULL
+                             THEN CAST(epoch(g.minute) AS BIGINT) / 60 END
+                        IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+             first_value(obs.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.minute
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN obs.v IS NOT NULL
+                              THEN CAST(epoch(g.minute) AS BIGINT) / 60 END
+                         IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.minute
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm
+      FROM grid g LEFT JOIN obs ON obs.user_id = g.user_id
+                               AND obs.minute = g.minute
+    )
+    SELECT user_id, minute, v AS observed,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (CAST(m - pm AS DOUBLE)
+                                 / CAST(nm - pm AS DOUBLE))
+             ELSE NULL END, 6) AS interpolated
+    FROM brk
+    ORDER BY user_id, minute
+    """,
+)
+def ts_gap_fill_interpolate(spark, sf_dir):
+    """Linear interpolation over the dense minute grid: each gap minute
+    lerps between its bracketing observations (two ignore-nulls windows
+    over ONE user_id shuffle — no self-join, no range explosion);
+    minutes outside the observed range stay NULL."""
+    from pyspark.sql import Window
+
+    all_ev = t(spark, sf_dir, "events")
+    ev = all_ev.filter(
+        (F.col("user_id") < 5)
+        & (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-01 04:00:00").cast("timestamp_ntz"))
+    )
+    users = all_ev.filter(F.col("user_id") < 5).select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "sequence(TIMESTAMP_NTZ '2024-01-01 00:00:00',"
+                " TIMESTAMP_NTZ '2024-01-01 03:59:00', INTERVAL 1 MINUTE)"
+            )
+        ).alias("minute"),
+    )
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").cast("timestamp_ntz").alias("minute")
+    ).agg(F.min("value").alias("v"))
+    m = (F.unix_timestamp(F.col("minute").cast("timestamp")) / 60).cast("long")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("minute")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_m = F.when(F.col("v").isNotNull(), m)
+    base = (
+        grid.join(obs, ["user_id", "minute"], "left")
+        .withColumn("m", m)
+        .withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("pm", F.last(obs_m, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nm", F.first(obs_m, ignorenulls=True).over(wn))
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("m") - F.col("pm")).cast("double")
+        / (F.col("nm") - F.col("pm")).cast("double")
+    )
+    return (
+        base.select(
+            "user_id",
+            "minute",
+            F.col("v").alias("observed"),
+            F.round(
+                F.when(F.col("v").isNotNull(), F.col("v"))
+                .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), lerp)
+                .otherwise(F.lit(None)),
+                6,
+            ).alias("interpolated"),
+        )
+        .coalesce(1).sortWithinPartitions("user_id", "minute")
+    )
