@@ -90,3 +90,29 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(text_col),
         }
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling by hash threshold — the
+    training-data MIXING primitive (e.g. keep 100% of wiki, 10% of
+    crawl): a row survives iff h32(id) % 10000 < fraction * 10000 for
+    its stratum. Purely map-side (no shuffle, no RNG state), exactly
+    reproducible across engines/runs/partitionings, and composable —
+    re-sampling a sample with a smaller fraction yields the sample of
+    the smaller fraction (thresholds nest)."""
+    from pg_ducklake_spark.functions.hashing import h32
+
+    thresh = F.lit(int(default_fraction * 10_000))
+    for k, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == k, F.lit(int(frac * 10_000))
+        ).otherwise(thresh)
+    return df.filter(
+        (h32(F.col(id_col).cast("string")) % 10_000) < thresh
+    )

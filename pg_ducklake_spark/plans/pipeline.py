@@ -343,3 +343,47 @@ def pipe_chunk_documents(spark, sf_dir):
         )
         .coalesce(1).sortWithinPartitions("doc_id", "chunk_no")
     )
+
+
+@query(
+    "pipe_stratified_sample",
+    # Same md5-derived hash threshold spelled in DuckDB: row survives
+    # iff h32(doc_id) % 10000 < per-source permille threshold.
+    oracle=f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM (
+      SELECT source, doc_id,
+             (((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * CAST(268435456 AS BIGINT) + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * CAST(16777216 AS BIGINT) + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * CAST(1048576 AS BIGINT) + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * CAST(65536 AS BIGINT) + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * CAST(4096 AS BIGINT) + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * CAST(256 AS BIGINT) + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * CAST(16 AS BIGINT) + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1) * CAST(1 AS BIGINT))) % 10000 AS bucket
+      FROM documents) x
+    WHERE bucket < CASE
+        WHEN source IN ('src0', 'src1') THEN 10000
+        WHEN source IN ('src2', 'src3') THEN 2500
+        ELSE 500 END
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pipe_stratified_sample(spark, sf_dir):
+    """Deterministic training-mix sampling: keep 100% of src0/src1,
+    25% of src2/src3, 5% of everything else — by md5-hash threshold
+    (operators/text.sample_stratified), map-side, no RNG, exactly
+    reproducible on both engines."""
+    from pg_ducklake_spark.operators.text import sample_stratified
+
+    docs = t(spark, sf_dir, "documents")
+    fractions = {"src0": 1.0, "src1": 1.0, "src2": 0.25, "src3": 0.25}
+    kept = sample_stratified(
+        docs, strata_col="source", fractions=fractions,
+        id_col="doc_id", default_fraction=0.05,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("source")
+    )

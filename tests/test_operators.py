@@ -243,3 +243,29 @@ def test_connected_components_long_chain_converges(spark):
     got = connected_components(edges)
     assert got.filter("comp != 0").count() == 0
     assert got.count() == n + 1
+
+
+def test_sample_stratified_deterministic_and_nested(spark):
+    """Hash-threshold sampling: per-stratum fractions approximately hold,
+    results are identical across runs/partitionings, and a smaller
+    fraction's sample nests inside a larger one."""
+    from pg_ducklake_spark.operators.text import sample_stratified
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(4000)],
+        "doc_id long, source string",
+    )
+    s1 = sample_stratified(df, "source", {"a": 0.5, "b": 0.1})
+    s2 = sample_stratified(df.repartition(13), "source", {"a": 0.5, "b": 0.1})
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    ids2 = sorted(r.doc_id for r in s2.collect())
+    assert ids1 == ids2  # partitioning-independent
+    counts = {r.source: r.cnt for r in s1.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")
+    ).collect()}
+    assert abs(counts["a"] / 2000 - 0.5) < 0.05
+    assert abs(counts["b"] / 2000 - 0.1) < 0.03
+    smaller = set(
+        r.doc_id for r in sample_stratified(df, "source", {"a": 0.2, "b": 0.05}).collect()
+    )
+    assert smaller <= set(ids1)  # thresholds nest
