@@ -110,8 +110,14 @@ def pipe_crossmodal_dup_check(spark, sf_dir):
     docs = rebalance(t(spark, sf_dir, "documents")).select("doc_id", fp.alias("h"))
     d1 = docs.select(F.col("doc_id").alias("doc_a"), "h")
     d2 = docs.select(F.col("doc_id").alias("doc_b"), "h")
-    pairs = d1.join(d2, "h").filter(F.col("doc_a") < F.col("doc_b")).select(
-        "doc_a", "doc_b"
+    pairs = (
+        d1.join(d2, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        # stage break: keeps the fingerprint-pair stage and the 64-term
+        # hydrate cosine out of one fused codegen method (the silent
+        # interpreted-fallback trap); moves only the duplicate-pair ids
+        .repartition("doc_a")
     )
     emb = t(spark, sf_dir, "embeddings")
     ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("emb_a"))
