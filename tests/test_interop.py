@@ -347,3 +347,34 @@ def test_pending_txn_resolves_in_cached_reader(spark, lake):
     _os.makedirs(marker_dir, exist_ok=True)
     open(_os.path.join(marker_dir, f"{txn_id}.commit"), "w").close()
     assert lake.table("ta").count() == 2  # marker landed: visible
+
+
+def test_frozen_http_partitioned_table(spark, lake, tmp_path):
+    """Partitioned tables freeze into nested data paths; the http mirror
+    must recreate the layout (URL path joining + makedirs per level)."""
+    import functools
+    import http.server
+    import socketserver
+
+    lake.create_table("pt", "k int, cat string", partition_by=["cat"])
+    lake.insert(
+        "pt",
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a"), (4, "c")], "k int, cat string"
+        ),
+    )
+    lake.freeze(f"{lake.path}/pfrozen.ducklake")
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(lake.path)
+    )
+    with socketserver.TCPServer(("127.0.0.1", 0), handler) as httpd:
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            frozen = Lake.attach_frozen(
+                spark, f"http://127.0.0.1:{port}/pfrozen.ducklake"
+            )
+            got = sorted((r.k, r.cat) for r in frozen.table("pt").collect())
+            assert got == [(1, "a"), (2, "b"), (3, "a"), (4, "c")]
+        finally:
+            httpd.shutdown()
