@@ -175,8 +175,8 @@ _SWEEP_FIRST = [
     "stats_price_quantity_corr",
     "stats_histogram_fixed_bins",
     "rel2_salted_skew_join",
-    "rel2_inequality_join",
-    "rel2_first_last_value_frames",
+    "ts_gap_fill_locf",
+    "pipe_stratified_sample",
     "tpch_q9_product_profit",
     "tpch_q18_large_volume_customer",
     "events_sessionized_gap",

@@ -217,8 +217,8 @@ def lake_schema_evolution(spark, sf_dir):
     oracle="""
     SELECT n_name,
            CAST(count(*) AS BIGINT) AS n_suppliers,
-           CAST(sum(round(CAST(s_acctbal AS DECIMAL(18,2)) * 0.9, 2))
-                AS DECIMAL(18,2)) AS discounted
+           round(CAST(sum(round(CAST(s_acctbal AS DECIMAL(18,2)) * 0.9, 2))
+                      AS DOUBLE), 2) AS discounted
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     WHERE s_acctbal > 0
     GROUP BY n_name
@@ -252,7 +252,7 @@ def lake_view_macro(spark, sf_dir):
         """
         SELECT n_name,
                count(*) AS n_suppliers,
-               CAST(sum(discounted(s_acctbal)) AS DECIMAL(18,2)) AS discounted
+               round(CAST(sum(discounted(s_acctbal)) AS DOUBLE), 2) AS discounted
         FROM supp_by_nation
         WHERE s_acctbal > 0
         GROUP BY n_name
