@@ -15,17 +15,64 @@ Both are pure column/window operators (no Python in the loop):
   fixed-width character chunks (sequence + substr, one explode), the
   retrieval/embedding-prep shape.
 
-Scale notes: the running sum uses one global window by default; for
-100 TB pass ``partition_by`` (e.g. a shard column) to pack within
-shards in parallel — bins never span shards, which is what a
-multi-node tokenizer wants anyway. chunk_documents is embarrassingly
-parallel (per-row explode, no shuffle).
+Scale notes: the unsharded running sum is a two-pass distributed
+prefix sum — deterministic range-bucketing on the order column,
+per-bucket token subtotals (bounded collect: one row per bucket),
+exclusive bucket offsets broadcast back, then a per-bucket window for
+the local running sum. No stage ever sees more than ~1/num_buckets of
+the corpus, so the global total order costs the same as a sharded
+pack; passing ``partition_by`` (e.g. a shard column) still packs
+within shards with zero driver round-trips. chunk_documents is
+embarrassingly parallel (per-row explode, no shuffle).
 """
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _range_bucket_expr(df: DataFrame, order_col: str, num_buckets: int):
+    """A deterministic range-bucket column for ``order_col``.
+
+    Samples the order column with a fixed seed (same trick as Spark's
+    RangePartitioner, but with the boundaries materialized as literals
+    so the bucket id is a *deterministic pure function of the row* —
+    re-executions and recomputed stages always agree), then counts how
+    many boundaries each value exceeds. Works for any orderable type
+    (strings included). The sample collect is bounded: ~64 values per
+    bucket regardless of corpus size.
+    """
+    if num_buckets <= 1:
+        return F.lit(0)
+    n = df.count()
+    if n == 0:
+        return F.lit(0)
+    target = 64 * num_buckets
+    fraction = min(1.0, target / n)
+    sample = [
+        r[0]
+        for r in df.select(order_col).sample(False, fraction, seed=42).collect()
+        if r[0] is not None
+    ]
+    sample.sort()
+    if len(sample) < 2:
+        return F.lit(0)
+    step = len(sample) / num_buckets
+    bounds: list = []
+    for i in range(1, num_buckets):
+        b = sample[min(int(i * step), len(sample) - 1)]
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+    if not bounds:
+        return F.lit(0)
+    return functools.reduce(
+        operator.add,
+        [(F.col(order_col) > F.lit(b)).cast("int") for b in bounds],
+    )
 
 
 def pack_sequences(
@@ -53,15 +100,37 @@ def pack_sequences(
     out = df.withColumn("_tok", F.col(token_col).cast("long")).filter(
         F.col("_tok") > 0
     )
-    w = (
-        Window.partitionBy(partition_by).orderBy(order_col)
-        if partition_by
-        else Window.partitionBy().orderBy(order_col)
-    )
-    c_before = F.coalesce(
-        F.sum("_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
-    )
+    if partition_by:
+        w = Window.partitionBy(partition_by).orderBy(order_col)
+        c_before = F.coalesce(
+            F.sum("_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+    else:
+        # Two-pass distributed prefix sum: a global Window.orderBy would
+        # drag the whole corpus through ONE task (WindowExec warns
+        # "No Partition Defined"); instead bucket rows into contiguous
+        # ranges of the total order, sum tokens per bucket (tiny
+        # collect: one long per bucket), and give each bucket its
+        # exclusive prefix as a broadcast offset. The per-bucket window
+        # then computes the same exact running sum with every stage
+        # partition-parallel.
+        num_buckets = out.sparkSession.sparkContext.defaultParallelism
+        out = out.withColumn("_bkt", _range_bucket_expr(out, order_col, num_buckets))
+        subs = {
+            r["_bkt"]: r["_sub"]
+            for r in out.groupBy("_bkt").agg(F.sum("_tok").alias("_sub")).collect()
+        }
+        offsets, run = [], 0
+        for b in range(max(subs, default=0) + 1):
+            offsets.append(run)
+            run += subs.get(b, 0)
+        off_arr = F.array(*[F.lit(v).cast("long") for v in offsets])
+        w = Window.partitionBy("_bkt").orderBy(order_col)
+        c_before = F.element_at(off_arr, F.col("_bkt") + 1) + F.coalesce(
+            F.sum("_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
     out = (
         out.withColumn("_c0", c_before)
         .withColumn("_c1", F.col("_c0") + F.col("_tok"))

@@ -132,3 +132,20 @@ def test_lake_scan_prunes_files(spark, lake):
     assert len(prune_files(state, "a < 1000")) == 3
     got = lake.scan("t", "a >= 250").count()
     assert got == 50
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    """The unsharded pack_sequences path must never plan a
+    single-partition WindowExec (the 100 TB scale-killer): the running
+    sum is a two-pass distributed prefix sum, so every Window node in
+    the plan is partitioned by the range bucket."""
+    from pg_ducklake_spark.plans import QUERIES
+
+    df = QUERIES["pipe_pack_sequences"](spark, sf_dir)
+    s = plan_of(df)
+    win = [ln for ln in s.splitlines() if "windowspecdefinition" in ln]
+    assert win, "expected a Window node in pack_sequences plan"
+    for ln in win:
+        # A partitioned window renders its partition keys inside the
+        # windowspecdefinition; the bucket column must be among them.
+        assert "_bkt" in ln, f"unpartitioned Window: {ln.strip()}"
