@@ -167,6 +167,7 @@ class Lake:
         self.as_of_timestamp: dt.datetime | str | None = None  # A17 session GUC
         self._logs: dict[str, SnapshotLog] = {}
         self._txn: dict[str, dict] | None = None
+        self._sql_txn: "_Transaction | None" = None  # BEGIN..COMMIT prompt state
         if not os.path.isdir(self.path):
             if not create or read_only:
                 raise LakeError(f"lake path {self.path} does not exist")
@@ -1851,6 +1852,33 @@ class Lake:
         """Multi-statement write batch → one snapshot per touched table
         (documented deviation from PG BEGIN..COMMIT; SURVEY.md §7.3)."""
         return _Transaction(self)
+
+    def begin(self) -> None:
+        """Open a prompt-level transaction (``BEGIN`` at the SQL prompt,
+        reference test/regression/sql/transaction.sql:3-6). Inserts
+        between BEGIN and COMMIT stage invisibly; COMMIT publishes them
+        atomically, ROLLBACK discards them."""
+        if self._sql_txn is not None:
+            raise LakeError("a transaction is already in progress")
+        txn = self.transaction()
+        txn.__enter__()
+        self._sql_txn = txn
+
+    def commit(self) -> None:
+        """COMMIT the prompt-level transaction opened by :meth:`begin`."""
+        if self._sql_txn is None:
+            raise LakeError("no transaction in progress")
+        txn, self._sql_txn = self._sql_txn, None
+        txn.__exit__(None, None, None)
+
+    def rollback(self) -> None:
+        """ROLLBACK the prompt-level transaction: staged writes are
+        discarded and their data files are never referenced (GC'd by
+        cleanup), matching the reference's rollback invisibility."""
+        if self._sql_txn is None:
+            raise LakeError("no transaction in progress")
+        txn, self._sql_txn = self._sql_txn, None
+        txn.__exit__(LakeError, LakeError("ROLLBACK"), None)
 
     # ------------------------------------------------------ change feed — in
     # pg_ducklake_spark/changefeed.py (kept separate; imported lazily)

@@ -169,6 +169,20 @@ def execute(lake: "Lake", sql: str) -> Any:
     if head in ("SELECT", "WITH", "TABLE", "VALUES", "EXPLAIN", "DESCRIBE"):
         return lake.sql(stmt)
 
+    # Prompt-level transactions (reference transaction.sql:3-6: BEGIN;
+    # INSERT ...; COMMIT; — atomic publish, ROLLBACK invisibility).
+    if head == "BEGIN" or (
+        head == "START" and re.match(r"^START\s+TRANSACTION$", stmt, re.I)
+    ):
+        lake.begin()
+        return None
+    if head in ("COMMIT", "END"):
+        lake.commit()
+        return None
+    if head in ("ROLLBACK", "ABORT"):
+        lake.rollback()
+        return None
+
     if head == "CREATE":
         if _TEMP_TABLE.match(stmt):
             # Parity: the reference rejects TEMP tables on its AM

@@ -161,3 +161,52 @@ def test_temp_table_rejected(lake):
         lake.execute("CREATE TEMP TABLE tt (a int, b int) USING ducklake")
     with pytest.raises(LakeError, match="temporary tables"):
         lake.execute("CREATE TEMPORARY TABLE tt (a int) USING ducklake")
+
+
+def test_begin_commit_publishes_atomically(lake):
+    """transaction.sql:3-6 — BEGIN; INSERT; COMMIT publishes the batch;
+    the insert is invisible between BEGIN and COMMIT."""
+    lake.execute("CREATE TABLE t (id INT)")
+    lake.execute("INSERT INTO t VALUES (1)")
+    lake.execute("BEGIN")
+    lake.execute("INSERT INTO t VALUES (2), (3)")
+    # staged, not yet visible
+    assert lake.execute("SELECT count(*) AS n FROM t").collect()[0]["n"] == 1
+    lake.execute("COMMIT")
+    assert lake.execute("SELECT count(*) AS n FROM t").collect()[0]["n"] == 3
+
+
+def test_rollback_discards_staged_writes(lake):
+    lake.execute("CREATE TABLE t (id INT)")
+    lake.execute("BEGIN")
+    lake.execute("INSERT INTO t VALUES (1), (2)")
+    lake.execute("ROLLBACK")
+    assert lake.execute("SELECT count(*) AS n FROM t").collect()[0]["n"] == 0
+    # the lake is usable afterwards; a new autocommit insert lands
+    lake.execute("INSERT INTO t VALUES (9)")
+    assert lake.execute("SELECT count(*) AS n FROM t").collect()[0]["n"] == 1
+
+
+def test_txn_statement_errors(lake):
+    lake.execute("CREATE TABLE t (id INT)")
+    with pytest.raises(LakeError, match="no transaction"):
+        lake.execute("COMMIT")
+    with pytest.raises(LakeError, match="no transaction"):
+        lake.execute("ROLLBACK")
+    lake.execute("START TRANSACTION")
+    with pytest.raises(LakeError, match="already in progress"):
+        lake.execute("BEGIN")
+    lake.execute("ABORT")
+
+
+def test_begin_commit_multi_table_atomic(lake):
+    """Multi-table BEGIN..COMMIT goes through the two-phase marker:
+    both tables' rows appear, and both snapshots share the marker."""
+    lake.execute("CREATE TABLE a (id INT)")
+    lake.execute("CREATE TABLE b (id INT)")
+    lake.execute("BEGIN")
+    lake.execute("INSERT INTO a VALUES (1)")
+    lake.execute("INSERT INTO b VALUES (2)")
+    lake.execute("COMMIT")
+    assert lake.execute("SELECT count(*) AS n FROM a").collect()[0]["n"] == 1
+    assert lake.execute("SELECT count(*) AS n FROM b").collect()[0]["n"] == 1
