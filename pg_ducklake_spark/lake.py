@@ -155,9 +155,30 @@ class Lake:
         read_only: bool = False,
         create: bool = True,
         role: str = "admin",
+        role_names: dict[str, str] | None = None,
     ):
-        if role not in ("admin", "writer", "reader"):
-            raise LakeError(f"unknown role {role!r} (admin | writer | reader)")
+        # Deployment-configurable role names ≙ the reference's
+        # ducklake.superuser_role / writer_role / reader_role GUCs
+        # (src/pgducklake_guc.cpp:57-74): the three *tiers* are fixed,
+        # the names a deployment binds to them are not. ``role`` accepts
+        # either a canonical tier or a custom name from the mapping.
+        names = {"admin": "admin", "writer": "writer", "reader": "reader"}
+        if role_names:
+            unknown = set(role_names) - set(names)
+            if unknown:
+                raise LakeError(
+                    f"unknown role tiers in role_names: {sorted(unknown)} "
+                    "(admin | writer | reader)"
+                )
+            names.update(role_names)
+        by_name = {v: k for k, v in names.items()}
+        tier = by_name.get(role) or (role if role in names else None)
+        if tier is None:
+            raise LakeError(
+                f"unknown role {role!r} ({' | '.join(names.values())})"
+            )
+        role = tier
+        self.role_names = names
         self.spark = spark
         self.path = os.path.abspath(path)
         self.read_only = read_only or role == "reader"

@@ -89,3 +89,22 @@ def test_read_only_implies_reader(acl_lake, spark):
     rw = Lake.attach(spark, acl_lake.path, read_only=False)
     assert rw.role == "admin"
     rw.vacuum("acl_test")
+
+
+def test_configurable_role_names(spark, tmp_path):
+    """ducklake.superuser_role/writer_role/reader_role GUC analog
+    (src/pgducklake_guc.cpp:57-74): deployments rename the three
+    predefined roles; tier semantics are unchanged."""
+    custom = {"admin": "lake_root", "writer": "etl", "reader": "analyst"}
+    lake = Lake(spark, str(tmp_path / "rn"), role="lake_root", role_names=custom)
+    assert lake.role == "admin" and lake.role_names["reader"] == "analyst"
+    lake.create_table("t", "id int")
+    ro = Lake(spark, lake.path, create=False, role="analyst", role_names=custom)
+    assert ro.role == "reader" and ro.read_only
+    # canonical tier names still resolve, unknown names do not
+    assert Lake(spark, lake.path, create=False, role="writer",
+                role_names=custom).role == "writer"
+    with pytest.raises(LakeError, match="unknown role"):
+        Lake(spark, lake.path, create=False, role="admin2", role_names=custom)
+    with pytest.raises(LakeError, match="unknown role tiers"):
+        Lake(spark, lake.path, create=False, role_names={"boss": "x"})
