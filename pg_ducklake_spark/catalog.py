@@ -164,6 +164,10 @@ class SnapshotInfo:
     metrics: dict[str, int]
     commit_message: str | None = None
     cdf_path: str | None = None
+    # ≙ ducklake_snapshot_changes (author, commit_message,
+    # commit_extra_info), src/pgducklake_metadata_manager.cpp:735
+    author: str | None = None
+    commit_extra_info: str | None = None
 
 
 @dataclass
@@ -236,6 +240,8 @@ def state_to_json(state: TableState) -> dict:
                 "metrics": s.metrics,
                 "commit_message": s.commit_message,
                 "cdf_path": s.cdf_path,
+                "author": s.author,
+                "commit_extra_info": s.commit_extra_info,
             }
             for s in state.history
         ],
@@ -278,6 +284,11 @@ class SnapshotLog:
     def __init__(self, table_dir: str):
         self.table_dir = table_dir
         self.log_dir = os.path.join(table_dir, LOG_DIR)
+        # Session commit metadata stamped onto every snapshot (≙ the
+        # author / commit_extra_info columns of ducklake_snapshot_changes,
+        # src/pgducklake_metadata_manager.cpp:735). Refreshed by the
+        # owning Lake before each commit.
+        self.session_meta: dict[str, Any] = {}
         self._cache: TableState | None = None
         self._cache_version = 0
         # (version, txn_id, timestamp) skipped by the current replay /
@@ -386,6 +397,8 @@ class SnapshotLog:
                 metrics=snap.get("metrics", {}),
                 commit_message=snap.get("commit_message"),
                 cdf_path=snap.get("cdf_path"),
+                author=snap.get("author"),
+                commit_extra_info=snap.get("commit_extra_info"),
             )
         )
 
@@ -586,6 +599,9 @@ class SnapshotLog:
         (src/pgducklake_metadata_manager.cpp:294-404).
         """
         os.makedirs(self.log_dir, exist_ok=True)
+        for k, v in self.session_meta.items():
+            if v is not None and snapshot.get(k) is None:
+                snapshot[k] = v
         for attempt in range(max_retries):
             latest = self.latest_version()
             if (

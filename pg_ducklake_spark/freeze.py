@@ -43,7 +43,8 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
         CREATE TABLE ducklake_metadata(key VARCHAR, value VARCHAR);
         CREATE TABLE ducklake_snapshot(
             table_name VARCHAR, snapshot_id BIGINT, snapshot_time VARCHAR,
-            schema_version BIGINT, operation VARCHAR, commit_message VARCHAR);
+            schema_version BIGINT, operation VARCHAR, author VARCHAR,
+            commit_message VARCHAR, commit_extra_info VARCHAR);
         CREATE TABLE ducklake_table(
             table_id BIGINT, table_name VARCHAR, path VARCHAR,
             path_is_relative BOOLEAN, current_snapshot BIGINT);
@@ -103,9 +104,9 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
             )
         for s in state.history:
             con.execute(
-                "INSERT INTO ducklake_snapshot VALUES (?, ?, ?, ?, ?, ?)",
+                "INSERT INTO ducklake_snapshot VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
                 [name, s.snapshot_id, s.timestamp, s.schema_version, s.operation,
-                 s.commit_message],
+                 s.author, s.commit_message, s.commit_extra_info],
             )
         for fe in state.files.values():
             con.execute(

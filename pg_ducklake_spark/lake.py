@@ -64,6 +64,15 @@ _SORT_RE = re.compile(
 )
 
 
+def _os_user() -> str | None:
+    try:
+        import getpass
+
+        return getpass.getuser()
+    except Exception:
+        return None
+
+
 def _parse_schema(schema: str | T.StructType) -> T.StructType:
     if isinstance(schema, T.StructType):
         return schema
@@ -156,6 +165,7 @@ class Lake:
         create: bool = True,
         role: str = "admin",
         role_names: dict[str, str] | None = None,
+        author: str | None = None,
     ):
         # Deployment-configurable role names ≙ the reference's
         # ducklake.superuser_role / writer_role / reader_role GUCs
@@ -186,6 +196,11 @@ class Lake:
         # reader = SELECT only, writer = +DML, admin = +DDL/maintenance.
         self.role = "reader" if self.read_only else role
         self.as_of_timestamp: dt.datetime | str | None = None  # A17 session GUC
+        # Commit provenance (≙ author / commit_extra_info of
+        # ducklake_snapshot_changes): author defaults to the OS user like
+        # PG's session user; extra info is opt-in per session.
+        self.author: str | None = author or _os_user()
+        self.commit_extra_info: str | None = None
         self._logs: dict[str, SnapshotLog] = {}
         self._txn: dict[str, dict] | None = None
         self._sql_txn: "_Transaction | None" = None  # BEGIN..COMMIT prompt state
@@ -222,7 +237,12 @@ class Lake:
     def _log(self, name: str) -> SnapshotLog:
         if name not in self._logs:
             self._logs[name] = SnapshotLog(self._table_dir(name))
-        return self._logs[name]
+        log = self._logs[name]
+        log.session_meta = {
+            "author": self.author,
+            "commit_extra_info": self.commit_extra_info,
+        }
+        return log
 
     def _state(self, name: str, version: int | None = None) -> TableState:
         log = self._log(name)
@@ -1195,7 +1215,9 @@ class Lake:
                 dt.datetime.fromisoformat(s.timestamp) if s.timestamp else None,
                 s.schema_version,
                 s.operation,
+                s.author,
                 s.commit_message,
+                s.commit_extra_info,
                 json.dumps(s.metrics) if s.metrics else "{}",
             )
             for s in state.history
@@ -1206,7 +1228,9 @@ class Lake:
                 T.StructField("snapshot_time", T.TimestampType()),
                 T.StructField("schema_version", T.LongType()),
                 T.StructField("operation", T.StringType()),
+                T.StructField("author", T.StringType()),
                 T.StructField("commit_message", T.StringType()),
+                T.StructField("commit_extra_info", T.StringType()),
                 T.StructField("metrics", T.StringType()),
             ]
         )

@@ -125,7 +125,8 @@ def _guc_name(raw: str) -> str:
     from pg_ducklake_spark.catalog import DEFAULT_OPTIONS
 
     name = _GUC_ALIASES.get(raw.lower(), raw.lower())
-    if name != "as_of_timestamp" and name not in DEFAULT_OPTIONS:
+    session_level = ("as_of_timestamp", "author", "commit_author", "commit_extra_info")
+    if name not in session_level and name not in DEFAULT_OPTIONS:
         raise LakeError(f"unrecognized option {raw!r}")
     return name
 
@@ -159,8 +160,14 @@ def execute(lake: "Lake", sql: str) -> Any:
         m = _SHOW_GUC.match(stmt)
         if m:
             name = _guc_name(m.group("name"))
-            value = (lake.as_of_timestamp if name == "as_of_timestamp"
-                     else lake.options().get(name))
+            if name == "as_of_timestamp":
+                value = lake.as_of_timestamp
+            elif name in ("author", "commit_author"):
+                value = lake.author
+            elif name == "commit_extra_info":
+                value = lake.commit_extra_info
+            else:
+                value = lake.options().get(name)
             return lake.spark.createDataFrame(
                 [("" if value is None else str(value),)], f"`{name}` string"
             )
@@ -400,6 +407,10 @@ def execute(lake: "Lake", sql: str) -> Any:
             val = _literal(m.group("value"))
             if name == "as_of_timestamp":
                 lake.as_of_timestamp = None if val in (None, "") else val
+            elif name in ("author", "commit_author"):
+                lake.author = None if val in (None, "") else str(val)
+            elif name == "commit_extra_info":
+                lake.commit_extra_info = None if val in (None, "") else str(val)
             else:
                 lake.set_option(name, val)
             return None
@@ -411,6 +422,12 @@ def execute(lake: "Lake", sql: str) -> Any:
             name = _guc_name(m.group("name"))
             if name == "as_of_timestamp":
                 lake.as_of_timestamp = None
+            elif name in ("author", "commit_author"):
+                from pg_ducklake_spark.lake import _os_user
+
+                lake.author = _os_user()
+            elif name == "commit_extra_info":
+                lake.commit_extra_info = None
             else:
                 from pg_ducklake_spark.catalog import DEFAULT_OPTIONS
 

@@ -186,6 +186,8 @@ def _hammer_inline_inserts(args):
     lake.path = lake_path
     lake.read_only = False
     lake.as_of_timestamp = None
+    lake.author = f"worker-{worker}"
+    lake.commit_extra_info = None
     lake._logs = {}
     lake._txn = None
     for i in range(n):
@@ -378,3 +380,36 @@ def test_frozen_http_partitioned_table(spark, lake, tmp_path):
             assert got == [(1, "a"), (2, "b"), (3, "a"), (4, "c")]
         finally:
             httpd.shutdown()
+
+
+def test_snapshot_author_and_extra_info(spark, tmp_path):
+    """Snapshot provenance parity (ducklake_snapshot_changes author /
+    commit_message / commit_extra_info,
+    src/pgducklake_metadata_manager.cpp:735): stamped on commits,
+    surfaced by snapshots(), exported by freeze."""
+    lake = Lake(spark, str(tmp_path / "prov"), author="etl_bot")
+    lake.create_table("t", "a int")
+    lake.commit_extra_info = '{"job": 17}'
+    lake.insert(
+        "t", spark.createDataFrame([(1,)], "a int"), message="load batch"
+    )
+    snaps = {r.snapshot_id: r for r in lake.snapshots("t").collect()}
+    last = snaps[lake.current_snapshot("t")]
+    assert last.author == "etl_bot"
+    assert last.commit_message == "load batch"
+    assert last.commit_extra_info == '{"job": 17}'
+    # SET/SHOW GUC surface
+    lake.execute("SET ducklake.author = 'alice'")
+    lake.execute("INSERT INTO t VALUES (2)")
+    rows = lake.snapshots("t").collect()
+    assert rows[-1].author == "alice"
+    assert lake.execute("SHOW ducklake.author").collect()[0][0] == "alice"
+    # freeze carries all three columns
+    out = str(tmp_path / "prov.ducklake")
+    lake.freeze(out)
+    con = duckdb.connect(out, read_only=True)
+    got = con.execute(
+        "SELECT author, commit_message, commit_extra_info FROM"
+        " ducklake_snapshot WHERE commit_message = 'load batch'"
+    ).fetchone()
+    assert got == ("etl_bot", "load batch", '{"job": 17}')
