@@ -328,15 +328,25 @@ class SnapshotLog:
             os.path.dirname(self.table_dir), TXN_DIR, f"{txn_id}.commit"
         )
 
+    def _txn_abort_marker(self, txn_id: str) -> str:
+        return os.path.join(
+            os.path.dirname(self.table_dir), TXN_DIR, f"{txn_id}.abort"
+        )
+
     def _apply(self, state: TableState, snap: dict) -> None:
         sid = snap["snapshot_id"]
         txn = snap.get("txn_pending")
         if txn is not None and not os.path.exists(self._txn_marker(txn)):
+            state.snapshot_id = sid
+            if os.path.exists(self._txn_abort_marker(txn)):
+                # Phase 1 failed (or the marker window lapsed): the txn
+                # is permanently aborted — skip with no deferral and no
+                # cache-invalidation tracking.
+                return
             # Two-phase multi-table commit: the per-table snapshot is
             # invisible until the lake-level marker flips. Advance the
             # version counter but apply no effects; remember it so a
             # cached state is invalidated if the marker lands later.
-            state.snapshot_id = sid
             self._replay_unresolved.append(
                 (sid, txn, snap.get("timestamp", ""))
             )
@@ -492,7 +502,9 @@ class SnapshotLog:
         unresolved = {
             u
             for u in self._cache_unresolved + self._replay_unresolved
-            if u[0] <= version and not os.path.exists(self._txn_marker(u[1]))
+            if u[0] <= version
+            and not os.path.exists(self._txn_marker(u[1]))
+            and not os.path.exists(self._txn_abort_marker(u[1]))
         }
         for _v, _txn, ts in unresolved:
             try:
@@ -511,6 +523,66 @@ class SnapshotLog:
             pass
         finally:
             os.unlink(tmp)
+        # Close the clock-skew race with the marker writer: this
+        # checkpoint baked in the EXCLUSION of the timed-out pending
+        # snapshots, but a writer on a skewed clock may have flipped a
+        # commit marker between our age check and the link above. If any
+        # marker exists now, discard the checkpoint — it is a derived
+        # cache, and a full-log replay (which sees the marker) stays the
+        # source of truth. The writer independently sweeps checkpoints
+        # after flipping its marker, so either side closes the window.
+        if unresolved and any(
+            os.path.exists(self._txn_marker(txn)) for _v, txn, _ts in unresolved
+        ):
+            try:
+                os.unlink(final)
+            except OSError:
+                pass
+
+    def resolve_txn_snapshot(self, version: int, committed: bool) -> None:
+        """Fold a txn marker's outcome into snapshot ``version`` itself
+        (atomic rewrite), so the marker file is no longer load-bearing:
+        committed → drop the ``txn_pending`` tag; aborted → replace the
+        snapshot with an effect-free ROLLBACK record. After every
+        referencing snapshot is resolved, the marker can be GC'd without
+        changing the visibility of ANY replay, including time travel."""
+        snap = self.read_snapshot(version)
+        if "txn_pending" not in snap:
+            return
+        if committed:
+            snap.pop("txn_pending")
+        else:
+            snap = {
+                "snapshot_id": version,
+                "timestamp": snap.get("timestamp", ""),
+                "operation": "ROLLBACK",
+                "metrics": {},
+            }
+        tmp = os.path.join(self.log_dir, f".tmp-rs-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, os.path.join(self.log_dir, f"{version:020d}.json"))
+        self._cache = None
+
+    def drop_checkpoints_at_or_after(self, version: int) -> None:
+        """Remove checkpoint files at ``version`` or later (they may have
+        baked in the exclusion of a txn whose marker just flipped).
+        Checkpoints are derived caches — dropping them is always safe."""
+        if not self.exists():
+            return
+        for fname in os.listdir(self.log_dir):
+            if not fname.endswith(".ckpt.json"):
+                continue
+            try:
+                v = int(fname.split(".")[0])
+            except ValueError:
+                continue
+            if v >= version:
+                try:
+                    os.unlink(os.path.join(self.log_dir, fname))
+                except OSError:
+                    pass
+        self._cache = None  # cached state may predate the marker flip
 
     def min_version(self) -> int:
         """Oldest still-readable snapshot (1 unless history was expired)."""

@@ -22,6 +22,7 @@ import json
 import os
 import tempfile
 import urllib.request
+import uuid
 from typing import TYPE_CHECKING
 
 import duckdb
@@ -135,6 +136,21 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
                 [tid, os.path.join(lake.path, name, p, "*.parquet"),
                  files_for_p],
             )
+        if state.dvs:
+            # Fail loudly if the glob/filter above matched fewer rows
+            # than the snapshot says are deleted — a silent shortfall
+            # would resurface deleted rows in the frozen lake.
+            embedded = con.execute(
+                "SELECT count(*) FROM ducklake_dv_rows WHERE table_id = ?",
+                [tid],
+            ).fetchone()[0]
+            expected = sum(d["deleted"] for d in state.dvs.values())
+            if embedded != expected:
+                con.close()
+                raise LakeError(
+                    f"freeze: embedded {embedded} deleted positions for "
+                    f"table {name!r} but the snapshot records {expected}"
+                )
         for i, expr in enumerate(state.partition_spec):
             con.execute(
                 "INSERT INTO ducklake_partition_info VALUES (?, ?, ?)",
@@ -301,13 +317,22 @@ class FrozenLake:
 
     @staticmethod
     def _download(url: str, dest: str) -> None:
+        # Download to a temp name and rename into place: an interrupted
+        # transfer must never leave a truncated file where a later
+        # _ensure_local would treat it as a complete mirror.
         os.makedirs(os.path.dirname(dest), exist_ok=True)
-        with urllib.request.urlopen(url) as resp, open(dest, "wb") as f:
-            while True:
-                chunk = resp.read(1 << 20)
-                if not chunk:
-                    break
-                f.write(chunk)
+        tmp = f"{dest}.tmp-{uuid.uuid4().hex}"
+        try:
+            with urllib.request.urlopen(url) as resp, open(tmp, "wb") as f:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+            os.rename(tmp, dest)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def _ensure_local(self, rel: str) -> None:
         """Mirror one referenced file from the http root, once."""
@@ -393,7 +418,15 @@ class FrozenLake:
             if info.get("dv_rows") is not None:
                 # Positions embedded in the frozen file (self-contained
                 # static layout; the DV set is delete-ratio bounded, so
-                # it broadcasts).
+                # it broadcasts). An EMPTY embedded set alongside
+                # recorded delete files means the freeze-time embed
+                # missed — erroring beats silently resurrecting rows.
+                if not info["dv_rows"]:
+                    raise LakeError(
+                        f"frozen table {name!r} records delete files but "
+                        "embeds no deleted positions; the frozen file is "
+                        "inconsistent (re-freeze the source lake)"
+                    )
                 dv = self.spark.createDataFrame(
                     [(f, int(ri)) for f, ri in info["dv_rows"]], dv_schema
                 )

@@ -39,6 +39,7 @@ from pg_ducklake_spark.catalog import (
     CDF_DIR,
     DATA_DIR,
     DEFAULT_OPTIONS,
+    TXN_DIR,
     FileEntry,
     SnapshotLog,
     TableState,
@@ -1598,6 +1599,10 @@ class Lake:
         Returns {"files_removed": n, "files_added": m, "dvs_cleared": k}.
         """
         self._check_ddl()
+        # Lake-level housekeeping piggybacked on VACUUM: fold resolved
+        # multi-table txn markers into their snapshots and delete them,
+        # bounding the _txn/ directory and per-replay marker probes.
+        self.gc_txn_markers()
         state = self._state(name)
         opts = self.options(name)
         target = int(target_file_size or opts["target_file_size"])
@@ -1869,6 +1874,41 @@ class Lake:
                 )
         return summary
 
+    def gc_txn_markers(self) -> int:
+        """Garbage-collect resolved multi-table txn markers.
+
+        Markers would otherwise accumulate forever (one file plus one
+        ``exists()`` probe per replay, per txn). For each marker, fold
+        its outcome into every referencing snapshot file (atomic
+        rewrite — committed snapshots shed their pending tag, aborted
+        ones become effect-free ROLLBACK records), then delete the
+        marker: no replay, including time travel, changes visibility.
+        Returns the number of markers removed."""
+        txn_dir = os.path.join(self.path, TXN_DIR)
+        if not os.path.isdir(txn_dir):
+            return 0
+        removed = 0
+        tables = self.list_tables()
+        for fname in sorted(os.listdir(txn_dir)):
+            if fname.endswith(".commit"):
+                committed = True
+            elif fname.endswith(".abort"):
+                committed = False
+            else:
+                continue
+            txn_id = fname.rsplit(".", 1)[0]
+            for tbl in tables:
+                log = self._log(tbl)
+                for v in log.versions():
+                    if log.read_snapshot(v).get("txn_pending") == txn_id:
+                        log.resolve_txn_snapshot(v, committed)
+            try:
+                os.unlink(os.path.join(txn_dir, fname))
+                removed += 1
+            except OSError:
+                pass
+        return removed
+
     def merge(
         self,
         target: str,
@@ -2033,26 +2073,55 @@ class _Transaction:
         )
 
         txn_id = uuid.uuid4().hex
+        marker_dir = os.path.join(self.lake.path, TXN_DIR)
+
+        def _abort() -> None:
+            # A durable abort record: replays skip the pending snapshots
+            # immediately (no 600 s checkpoint deferral) and vacuum can
+            # GC the marker once checkpoints cover the snapshots.
+            os.makedirs(marker_dir, exist_ok=True)
+            try:
+                fd = os.open(
+                    os.path.join(marker_dir, f"{txn_id}.abort"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.close(fd)
+            except FileExistsError:
+                pass
+
         t0 = _time.time()
-        for name, payload in staged.items():
-            self.lake._log(name).commit(
-                {
-                    "operation": "INSERT",
-                    "add": payload["add"],
-                    "metrics": payload["metrics"],
-                    "txn_pending": txn_id,
-                }
-            )
+        versions: dict[str, int] = {}
+        try:
+            for name, payload in staged.items():
+                versions[name] = self.lake._log(name).commit(
+                    {
+                        "operation": "INSERT",
+                        "add": payload["add"],
+                        "metrics": payload["metrics"],
+                        "txn_pending": txn_id,
+                    }
+                )
+        except BaseException:
+            if versions:  # phase 1 failed partway: abort what landed
+                _abort()
+            raise
         if _time.time() - t0 > TXN_MARKER_TIMEOUT_S:
+            _abort()
             raise LakeError(
                 "multi-table transaction exceeded the marker window; "
                 "its pending snapshots are aborted (nothing committed)"
             )
-        marker_dir = os.path.join(self.lake.path, TXN_DIR)
         os.makedirs(marker_dir, exist_ok=True)
         fd = os.open(
             os.path.join(marker_dir, f"{txn_id}.commit"),
             os.O_CREAT | os.O_EXCL | os.O_WRONLY,
         )
         os.close(fd)
+        # A concurrent checkpointer on a skewed clock may have rolled a
+        # checkpoint past our pending snapshots between their commit and
+        # the marker flip, baking in their exclusion. Checkpoints are
+        # derived caches: drop any at-or-after our snapshots so replay
+        # re-derives state with the marker visible.
+        for name, v in versions.items():
+            self.lake._log(name).drop_checkpoints_at_or_after(v)
         return False

@@ -195,19 +195,24 @@ def streaming_sessionize(
             yield pd.DataFrame(out)
             return
         start, last, n = state.get if state.exists else (None, None, 0)
-        for pdf in pdfs:
-            ts_us = (
-                pd.to_datetime(pdf["ts"]).astype("int64") // 1000
-            ).sort_values()
-            for t_us in ts_us:
-                t_us = int(t_us)
-                if start is None:
-                    start, last, n = t_us, t_us, 1
-                elif t_us - last > gap_us:
-                    emit(start, last, n, "gap")
-                    start, last, n = t_us, t_us, 1
-                else:
-                    last, n = t_us, n + 1
+        # A group's micro-batch data can arrive as SEVERAL Arrow chunks;
+        # sorting per chunk would process events out of global ts order
+        # whenever a user spans chunks. State stays O(1), but the batch
+        # must be ordered as a whole: concatenate, then sort once.
+        chunks = [pd.to_datetime(pdf["ts"]).astype("int64") // 1000 for pdf in pdfs]
+        ts_all = pd.concat(chunks).sort_values() if chunks else pd.Series([], dtype="int64")
+        for t_us in ts_all:
+            t_us = int(t_us)
+            if start is None:
+                start, last, n = t_us, t_us, 1
+            elif t_us - last > gap_us:
+                emit(start, last, n, "gap")
+                start, last, n = t_us, t_us, 1
+            else:
+                # Cross-batch stragglers (t_us <= last possible when a
+                # late event lands in a later micro-batch) extend the
+                # session's count but never move its end backwards.
+                last, n = max(last, t_us), n + 1
         if start is not None:
             state.update((start, last, n))
             state.setTimeoutDuration(idle_timeout_minutes * 60 * 1000)

@@ -413,3 +413,89 @@ def test_snapshot_author_and_extra_info(spark, tmp_path):
         " ducklake_snapshot WHERE commit_message = 'load batch'"
     ).fetchone()
     assert got == ("etl_bot", "load batch", '{"job": 17}')
+
+
+def test_phase1_failure_writes_abort_marker(spark, lake, monkeypatch):
+    """A phase-1 crash leaves a durable .abort record so checkpoints
+    are not deferred for the whole marker window and replays skip the
+    orphaned pending snapshots immediately."""
+    import os as _os
+
+    from pg_ducklake_spark.catalog import TXN_DIR, SnapshotLog
+
+    _two_tables(spark, lake)
+    real_commit = SnapshotLog.commit
+    calls = {"n": 0}
+
+    def crashing_commit(self, snapshot, **kw):
+        if snapshot.get("txn_pending") is not None:
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise OSError("injected crash")
+        return real_commit(self, snapshot, **kw)
+
+    monkeypatch.setattr(SnapshotLog, "commit", crashing_commit)
+    with pytest.raises(OSError):
+        with lake.transaction():
+            lake.insert("ta", spark.createDataFrame([(2,)], "a int"))
+            lake.insert("tb", spark.createDataFrame([(3,)], "a int"))
+    monkeypatch.undo()
+    markers = _os.listdir(_os.path.join(lake.path, TXN_DIR))
+    assert any(m.endswith(".abort") for m in markers)
+    assert lake.table("ta").count() == 1
+
+
+def test_txn_marker_gc_preserves_visibility(spark, lake):
+    """vacuum GC folds marker outcomes into the snapshots and removes
+    the marker files; visibility (including cold replay and time
+    travel) is unchanged."""
+    import os as _os
+
+    from pg_ducklake_spark.catalog import TXN_DIR
+
+    _two_tables(spark, lake)
+    with lake.transaction():
+        lake.insert("ta", spark.createDataFrame([(2,)], "a int"))
+        lake.insert("tb", spark.createDataFrame([(3,)], "a int"))
+    pre_version = lake.current_snapshot("ta")
+    txn_dir = _os.path.join(lake.path, TXN_DIR)
+    assert any(m.endswith(".commit") for m in _os.listdir(txn_dir))
+    removed = lake.gc_txn_markers()
+    assert removed == 1
+    assert not _os.listdir(txn_dir)
+    # visibility unchanged, cold replay agrees, time travel still works
+    assert lake.table("ta").count() == 2
+    fresh = Lake.attach(spark, lake.path)
+    assert fresh.table("ta").count() == 2
+    assert fresh.table("tb").count() == 2
+    assert fresh.time_travel("ta", pre_version).count() == 2
+    assert fresh.time_travel("ta", pre_version - 1).count() == 1
+
+
+def test_committed_marker_drops_stale_checkpoints(spark, lake):
+    """If a checkpoint rolled past a pending snapshot before its commit
+    marker flipped (clock-skew race), the writer's post-marker sweep
+    removes it so no replay can resurrect the exclusion."""
+    import os as _os
+
+    _two_tables(spark, lake)
+    with lake.transaction():
+        lake.insert("ta", spark.createDataFrame([(2,)], "a int"))
+        lake.insert("tb", spark.createDataFrame([(3,)], "a int"))
+    v = lake.current_snapshot("ta")
+    log = lake._log("ta")
+    # forge a stale checkpoint at the txn's version, as if a skewed
+    # checkpointer had rolled past it pre-marker (excluding the txn)
+    stale = lake._state("ta", v - 1)
+    import json as _json
+
+    from pg_ducklake_spark.catalog import state_to_json
+
+    sj = state_to_json(stale)
+    sj["snapshot_id"] = v
+    with open(_os.path.join(log.log_dir, f"{v:020d}.ckpt.json"), "w") as f:
+        _json.dump(sj, f)
+    log._cache = None
+    assert lake.table("ta").count() == 1  # poisoned by the stale ckpt
+    log.drop_checkpoints_at_or_after(v)
+    assert lake.table("ta").count() == 2  # full replay sees the marker
