@@ -22,11 +22,47 @@ from pg_ducklake_spark.plans import query, rebalance, t
 _DIM = 64
 
 # Element-ordered exact dot product / norm, identical across engines.
-# Unrolled (not aggregate/zip_with): higher-order array functions run
-# interpreted per element in Spark; a flat 64-term sum stays inside
-# whole-stage codegen — ~10× faster in the pairwise scoring hot path.
-# Left-associated addition in both dialects → bit-identical doubles.
-def _spark_dot(a: str, b: str) -> str:
+# Two physical strategies for the same value, chosen per corpus size —
+# the expression-level analog of a planner's compiled-vs-interpreted
+# decision:
+#   * unrolled 64-term flat sum: stays inside whole-stage codegen,
+#     ~10× faster per pair than interpreted higher-order functions —
+#     the right choice when pair volume is large (codegen source
+#     generation, ~0.25 s of driver CPU per execution for these trees,
+#     amortizes over seconds of scoring);
+#   * aggregate(zip_with(...)) fold: a ~30-node tree that plans in
+#     ~1 ms — the right choice when the corpus is small and the
+#     unrolled tree's source-generation would exceed the scoring work.
+# Both are left-associated double adds over the same element order
+# (fold starts at 0.0, and 0.0 + t0 == t0 in IEEE round-to-nearest for
+# every t0 that can arise from a dense embedding), so the emitted
+# doubles are bit-identical to each other and to the oracle.
+_FOLD_BELOW_BYTES = 64 * 1024 * 1024
+
+
+def _use_fold(sf_dir: str) -> bool:
+    """Planner heuristic: interpreted fold when the embeddings table is
+    small enough that per-pair scoring is cheaper than generating the
+    unrolled expression's codegen source."""
+    import os
+
+    try:
+        return os.path.getsize(f"{sf_dir}/embeddings.parquet") < _FOLD_BELOW_BYTES
+    except OSError:
+        return False
+
+
+def _fold_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _spark_dot(a: str, b: str, fold: bool = False) -> str:
+    if fold:
+        return _fold_dot(a, b)
     terms = " + ".join(
         f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(_DIM)
     )
@@ -82,7 +118,7 @@ def sim_bruteforce_topk(spark, sf_dir):
     Norms are precomputed per row (sqrt is a pure function, so the
     value is bit-identical to the oracle's per-pair recompute)."""
     emb = t(spark, sf_dir, "embeddings").withColumn(
-        "nrm", F.sqrt(F.expr(_spark_dot("embedding", "embedding")))
+        "nrm", F.sqrt(F.expr(_spark_dot("embedding", "embedding", fold=_use_fold(sf_dir))))
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"),
@@ -96,7 +132,7 @@ def sim_bruteforce_topk(spark, sf_dir):
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
             (
-                F.expr(_spark_dot("q_emb", "embedding"))
+                F.expr(_spark_dot("q_emb", "embedding", fold=_use_fold(sf_dir)))
                 / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )
@@ -176,7 +212,7 @@ def sim_lsh_bucket_topk(spark, sf_dir):
     the bucket id — the shape that scales to billions of vectors."""
     emb = rebalance(t(spark, sf_dir, "embeddings"))
     bucketed = emb.withColumn("bucket", F.expr(_spark_bucket("embedding"))).withColumn(
-        "nrm", F.sqrt(F.expr(_spark_dot("embedding", "embedding")))
+        "nrm", F.sqrt(F.expr(_spark_dot("embedding", "embedding", fold=_use_fold(sf_dir))))
     )
     queries = bucketed.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"),
@@ -191,7 +227,7 @@ def sim_lsh_bucket_topk(spark, sf_dir):
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
             (
-                F.expr(_spark_dot("q_emb", "embedding"))
+                F.expr(_spark_dot("q_emb", "embedding", fold=_use_fold(sf_dir)))
                 / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )
@@ -294,7 +330,7 @@ def sim_embedding_near_dup(spark, sf_dir):
     _W = 0.0448  # > sqrt(0.002): kept pairs differ by ≤ 1 bucket
     emb = t(spark, sf_dir, "embeddings")
     normed = emb.withColumn(
-        "nrm", F.sqrt(F.expr(_spark_dot("embedding", "embedding")))
+        "nrm", F.sqrt(F.expr(_spark_dot("embedding", "embedding", fold=_use_fold(sf_dir))))
     ).withColumn(
         # unit-vector prefix, computed once per ROW (not per pair)
         "unit8",
@@ -373,7 +409,7 @@ def sim_embedding_near_dup(spark, sf_dir):
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    cosine = F.expr(_spark_dot("emb_a", "emb_b")) / (
+    cosine = F.expr(_spark_dot("emb_a", "emb_b", fold=_use_fold(sf_dir))) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
     # The threshold filter needs its own fence: unfenced it is pushed
