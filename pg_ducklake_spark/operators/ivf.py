@@ -122,7 +122,11 @@ def ivf_search(
         .filter(F.col("_rn") <= nprobe)
         .select("q_id", "q_vec", "cell")
     )
-    cand = index.assigned.join(probes, "cell").filter(
+    # probes is bounded (|queries| × nprobe rows) but post-window, so
+    # Catalyst has no size estimate — broadcast it so the assigned
+    # corpus streams through unshuffled (at scale, a shuffle of the
+    # whole corpus on cell id is the cost IVF exists to avoid).
+    cand = index.assigned.join(F.broadcast(probes), "cell").filter(
         F.col(index.id_col) != F.col("q_id")
     )
     w = Window.partitionBy("q_id").orderBy(

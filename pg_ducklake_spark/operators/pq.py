@@ -217,12 +217,27 @@ def pq_search(
             F.col(index.id_col).alias("neighbor_id"),
             F.col(index.vec_col).alias("_n_vec"),
         )
-        shortlist = (
-            shortlist.join(F.broadcast(qv), "q_id")
-            .join(cv, "neighbor_id")
-            .withColumn("score", cosine("_q_vec", "_n_vec"))
-            .drop("_q_vec", "_n_vec")
-        )
+        # Hydrate: in pruned production mode the shortlist is bounded
+        # (≤ |queries| × rerank×topk rows), so broadcast it against ONE
+        # unshuffled corpus scan — without the hint Catalyst has no
+        # size estimate for the post-mapInPandas side and plans a
+        # sort-merge join that shuffles the entire float corpus, the
+        # exact cost PQ exists to avoid. The corpus-covering rerank
+        # budgets used to make results provably exact (oracle mode)
+        # make the shortlist corpus-sized — keep the shuffle join
+        # there; a broadcast would ship ~|corpus|×|queries| rows.
+        if n_keep * max(len(q_ids), 1) <= 1_000_000:
+            shortlist = cv.join(
+                F.broadcast(shortlist.join(F.broadcast(qv), "q_id")),
+                "neighbor_id",
+            )
+        else:
+            shortlist = shortlist.join(F.broadcast(qv), "q_id").join(
+                cv, "neighbor_id"
+            )
+        shortlist = shortlist.withColumn(
+            "score", cosine("_q_vec", "_n_vec")
+        ).drop("_q_vec", "_n_vec")
     w2 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         shortlist.withColumn("rnk", F.row_number().over(w2))

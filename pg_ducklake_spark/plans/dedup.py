@@ -331,26 +331,68 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 # -------------------------------------------------------------- SimHash
+#
+# 64-bit signatures, banded into 4 × 16-bit keys. Band WIDTH is the
+# scale lever: an earlier 32-bit/4-byte-band variant had only 256
+# bucket values per band, so at 50k docs every bucket held ~200 docs
+# and candidate generation degenerated toward ~20M pairs — a blocking
+# scheme that dies long before 100 TB. 16-bit bands give 65536 buckets
+# per band (collision rate n/65536 per band), the standard scale-out
+# simhash layout; pigeonhole still holds: hamming ≤ 3 < 4 bands means
+# the pair agrees exactly on ≥ 1 whole band.
+#
+# Cross-engine parity: the 64 signature bits come from ONE md5 per
+# token, split as two 32-bit halves (hex chars 1-8 / 9-16), kept as two
+# BIGINT columns so no unsigned-64 edge cases arise in either engine.
 
-_SIMBITS = 32
+_SIMBITS = 32  # per half; the signature is 2 × 32 bits
 
 
-def _duck_simhash_sql() -> str:
-    h = sql_h32("token")
-    bits = " + ".join(
-        f"CAST(CASE WHEN SUM(CASE WHEN (th >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+def _duck_hex32(m_expr: str, start: int) -> str:
+    """DuckDB SQL: hex chars [start, start+8) of md5 string ``m_expr``
+    as a BIGINT (same value as Spark's conv(substr(m,start,8),16,10))."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({m_expr}, {start + i}, 1)) - 1)"
+        f" * CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _duck_simbits(th: str) -> str:
+    return " + ".join(
+        f"CAST(CASE WHEN SUM(CASE WHEN ({th} >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
         f" THEN {1 << bit} ELSE 0 END AS BIGINT)"
         for bit in range(_SIMBITS)
     )
+
+
+def _duck_simhash_sql() -> str:
     return f"""
-    SELECT doc_id, {bits} AS simhash
+    SELECT doc_id, {_duck_simbits('th_lo')} AS simhash_lo,
+           {_duck_simbits('th_hi')} AS simhash_hi
     FROM (
-      SELECT doc_id, {h} AS th
-      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents) tk
-      WHERE token <> ''
+      SELECT doc_id, {_duck_hex32('m', 1)} AS th_lo,
+             {_duck_hex32('m', 9)} AS th_hi
+      FROM (
+        SELECT doc_id, md5(token) AS m
+        FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents) tk
+        WHERE token <> ''
+      ) h
     ) hashed
     GROUP BY doc_id
     """
+
+
+_DUCK_SIM_BAND = """CASE b WHEN 0 THEN simhash_lo & 65535
+             WHEN 1 THEN (simhash_lo >> 16) & 65535
+             WHEN 2 THEN simhash_hi & 65535
+             ELSE (simhash_hi >> 16) & 65535 END"""
+
+_DUCK_SIM_HAMMING = (
+    "CAST(bit_count(CAST(xor(a.simhash_lo, b.simhash_lo) AS BIGINT))"
+    " + bit_count(CAST(xor(a.simhash_hi, b.simhash_hi) AS BIGINT)) AS BIGINT)"
+)
 
 
 @query(
@@ -358,57 +400,90 @@ def _duck_simhash_sql() -> str:
     oracle=f"""
     WITH sims AS ({_duck_simhash_sql()}),
     keyed AS (
-      SELECT doc_id, simhash, b AS byte_id,
-             (simhash >> (b * 8)) & 255 AS byte_val
+      SELECT doc_id, simhash_lo, simhash_hi, b AS band_id,
+             {_DUCK_SIM_BAND} AS band_val
       FROM sims, range(0, 4) t(b)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS BIGINT)
-             AS hamming
+           {_DUCK_SIM_HAMMING} AS hamming
     FROM keyed a JOIN keyed b
-      ON a.byte_id = b.byte_id AND a.byte_val = b.byte_val
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id
-    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+    WHERE {_DUCK_SIM_HAMMING} <= 3
     ORDER BY doc_a, doc_b
     """,
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash (32-bit) near-dup pairs with hamming ≤ 3.
+    """SimHash (64-bit) near-dup pairs with hamming ≤ 3.
 
-    By pigeonhole, any pair within hamming 3 agrees on at least one of
-    the 4 signature bytes, so candidates come from 4 equi-joins on
-    (byte_id, byte_val) — the standard scale-out simhash blocking.
+    By pigeonhole, any pair within hamming 3 agrees exactly on at least
+    one of the 4 16-bit signature bands, so candidates come from 4
+    equi-joins on (band_id, band_val) — the standard scale-out simhash
+    blocking (see module comment on band width).
     """
     docs = rebalance(t(spark, sf_dir, "documents"))
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    hashed = tokens.select("doc_id", h32("token").alias("th"))
+    # One md5 per token, split into two 32-bit halves (64 bits total).
+    hashed = tokens.select("doc_id", F.md5("token").alias("m")).select(
+        "doc_id",
+        F.expr("CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT)").alias("th_lo"),
+        F.expr("CAST(conv(substring(m, 9, 8), 16, 10) AS BIGINT)").alias("th_hi"),
+    )
     # SQL-string expression construction (one JVM call per expr, not
-    # ~8 per bit × 32 bits) — identical plan, far cheaper client-side.
+    # ~8 per bit × 64 bits) — identical plan, far cheaper client-side.
     contrib = [
-        F.expr(f"sum(IF((shiftright(th, {bit}) & 1) = 1, 1, -1)) AS s{bit}")
+        F.expr(f"sum(IF((shiftright({half}, {bit}) & 1) = 1, 1, -1)) AS s_{half}_{bit}")
+        for half in ("th_lo", "th_hi")
         for bit in range(_SIMBITS)
     ]
     per_bit = hashed.groupBy("doc_id").agg(*contrib)
-    simhash = F.expr(
-        "CAST("
-        + " + ".join(f"IF(s{bit} > 0, {1 << bit}, 0)" for bit in range(_SIMBITS))
-        + " AS BIGINT)"
+
+    def _sig(half: str) -> str:
+        return (
+            "CAST("
+            + " + ".join(
+                f"IF(s_{half}_{bit} > 0, {1 << bit}, 0)" for bit in range(_SIMBITS)
+            )
+            + " AS BIGINT)"
+        )
+
+    sims = per_bit.select(
+        "doc_id",
+        F.expr(_sig("th_lo")).alias("simhash_lo"),
+        F.expr(_sig("th_hi")).alias("simhash_hi"),
     )
-    sims = per_bit.select("doc_id", simhash.alias("simhash"))
-    bytes_df = sims.selectExpr(
-        "doc_id", "simhash", "explode(array(0, 1, 2, 3)) AS byte_id"
-    ).withColumn("byte_val", F.expr("shiftright(simhash, byte_id * 8) & 255")).persist()
-    a = bytes_df.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "byte_id", "byte_val"
+    banded = sims.selectExpr(
+        "doc_id", "simhash_lo", "simhash_hi",
+        "explode(array(0, 1, 2, 3)) AS band_id",
+    ).withColumn(
+        "band_val",
+        F.expr(
+            "CASE band_id WHEN 0 THEN simhash_lo & 65535"
+            " WHEN 1 THEN shiftright(simhash_lo, 16) & 65535"
+            " WHEN 2 THEN simhash_hi & 65535"
+            " ELSE shiftright(simhash_hi, 16) & 65535 END"
+        ),
+    ).persist()
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash_lo").alias("lo_a"),
+        F.col("simhash_hi").alias("hi_a"),
+        "band_id", "band_val",
     )
-    b = bytes_df.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "byte_id", "byte_val"
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash_lo").alias("lo_b"),
+        F.col("simhash_hi").alias("hi_b"),
+        "band_id", "band_val",
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("long")
     return (
-        a.join(b, ["byte_id", "byte_val"])
+        a.join(b, ["band_id", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)

@@ -406,3 +406,113 @@ def pipe_stratified_sample(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------ train/eval contamination
+
+
+@query(
+    "pipe_contamination_check",
+    # Held-out set = source 'src0' documents; training pool = the rest.
+    # A trigram shingle shared between an eval doc and a train doc is a
+    # contamination hit; shingles present in > 50 train docs are
+    # dropped first (boilerplate n-grams carry no leakage signal and
+    # unbounded-df keys are exactly the join-fanout that kills a
+    # 100 TB contamination sweep). An eval doc is flagged when some
+    # single train doc shares >= 3 of its distinct shingles.
+    oracle="""
+    WITH shingled AS (
+        SELECT doc_id, source, list_distinct(list_transform(
+          range(1, greatest(len(toks) - 1, 1)),
+          i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) AS shingles
+        FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+              FROM documents) tk
+    ),
+    eval_sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+      WHERE source = 'src0'
+    ),
+    train_sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+      WHERE source <> 'src0'
+    ),
+    common AS (
+      SELECT shingle FROM train_sh GROUP BY shingle HAVING COUNT(*) > 50
+    ),
+    hits AS (
+      SELECT e.doc_id AS eval_doc, tr.doc_id AS train_doc,
+             COUNT(*) AS shared
+      FROM eval_sh e JOIN train_sh tr ON e.shingle = tr.shingle
+      WHERE e.shingle NOT IN (SELECT shingle FROM common)
+      GROUP BY e.doc_id, tr.doc_id
+      HAVING COUNT(*) >= 3
+    )
+    SELECT eval_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(MAX(shared) AS BIGINT) AS max_shared,
+           CAST(MIN(CASE WHEN rn = 1 THEN train_doc END) AS BIGINT)
+             AS worst_train_doc
+    FROM (SELECT eval_doc, train_doc, shared,
+                 ROW_NUMBER() OVER (PARTITION BY eval_doc
+                                    ORDER BY shared DESC, train_doc ASC) AS rn
+          FROM hits) ranked
+    GROUP BY eval_doc
+    ORDER BY eval_doc
+    """,
+)
+def pipe_contamination_check(spark, sf_dir):
+    """Benchmark-contamination sweep: which held-out (eval) documents
+    share enough rare trigrams with the training pool to be leaked?
+
+    Scale shape (the 100 TB contamination audit): shingle → drop
+    high-document-frequency shingles (a groupBy + semi-join — bounds
+    the worst-case fanout of the next join) → eval↔train equi-join on
+    shingle → per (eval, train) pair count → per-eval rollup. No cross
+    join anywhere; every stage is a hash shuffle on a bounded key.
+    Integer-only outputs, so cross-engine parity is exact by
+    construction.
+    """
+    from pg_ducklake_spark.plans.dedup import _SPARK_SHINGLES, _SPARK_TOKS
+
+    docs = rebalance(t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    shingled = docs.select(
+        "doc_id", "source", F.expr(_SPARK_TOKS).alias("toks")
+    ).select("doc_id", "source", F.expr(_SPARK_SHINGLES).alias("shingles"))
+    exploded = shingled.select(
+        "doc_id", "source", F.explode("shingles").alias("shingle")
+    )
+    eval_sh = exploded.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    train_sh = exploded.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    common = (
+        train_sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 50)
+        .select("shingle")
+    )
+    hits = (
+        eval_sh.join(common, "shingle", "left_anti")
+        .join(train_sh, "shingle")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    w = Window.partitionBy("eval_doc").orderBy(
+        F.desc("shared"), F.asc("train_doc")
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .groupBy("eval_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.max("shared").cast("long").alias("max_shared"),
+            F.min(F.when(F.col("rn") == 1, F.col("train_doc")))
+            .cast("long")
+            .alias("worst_train_doc"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("eval_doc")
+    )

@@ -22,34 +22,38 @@ from pg_ducklake_spark.plans import query, rebalance, t
 _DIM = 64
 
 # Element-ordered exact dot product / norm, identical across engines.
-# Two physical strategies for the same value, chosen per corpus size —
-# the expression-level analog of a planner's compiled-vs-interpreted
-# decision:
-#   * unrolled 64-term flat sum: stays inside whole-stage codegen,
-#     ~10× faster per pair than interpreted higher-order functions —
-#     the right choice when pair volume is large (codegen source
-#     generation, ~0.25 s of driver CPU per execution for these trees,
-#     amortizes over seconds of scoring);
+# Two physical strategies for the same value:
 #   * aggregate(zip_with(...)) fold: a ~30-node tree that plans in
-#     ~1 ms — the right choice when the corpus is small and the
-#     unrolled tree's source-generation would exceed the scoring work.
+#     ~1 ms and evaluates via Spark's specialized higher-order-function
+#     path;
+#   * unrolled 64-term flat sum: nominally codegen-friendly, but the
+#     generated method for a 64-element getItem chain (per-element null
+#     + bounds checks) is so large it blows the JIT inlining budget —
+#     measured 6.4 s vs the fold's 1.7 s on a 1M-pair sweep (200k × 64
+#     corpus, 5 queries), and it also costs ~0.25 s of driver CPU per
+#     execution just generating the source. The fold wins at BOTH ends:
+#     cheaper to plan on small corpora, faster to run on large ones —
+#     so it is the default; the unrolled form is kept for reference and
+#     plan experiments (tools/bench_tune.py).
 # Both are left-associated double adds over the same element order
 # (fold starts at 0.0, and 0.0 + t0 == t0 in IEEE round-to-nearest for
 # every t0 that can arise from a dense embedding), so the emitted
 # doubles are bit-identical to each other and to the oracle.
-_FOLD_BELOW_BYTES = 64 * 1024 * 1024
 
 
 def _use_fold(sf_dir: str) -> bool:
-    """Planner heuristic: interpreted fold when the embeddings table is
-    small enough that per-pair scoring is cheaper than generating the
-    unrolled expression's codegen source."""
-    import os
+    """Strategy hook (see block comment): the fold measured faster at
+    every corpus size tried, so it is unconditional; kept as a function
+    so bench experiments can monkeypatch the choice."""
+    return True
 
-    try:
-        return os.path.getsize(f"{sf_dir}/embeddings.parquet") < _FOLD_BELOW_BYTES
-    except OSError:
-        return False
+
+# Fold over arrays already cast to double (see sim_bruteforce_topk):
+# per-pair work is a bare multiply-add.
+_DFOLD_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
 
 
 def _fold_dot(a: str, b: str) -> str:
@@ -116,13 +120,20 @@ def sim_bruteforce_topk(spark, sf_dir):
     Broadcast the (tiny) query set against one scan of the corpus,
     then a per-query window for top-k — no shuffle of the corpus.
     Norms are precomputed per row (sqrt is a pure function, so the
-    value is bit-identical to the oracle's per-pair recompute)."""
+    value is bit-identical to the oracle's per-pair recompute), and the
+    float array is cast to double ONCE per corpus row, so the per-pair
+    fold is a bare multiply-add (the per-pair CASTs were ~20% of the
+    1M-pair sweep; cast-then-multiply order is unchanged, so values
+    stay bit-identical)."""
     emb = t(spark, sf_dir, "embeddings").withColumn(
-        "nrm", F.sqrt(F.expr(_spark_dot("embedding", "embedding", fold=_use_fold(sf_dir))))
+        "emb_d", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    )
+    emb = emb.withColumn(
+        "nrm", F.sqrt(F.expr(_DFOLD_DOT.format(a="emb_d", b="emb_d")))
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
+        F.col("emb_d").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
     scored = (
@@ -132,7 +143,7 @@ def sim_bruteforce_topk(spark, sf_dir):
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
             (
-                F.expr(_spark_dot("q_emb", "embedding", fold=_use_fold(sf_dir)))
+                F.expr(_DFOLD_DOT.format(a="q_emb", b="emb_d"))
                 / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )

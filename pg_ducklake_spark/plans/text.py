@@ -7,6 +7,7 @@ UDFs in the hot path) with exact DuckDB oracles.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pg_ducklake_spark.functions import davg, sql_davg
@@ -336,3 +337,103 @@ def text_duckdb_compat_sql(spark, sf_dir):
 
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(expand_macros(_COMPAT_SQL, DUCKDB_COMPAT_MACROS))
+
+
+# --------------------------------------- unigram-LM surprisal scoring
+
+
+@query(
+    "text_unigram_surprisal",
+    # Per-token surprisal -ln p(token) under the corpus's own unigram
+    # LM, fixed to integer micro-nats BEFORE any further aggregation so
+    # every downstream sum is order-independent integer math — the only
+    # doubles crossing the engine boundary are the (deterministic,
+    # single-division) ln inputs and the final rounded averages.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, token
+      FROM (SELECT doc_id, source,
+                   unnest(string_split(lower(text), ' ')) AS token
+            FROM documents) x
+      WHERE token <> ''
+    ),
+    freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY token
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks),
+    scored AS (
+      SELECT t.doc_id, t.source,
+             CAST(ROUND(ln(CAST(n_total AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS s_micro
+      FROM toks t JOIN freq f ON t.token = f.token CROSS JOIN total
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             CAST(ROUND(CAST(SUM(s_micro) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS score_micro
+      FROM scored GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(score_micro) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 3) AS avg_surprisal,
+           CAST(SUM(CASE WHEN score_micro > 9050000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_surprisal
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_unigram_surprisal(spark, sf_dir):
+    """Quality scoring by unigram-LM surprisal (the CCNet/Gopher-style
+    filter): score each document by the mean -ln p(token) under the
+    corpus's own unigram distribution; report per-source averages and
+    the count of high-surprisal (gibberish-leaning) documents.
+
+    Scale shape: ONE shuffle of the token stream (window count over
+    token — the unigram LM), the corpus total joined in as a broadcast
+    scalar, then a per-doc hash aggregate. No driver-side vocab, no
+    unpartitioned window; at 100 TB the vocabulary stays distributed
+    state. Per-token surprisal is frozen to integer micro-nats before
+    summing, so aggregation order cannot perturb the result.
+    """
+    docs = rebalance(t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    toks = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    w = Window.partitionBy("token")
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        toks.withColumn("n_tok", F.count(F.lit(1)).over(w))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "s_micro",
+            F.expr(
+                "CAST(ROUND(ln(CAST(n_total AS DOUBLE) / CAST(n_tok AS DOUBLE))"
+                " * 1000000.0) AS BIGINT)"
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.expr(
+            "CAST(ROUND(CAST(SUM(s_micro) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)"
+        ).alias("score_micro")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "ROUND(CAST(SUM(score_micro) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 3)"
+            ).alias("avg_surprisal"),
+            F.expr(
+                "CAST(SUM(CASE WHEN score_micro > 9050000 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_high_surprisal"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("source")
+    )

@@ -149,3 +149,41 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
         # A partitioned window renders its partition keys inside the
         # windowspecdefinition; the bucket column must be among them.
         assert "_bkt" in ln, f"unpartitioned Window: {ln.strip()}"
+
+
+def test_ivf_probe_join_broadcasts(spark, sf_dir):
+    """ivf_search's cell join must broadcast the bounded probe side so
+    the assigned corpus streams through unshuffled — a shuffle of the
+    corpus on cell id is the cost IVF exists to avoid."""
+    from pyspark.sql import functions as F
+
+    from pg_ducklake_spark.operators.ivf import ivf_build, ivf_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index = ivf_build(spark, emb, k=8, seed=42)
+    try:
+        df = ivf_search(index, emb.filter(F.col("vec_id") < 3), topk=5, nprobe=2)
+        s = plan_of(df)
+        assert "BroadcastHashJoin" in s
+        # The corpus side must not be exchanged before the cell join.
+        assert s.count("SortMergeJoin") == 0
+    finally:
+        index.assigned.unpersist()
+
+
+def test_pq_rerank_hydrate_broadcasts_shortlist(spark, sf_dir):
+    """pq_search's exact-rerank hydrate must broadcast the bounded
+    shortlist against one unshuffled corpus scan (pruned mode); the
+    corpus-covering oracle mode keeps the shuffle join."""
+    from pyspark.sql import functions as F
+
+    from pg_ducklake_spark.operators.pq import pq_encode, pq_search, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index = pq_train(emb, m=8, k=16, sample_rows=500, iters=3, seed=42)
+    enc = pq_encode(index, emb)
+    queries = emb.filter(F.col("vec_id") < 3)
+    pruned = pq_search(index, enc, queries, topk=5, rerank=2, corpus=emb)
+    s = plan_of(pruned)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s

@@ -307,3 +307,56 @@ def test_streaming_sessionize_gap_and_state(spark, lake, tmp_path):
     # only user 1's first session closed (by gap); sessions B and user
     # 2's stay open in state
     assert closed == [(1, 3, "gap", 10)]
+
+
+def test_streaming_sessionize_across_arrow_chunks(spark, lake, tmp_path):
+    """One user's micro-batch data can reach the stateful function as
+    SEVERAL Arrow chunks; the gap logic must order the batch as a whole
+    (per-chunk sorting once split sessions at chunk boundaries and let
+    a straggler drag a session end backwards)."""
+    import datetime as dt
+
+    from pg_ducklake_spark.streaming import stream_lake_appends
+    from pg_ducklake_spark.streaming.stream import streaming_sessionize
+
+    lake.create_table("sev2", "user_id bigint, ts timestamp_ntz")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # 40 events for one user, written in DESCENDING ts order so chunk
+    # boundaries see out-of-order data: minutes 0..19 (session A) and
+    # 120..139 (session B, gap 100m > 30m).
+    minutes = list(range(19, -1, -1)) + list(range(139, 119, -1))
+    lake.insert(
+        "sev2",
+        spark.createDataFrame(
+            [(1, ts(m)) for m in minutes], "user_id bigint, ts timestamp_ntz"
+        ),
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows: list = []
+        q = (
+            streaming_sessionize(
+                stream_lake_appends(lake, "sev2"), gap_minutes=30
+            )
+            .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    closed = [
+        (r.user_id, r.n_events, r.closed_by,
+         (r.session_end_us - r.session_start_us) // 60_000_000)
+        for r in rows
+    ]
+    # exactly ONE closed session: minutes 0-19 (20 events, 19m span),
+    # closed by the 100-minute gap; session B stays open in state
+    assert closed == [(1, 20, "gap", 19)]

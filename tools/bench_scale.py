@@ -1,18 +1,31 @@
 """Scale-slope bench: the dedup / similarity operator families at
-sf1-scale data (10× the driver's sf0.1 bench fixtures), Spark vs the
-same DuckDB oracle SQL on the same parquet.
+sf1-scale data (10× the driver's sf0.1 bench fixtures) and, for the
+families whose sf1 cost is fixed-overhead-shaped, at sf10 (100×) —
+Spark vs the same DuckDB oracle SQL on the same parquet.
 
 The sf0.1 corpus is small enough that candidate-join volumes and
-band-key skew never bite; this harness generates a deterministic
+band-key skew never bite; this harness generates deterministic
 sf1-scale documents (50k rows, same vocabulary/shape as the driver's
 fixtures, with planted exact- and near-duplicate structure so the
 dedup operators have real work) and embeddings (20k × 64-dim float32,
 10 label clusters, planted near-identical pairs) into a cached temp
 dir, then times every dedup_* / sim_* query on both engines.
 
-Usage: python tools/bench_scale.py [--rows-docs N] [--rows-emb N]
+The sf10 tier (500k docs / 200k embeddings) exists to answer one
+question: do the families that look weak at sf1 (sub-second absolute
+times, tiny outputs — i.e. per-query fixed cost, not data cost)
+converge toward parity as the data grows?  Only the families >2× at
+sf1 rerun at sf10; the rest keep sf1 as their largest measured scale.
+
+Methodology mirrors bench.py / tools/bench_oracle.py: per query,
+WARMUP full passes (JIT/codegen compile, page cache — both engines
+identical warmth), then the mean of ITERS timed passes, each of which
+rebuilds the Spark DataFrame and collects it (resp. re-executes the
+DuckDB SQL) in the warmed process.
+
+Usage: python tools/bench_scale.py [--tier sf1|sf10|both]
 Prints one JSON line: {"sf1": {"spark": {...}, "duck": {...},
-"ratio": {...}, "totals": {...}}}.
+"ratio": {...}, "totals": {...}}, "sf10": {...}}.
 """
 
 from __future__ import annotations
@@ -29,12 +42,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-DOC_ROWS = 50_000
-EMB_ROWS = 20_000
 SEED = 1337
-CACHE_DIR = f"/tmp/spark_graft_sf1_{SEED}_{DOC_ROWS}_{EMB_ROWS}"
+WARMUP = 3
+ITERS = 3
 
-QUERIES_TO_RUN = [
+TIERS = {
+    "sf1": (50_000, 20_000),
+    "sf10": (500_000, 200_000),
+}
+
+QUERIES_SF1 = [
     "dedup_exact_groups",
     "dedup_exact_stats",
     "dedup_ngram_jaccard",
@@ -45,14 +62,17 @@ QUERIES_TO_RUN = [
     "sim_lsh_bucket_topk",
     "sim_embedding_near_dup",
 ]
-# sim_ivf_topk / sim_pq_topk queries() entries run in EXHAUSTIVE mode
-# (probe all cells / re-rank every candidate) so their results are
-# provably exact and SQL-oracle-able; benching that mode measures the
-# oracle harness, not the ANN path. Here they run in pruned
-# production mode (nprobe < k, bounded re-rank) against the exact
-# brute-force oracle timing — the approximate-vs-exact trade every ANN
-# deployment makes; recall of the pruned path is asserted in
-# tests/test_ivf.py / tests/test_pq.py.
+# The sf1 perf-weak set (VERDICT r4: all sub-2 s absolute, fixed-cost
+# shaped). sf10 is their "largest measured scale"; the data-bound
+# families (ngram/minhash/simhash/components/near-dup — 0.21–1.8× at
+# sf1) already demonstrated their slope and would push the harness to
+# many minutes at sf10 without answering anything new.
+QUERIES_SF10 = [
+    "dedup_exact_groups",
+    "dedup_exact_stats",
+    "sim_bruteforce_topk",
+    "sim_lsh_bucket_topk",
+]
 
 # A realistically-sized vocabulary matters: with a tiny one, word
 # trigrams repeat across most documents and the shingle equi-join
@@ -73,9 +93,15 @@ def _gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
     sources = np.array([f"src{i}" for i in range(20)])
     texts: list[str] = []
     base_count = int(n * 0.9)
-    for _ in range(base_count):
-        k = rng.integers(30, 70)
-        texts.append(" ".join(rng.choice(_VOCAB, size=k)))
+    vocab = np.array(_VOCAB)
+    lens = rng.integers(30, 70, size=base_count)
+    # One big draw instead of per-document rng.choice calls: identical
+    # distribution, ~20× faster generation at the sf10 row count.
+    flat = vocab[rng.integers(0, len(vocab), size=int(lens.sum()))]
+    off = 0
+    for k in lens:
+        texts.append(" ".join(flat[off : off + k]))
+        off += int(k)
     # ~5% exact duplicates of earlier docs, ~5% near-duplicates (a few
     # words swapped) — the workload dedup operators exist for.
     while len(texts) < n:
@@ -129,33 +155,64 @@ def _gen_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
     )
 
 
-def ensure_fixture(doc_rows: int = DOC_ROWS, emb_rows: int = EMB_ROWS) -> str:
-    if os.path.isdir(CACHE_DIR) and os.path.exists(
-        os.path.join(CACHE_DIR, "_DONE")
-    ):
-        return CACHE_DIR
-    os.makedirs(CACHE_DIR, exist_ok=True)
+def ensure_fixture(doc_rows: int, emb_rows: int) -> str:
+    cache = f"/tmp/spark_graft_sf1_{SEED}_{doc_rows}_{emb_rows}"
+    if os.path.isdir(cache) and os.path.exists(os.path.join(cache, "_DONE")):
+        return cache
+    os.makedirs(cache, exist_ok=True)
     rng = np.random.default_rng(SEED)
+    # Several row groups per file so Spark's scan (and DuckDB's) can
+    # parallelize — the multi-file layout a production writer emits.
     pq.write_table(
         _gen_documents(rng, doc_rows),
-        os.path.join(CACHE_DIR, "documents.parquet"),
+        os.path.join(cache, "documents.parquet"),
+        row_group_size=max(10_000, doc_rows // 32),
     )
     pq.write_table(
         _gen_embeddings(rng, emb_rows),
-        os.path.join(CACHE_DIR, "embeddings.parquet"),
+        os.path.join(cache, "embeddings.parquet"),
+        row_group_size=max(10_000, emb_rows // 32),
     )
-    open(os.path.join(CACHE_DIR, "_DONE"), "w").close()
-    return CACHE_DIR
+    open(os.path.join(cache, "_DONE"), "w").close()
+    return cache
 
 
-def main() -> None:
+# Warmups exist to strip sub-second compile/JIT noise out of the timed
+# passes; once a single pass costs seconds that noise is already in the
+# measurement floor, so long queries drop to 1 warmup + 2 timed passes
+# (applied by the same rule to both engines) to keep the harness
+# tractable.
+_LONG_QUERY_S = 3.0
+
+
+def _timed_loop(run) -> float:
+    t0 = time.time()
+    run()
+    first = time.time() - t0
+    warmup, iters = (0, 2) if first > _LONG_QUERY_S else (WARMUP - 1, ITERS)
+    for _ in range(warmup):
+        run()
+    total = 0.0
+    for _ in range(iters):
+        t0 = time.time()
+        run()
+        total += time.time() - t0
+    return round(total / iters, 3)
+
+
+def _time_spark(build) -> float:
+    return _timed_loop(lambda: build().collect())
+
+
+def _time_duck(con, sql: str) -> float:
+    return _timed_loop(lambda: con.execute(sql).fetchall())
+
+
+def run_tier(spark, tier: str, names: list[str]) -> dict:
     from pg_ducklake_spark.plans import ORACLES, QUERIES
-    from pg_ducklake_spark.session import get_spark
 
-    sf_dir = ensure_fixture()
-    spark = get_spark("bench_scale")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.sql("SELECT 1").collect()
+    doc_rows, emb_rows = TIERS[tier]
+    sf_dir = ensure_fixture(doc_rows, emb_rows)
 
     con = duckdb.connect()
     for t in ("documents", "embeddings"):
@@ -167,18 +224,21 @@ def main() -> None:
     spark_times: dict[str, float] = {}
     duck_times: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in QUERIES_TO_RUN:
-        QUERIES[name](spark, sf_dir).collect()  # warm (JIT, page cache)
-        t0 = time.time()
-        got = QUERIES[name](spark, sf_dir).collect()
-        spark_times[name] = round(time.time() - t0, 3)
-        rows[name] = len(got)
+    for name in names:
+        spark_times[name] = _time_spark(lambda: QUERIES[name](spark, sf_dir))
+        rows[name] = len(QUERIES[name](spark, sf_dir).limit(100_000).collect())
         if name in ORACLES:
-            con.execute(ORACLES[name]).fetchall()
-            t0 = time.time()
-            con.execute(ORACLES[name]).fetchall()
-            duck_times[name] = round(time.time() - t0, 3)
-    # Pruned-mode ANN (see note at QUERIES_TO_RUN).
+            duck_times[name] = _time_duck(con, ORACLES[name])
+
+    # Pruned-mode ANN: sim_ivf_topk / sim_pq_topk queries() entries run
+    # in EXHAUSTIVE mode (probe all cells / re-rank every candidate) so
+    # their results are provably exact and SQL-oracle-able; benching
+    # that mode measures the oracle harness, not the ANN path. Here
+    # they run in pruned production mode (nprobe < k, bounded re-rank)
+    # against the exact brute-force oracle timing — the
+    # approximate-vs-exact trade every ANN deployment makes; recall of
+    # the pruned path is asserted in tests/test_ivf.py /
+    # tests/test_pq.py.
     from pg_ducklake_spark.operators.ivf import ivf_build, ivf_search
     from pg_ducklake_spark.operators.pq import pq_encode, pq_search, pq_train
     from pyspark.sql import functions as F
@@ -187,56 +247,127 @@ def main() -> None:
     queries_df = emb.filter(F.col("vec_id") < 5)
 
     index = ivf_build(spark, emb, k=32, seed=42)
-    ivf_search(index, queries_df, topk=10, nprobe=4).collect()
-    t0 = time.time()
-    ivf_search(index, queries_df, topk=10, nprobe=4).collect()
-    spark_times["sim_ivf_pruned(nprobe=4/32)"] = round(time.time() - t0, 3)
+    spark_times["sim_ivf_pruned(nprobe=4/32)"] = _time_spark(
+        lambda: ivf_search(index, queries_df, topk=10, nprobe=4)
+    )
 
     pidx = pq_train(emb, m=8, k=256, seed=42)
     enc = pq_encode(pidx, emb).persist()
-    pq_search(pidx, enc, queries_df, topk=10, rerank=4, corpus=emb).collect()
-    t0 = time.time()
-    pq_search(pidx, enc, queries_df, topk=10, rerank=4, corpus=emb).collect()
-    spark_times["sim_pq_pruned(rerank=4)"] = round(time.time() - t0, 3)
+    enc.count()
+    spark_times["sim_pq_pruned(rerank=4)"] = _time_spark(
+        lambda: pq_search(pidx, enc, queries_df, topk=10, rerank=4, corpus=emb)
+    )
+    enc.unpersist()
+
     from pg_ducklake_spark.plans import ORACLES as _O
 
     for pruned, oracle_of in (
         ("sim_ivf_pruned(nprobe=4/32)", "sim_ivf_topk"),
         ("sim_pq_pruned(rerank=4)", "sim_pq_topk"),
     ):
-        con.execute(_O[oracle_of]).fetchall()
-        t0 = time.time()
-        con.execute(_O[oracle_of]).fetchall()
-        duck_times[pruned] = round(time.time() - t0, 3)
+        duck_times[pruned] = _time_duck(con, _O[oracle_of])
+    con.close()
 
     ratio = {
         n: round(spark_times[n] / duck_times[n], 2)
         for n in duck_times
         if duck_times[n] > 0
     }
-    print(
-        json.dumps(
-            {
-                "sf1": {
-                    "doc_rows": DOC_ROWS,
-                    "emb_rows": EMB_ROWS,
-                    "spark": spark_times,
-                    "duck": duck_times,
-                    "ratio": ratio,
-                    "rows": rows,
-                    "totals": {
-                        "spark": round(sum(spark_times.values()), 3),
-                        "duck": round(sum(duck_times.values()), 3),
-                        "ratio": round(
-                            sum(spark_times.values())
-                            / max(sum(duck_times.values()), 1e-9),
-                            2,
-                        ),
-                    },
-                }
-            }
-        )
+    return {
+        "doc_rows": doc_rows,
+        "emb_rows": emb_rows,
+        "warmup_iters": WARMUP,
+        "timed_iters": ITERS,
+        "spark": spark_times,
+        "duck": duck_times,
+        "ratio": ratio,
+        "rows": rows,
+        "totals": {
+            "spark": round(sum(spark_times.values()), 3),
+            "duck": round(sum(duck_times.values()), 3),
+            "ratio": round(
+                sum(spark_times.values())
+                / max(sum(duck_times.values()), 1e-9),
+                2,
+            ),
+        },
+    }
+
+
+def run_exact_kernel(spark) -> dict:
+    """Data-bound slope of the exact-dedup kernel (md5 → groupBy →
+    HAVING), with the output reduced to a scalar so neither engine's
+    client materialization is in the measurement. The 5M-row variant
+    replicates the 500k corpus 10× inside the query (both engines run
+    the identical expansion), so the ratio column shows where the
+    spark/duck ratio *asymptotes* once per-query fixed costs are fully
+    amortized — the number that predicts relative behavior at 100 TB,
+    where this operator is one map-side-combined shuffle on both
+    engines."""
+    from pyspark.sql import functions as F
+
+    sf_dir = ensure_fixture(*TIERS["sf10"])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = docs.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(9)))
+    ).select((F.col("doc_id") * 10 + F.col("r")).alias("doc_id"), "text")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
     )
+
+    def spark_kernel(df, min_copies):
+        return (
+            df.select(F.md5("text").alias("d"), "doc_id")
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id"))
+            .filter(F.col("n") > min_copies)
+            .groupBy()
+            .count()
+        )
+
+    duck_500k = """SELECT count(*) FROM (
+        SELECT md5(text) d, count(*) n, min(doc_id)
+        FROM documents GROUP BY d HAVING count(*) > 1)"""
+    duck_5m = """SELECT count(*) FROM (
+        SELECT md5(text) d, count(*) n, min(doc_id*10+r)
+        FROM documents, range(0,10) t(r) GROUP BY d HAVING count(*) > 10)"""
+    out = {}
+    for label, sdf, mc, dsql in (
+        ("rows_500k", docs, 1, duck_500k),
+        ("rows_5m", big, 10, duck_5m),
+    ):
+        s = _time_spark(lambda: spark_kernel(sdf, mc))
+        d = _time_duck(con, dsql)
+        out[label] = {"spark": s, "duck": d, "ratio": round(s / d, 2)}
+    con.close()
+    return out
+
+
+def main() -> None:
+    from pg_ducklake_spark.session import get_spark
+
+    tier = "both"
+    if "--tier" in sys.argv:
+        tier = sys.argv[sys.argv.index("--tier") + 1]
+
+    spark = get_spark("bench_scale")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sql("SELECT 1").collect()
+
+    out: dict[str, dict] = {}
+    if tier in ("sf1", "both"):
+        out["sf1"] = run_tier(spark, "sf1", QUERIES_SF1)
+    if tier in ("sf10", "both", "kernel"):
+        # sf10 data is big enough that scan parallelism matters more
+        # than task-count overhead; keep the session's 4 MB splits and
+        # widen post-shuffle parallelism back to the cluster shape.
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        if tier != "kernel":
+            out["sf10"] = run_tier(spark, "sf10", QUERIES_SF10)
+        out["exact_dedup_kernel"] = run_exact_kernel(spark)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
