@@ -398,10 +398,14 @@ def text_unigram_surprisal(spark, sf_dir):
     summing, so aggregation order cannot perturb the result.
     """
     docs = rebalance(t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    # explode_outer + notnull: the inner Generate's derived
+    # size(split(...)) > 0 pre-filter is pushed below the rebalance
+    # once per consuming branch (this stream feeds both the total and
+    # the scored branch) — the outer Generate derives nothing pushable.
     toks = docs.select(
         "doc_id", "source",
-        F.explode(F.split(F.lower("text"), " ")).alias("token"),
-    ).filter(F.col("token") != "")
+        F.explode_outer(F.split(F.lower("text"), " ")).alias("token"),
+    ).filter(F.col("token").isNotNull() & (F.col("token") != ""))
     w = Window.partitionBy("token")
     total = toks.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
     scored = (
