@@ -524,3 +524,122 @@ def pipe_contamination_check(spark, sf_dir):
         .coalesce(1)
         .sortWithinPartitions("eval_doc")
     )
+
+
+# ------------------------------------------------- final quality gate
+
+
+def _gate_oracle() -> str:
+    from pg_ducklake_spark.plans.text import (
+        _DUCK_QUALITY,
+        _LANGS,
+        _duck_lang_score,
+        _duck_predicted,
+    )
+
+    scores = ", ".join(f"{_duck_lang_score(lg)} AS score_{lg}" for lg in _LANGS)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, lang, n_chars, text, {scores},
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM documents
+    ),
+    verdicts AS (
+      SELECT source,
+             CASE WHEN n_chars < 100 OR n_chars > 5000 THEN 'len'
+                  WHEN ({_duck_predicted()}) <> lang THEN 'lang'
+                  WHEN doc_id <> keeper THEN 'dup'
+                  WHEN ({_DUCK_QUALITY}) < 0.6 THEN 'quality'
+                  ELSE 'keep' END AS verdict
+      FROM scored
+    )
+    SELECT source, verdict, CAST(COUNT(*) AS BIGINT) AS n
+    FROM verdicts
+    GROUP BY source, verdict
+    ORDER BY source, verdict
+    """
+
+
+@query("pipe_quality_gate", oracle=_gate_oracle())
+def pipe_quality_gate(spark, sf_dir):
+    """The pipeline's final verdict: every document gets exactly one
+    disposition — dropped by length bounds, language mismatch
+    (stopword-argmax ID vs label), exact-duplicate (not its content
+    group's keeper), or low composite quality — else kept. Reported as
+    a per-source disposition matrix, the yield report a corpus curation
+    run ends with.
+
+    Scale shape: ONE shuffle (window min over the md5 digest decides
+    each content group's keeper); every other signal is a map-side
+    column expression, and the verdict CASE evaluates rules in priority
+    order so each document is counted once. Integer-only outputs; the
+    quality threshold compares doubles computed by the identical
+    expression on both engines.
+    """
+    from pg_ducklake_spark.plans.text import _LANGS, _SPARK_QUALITY, _spark_lang_scores
+
+    docs = rebalance(t(spark, sf_dir, "documents"))
+    scores = _spark_lang_scores()
+    scored = docs.select(
+        "doc_id", "source", "lang", "n_chars", "text",
+        *[scores[lg].alias(f"score_{lg}") for lg in _LANGS],
+    ).withColumn(
+        "keeper",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+    )
+    greatest = F.greatest(*[F.col(f"score_{lg}") for lg in _LANGS])
+    pred = None
+    for lg in _LANGS:
+        cond = F.col(f"score_{lg}") == greatest
+        pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
+    verdict = (
+        F.when((F.col("n_chars") < 100) | (F.col("n_chars") > 5000), "len")
+        .when(pred != F.col("lang"), "lang")
+        .when(F.col("doc_id") != F.col("keeper"), "dup")
+        .when(F.expr(_SPARK_QUALITY) < 0.6, "quality")
+        .otherwise("keep")
+    )
+    return (
+        scored.select("source", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .coalesce(1)
+        .sortWithinPartitions("source", "verdict")
+    )
+
+
+# -------------------------------------------- deterministic shuffling
+
+
+def _order_oracle() -> str:
+    from pg_ducklake_spark.functions.hashing import sql_h32
+
+    h = sql_h32("concat('epoch1:', CAST(doc_id AS VARCHAR))")
+    return f"""
+    SELECT {h} AS shuffle_key, doc_id, source
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    """
+
+
+@query("pipe_training_order", oracle=_order_oracle())
+def pipe_training_order(spark, sf_dir):
+    """Deterministic global training-order shuffle: every document gets
+    a seeded content-free shuffle key (md5-derived, epoch in the seed)
+    and the corpus is totally ordered by it — the reproducible
+    epoch-ordering primitive (same seed → same order on any cluster
+    size, new epoch → new permutation, no RNG state anywhere).
+
+    Scale shape: orderBy plans a range sort — sample, range-partition
+    on the key, sort within partitions — so the total order is produced
+    by the cluster in parallel and a downstream writer emits shards in
+    order. No single-task stage, no window.
+    """
+    from pg_ducklake_spark.functions.hashing import h32
+
+    docs = rebalance(t(spark, sf_dir, "documents"))
+    key = h32(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select(key.alias("shuffle_key"), "doc_id", "source")
+        .orderBy("shuffle_key", "doc_id")
+    )
