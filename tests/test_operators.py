@@ -269,3 +269,83 @@ def test_sample_stratified_deterministic_and_nested(spark):
         r.doc_id for r in sample_stratified(df, "source", {"a": 0.2, "b": 0.05}).collect()
     )
     assert smaller <= set(ids1)  # thresholds nest
+
+
+def test_incremental_jaccard_matches_full_recompute(spark):
+    """Pairs involving the delta must agree exactly with a full
+    jaccard_pairs recompute over corpus+delta; corpus-internal pairs
+    are never produced (that's the point of the incremental join)."""
+    from pg_ducklake_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+        jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus_rows = [
+        (1, base),
+        (2, base + " iota"),             # corpus-internal near-dup of 1
+        (3, "one two three four five six seven eight"),
+    ]
+    delta_rows = [
+        (10, base + " kappa"),           # near-dup of corpus 1/2
+        (11, base + " kappa lambda"),    # near-dup of 10 (within batch)
+        (12, "totally different words with no overlap at all here"),
+    ]
+    schema = "doc_id bigint, text string"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+
+    inc = incremental_jaccard_pairs(
+        corpus, delta, "text", "doc_id", threshold=0.5
+    ).collect()
+    got = {(r.new_id, r.other_id): (r.other_is_new, r.jaccard) for r in inc}
+
+    # every produced pair involves a delta doc on the new side
+    assert all(k[0] >= 10 for k in got)
+    # new-vs-old and new-vs-new hits present; disjoint doc absent
+    assert (10, 1) in got and got[(10, 1)][0] is False
+    assert (10, 11) in got and got[(10, 11)][0] is True
+    assert not any(12 in k for k in got)
+
+    full = jaccard_pairs(
+        corpus.unionByName(delta), "text", "doc_id", threshold=0.5
+    ).collect()
+    full_delta_pairs = {
+        (b, a) if b >= 10 and a < 10 else (a, b): j
+        for a, b, j in [(r.id_a, r.id_b, r.jaccard) for r in full]
+        if a >= 10 or b >= 10
+    }
+    # same pair set, same jaccard values
+    assert {k: v[1] for k, v in got.items()} == full_delta_pairs
+
+
+def test_incremental_near_dup_over_change_feed(spark, lake):
+    """Lake-level wrapper: delta = change-feed insertions after a
+    snapshot, corpus = the table as of that snapshot."""
+    from pg_ducklake_spark.operators.dedup import incremental_near_dup
+
+    lake.create_table("inc_docs", "doc_id bigint, text string")
+    base = "red orange yellow green blue indigo violet ultraviolet"
+    lake.insert(
+        "inc_docs",
+        spark.createDataFrame(
+            [(1, base), (2, "completely unrelated document text goes right here")],
+            "doc_id bigint, text string",
+        ),
+    )
+    v1 = lake.current_snapshot("inc_docs")
+    lake.insert(
+        "inc_docs",
+        spark.createDataFrame(
+            [(3, base + " infrared"), (4, base + " infrared xray")],
+            "doc_id bigint, text string",
+        ),
+    )
+    pairs = incremental_near_dup(
+        lake, "inc_docs", v1, threshold=0.5
+    ).collect()
+    got = {(r.new_id, r.other_id): r.other_is_new for r in pairs}
+    assert (3, 1) in got and got[(3, 1)] is False
+    assert (4, 1) in got and got[(4, 1)] is False
+    assert (3, 4) in got and got[(3, 4)] is True
+    assert all(k[0] in (3, 4) for k in got)
