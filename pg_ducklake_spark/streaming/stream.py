@@ -225,3 +225,154 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+_MHD_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("dup_of", T.LongType(), False),
+        T.StructField("est_jaccard", T.DoubleType(), False),
+        T.StructField("band_id", T.IntegerType(), False),
+    ]
+)
+
+# Per-bucket state: parallel arrays — member ids and their flattened
+# signatures (row-major, k values per id). Flat because the state store
+# schema cannot hold nested arrays.
+_MHD_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def streaming_minhash_dedup(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    idle_timeout_minutes: int | None = 60,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Streaming NEAR-dup detection: the streaming twin of the batch
+    MinHash+LSH operator. Each arriving document is checked against
+    every previously seen document that shares an LSH band bucket; a
+    hit emits (doc_id, dup_of, est_jaccard, band_id) where ``dup_of``
+    is the best earlier match in that bucket (highest signature
+    agreement, smallest id on ties). A document can hit in several
+    bands — downstream, aggregate per doc_id (max est / min dup_of)
+    exactly as the batch pipeline dedupes its candidate pairs.
+
+    Layout: the MinHash signature is computed MAP-SIDE with built-in
+    expressions (shingle → md5-derived 32-bit hash → k seeded
+    permutations → array_min), so the only stateful work is the bucket
+    probe; state is partitioned by (band_id, band_key) across the
+    cluster's state stores. State is bounded two ways: an idle bucket
+    expires after ``idle_timeout_minutes`` (a near-dup horizon, like
+    streaming_exact_dedup's watermark), and a bucket retains at most
+    ``max_bucket`` member signatures (overflowing docs are still
+    checked against the bucket but no longer enroll — a hot bucket is
+    a degenerate band key, and unbounded enrollment there is exactly
+    the skew that kills a naive design).
+
+    Documents with fewer than ``shingle_n`` tokens have no signature
+    and pass through unchecked (same convention as the batch operator).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pg_ducklake_spark.functions.hashing import MERSENNE31, minhash_coeffs
+
+    if k % bands:
+        raise ValueError(f"k={k} not divisible by bands={bands}")
+    r = k // bands
+    coeffs = minhash_coeffs(k)
+
+    gram = " , ".join(f"element_at(toks, i + {j})" for j in range(shingle_n))
+    shingles = f"""
+    CASE WHEN size(toks) >= {shingle_n} THEN
+      array_distinct(transform(sequence(1, size(toks) - {shingle_n - 1}),
+        i -> concat_ws(' ', {gram})))
+    ELSE CAST(array() AS ARRAY<STRING>) END
+    """
+    hashes = (
+        "transform(_shingles, s ->"
+        " CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
+    )
+    sig = "array(" + ", ".join(
+        f"array_min(transform(_hashes, h -> (h * {a}L + {b}L) % {MERSENNE31}L))"
+        for a, b in coeffs
+    ) + ")"
+    band_structs = ", ".join(
+        f"named_struct('band_id', {band}, 'band_key', concat_ws(',', "
+        + ", ".join(f"CAST(_sig[{band * r + i}] AS STRING)" for i in range(r))
+        + "))"
+        for band in range(bands)
+    )
+    prepared = (
+        docs.withColumn("toks", F.split(F.lower(content_col), " "))
+        .withColumn("_shingles", F.expr(shingles))
+        .filter(F.size("_shingles") > 0)
+        .withColumn("_hashes", F.expr(hashes))
+        .withColumn("_sig", F.expr(sig))
+        .selectExpr(
+            f"{id_col} AS doc_id", "_sig",
+            f"explode(array({band_structs})) AS bk",
+        )
+        .select("doc_id", "_sig", "bk.band_id", "bk.band_key")
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        band_id = int(key[0])
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({f.name: [] for f in _MHD_OUT.fields})
+            return
+        ids, sigs = state.get if state.exists else ([], [])
+        ids, sigs = list(ids), list(sigs)
+        out = {"doc_id": [], "dup_of": [], "est_jaccard": [], "band_id": []}
+        batch = pd.concat(list(pdfs)) if pdfs else None
+        if batch is not None and len(batch):
+            for _, row in batch.sort_values("doc_id").iterrows():
+                sig_new = list(row["_sig"])
+                best_est, best_id = -1.0, None
+                for m, member in enumerate(ids):
+                    off = m * len(sig_new)
+                    matches = sum(
+                        1
+                        for i in range(len(sig_new))
+                        if sigs[off + i] == sig_new[i]
+                    )
+                    est = matches / len(sig_new)
+                    if est > best_est or (est == best_est and member < best_id):
+                        best_est, best_id = est, member
+                if best_id is not None and best_est >= threshold:
+                    out["doc_id"].append(int(row["doc_id"]))
+                    out["dup_of"].append(int(best_id))
+                    out["est_jaccard"].append(float(best_est))
+                    out["band_id"].append(band_id)
+                if len(ids) < max_bucket:
+                    ids.append(int(row["doc_id"]))
+                    sigs.extend(int(v) for v in sig_new)
+        state.update((ids, sigs))
+        if idle_timeout_minutes is not None:
+            state.setTimeoutDuration(idle_timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(out)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return prepared.groupBy("band_id", "band_key").applyInPandasWithState(
+        update,
+        outputStructType=_MHD_OUT,
+        stateStructType=_MHD_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -360,3 +360,69 @@ def test_streaming_sessionize_across_arrow_chunks(spark, lake, tmp_path):
     # exactly ONE closed session: minutes 0-19 (20 events, 19m span),
     # closed by the 100-minute gap; session B stays open in state
     assert closed == [(1, 20, "gap", 19)]
+
+
+def test_streaming_minhash_near_dup_across_batches(spark, lake, tmp_path):
+    """Streaming MinHash+LSH dedup: a near-duplicate arriving in a later
+    micro-batch is flagged against the earlier doc sharing its band
+    bucket; unrelated docs are not flagged."""
+    from pg_ducklake_spark.streaming import stream_lake_appends
+    from pg_ducklake_spark.streaming.stream import streaming_minhash_dedup
+
+    lake.create_table("mdocs", "doc_id bigint, text string")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    lake.insert(
+        "mdocs",
+        spark.createDataFrame(
+            [(1, base), (2, other)], "doc_id bigint, text string"
+        ),
+    )
+    rows: list = []
+    q = (
+        streaming_minhash_dedup(
+            stream_lake_appends(lake, "mdocs"), threshold=0.5
+        )
+        .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mhd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert rows == []  # first batch: nothing seen before
+
+    # batch 2: one exact resend of doc 1, one near-dup, one unrelated
+    lake.insert(
+        "mdocs",
+        spark.createDataFrame(
+            [
+                (10, base),                       # exact dup of 1
+                (11, base + " lambda"),           # near dup of 1
+                (12, "unrelated words entirely distinct from both sets yes"),
+            ],
+            "doc_id bigint, text string",
+        ),
+    )
+    rows.clear()
+    q = (
+        streaming_minhash_dedup(
+            stream_lake_appends(lake, "mdocs"), threshold=0.5
+        )
+        .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mhd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # aggregate band hits per doc, the way the batch pipeline dedupes
+    best: dict[int, tuple[float, int]] = {}
+    for r in rows:
+        cur = best.get(r.doc_id)
+        cand = (r.est_jaccard, r.dup_of)
+        if cur is None or cand[0] > cur[0] or (cand[0] == cur[0] and cand[1] < cur[1]):
+            best[r.doc_id] = cand
+    assert 10 in best and best[10] == (1.0, 1)      # exact resend
+    assert 11 in best and best[11][1] == 1 and best[11][0] >= 0.5
+    assert 12 not in best
