@@ -18,6 +18,11 @@ from pg_ducklake_spark.functions.hashing import hyperplanes
 
 
 def dot(a: str | Column, b: str | Column, dim: int | None = None) -> Column:
+    """Element-ordered dot product. Omit ``dim`` for the fold form —
+    the measured-faster default in pairwise scoring (module docstring);
+    pass ``dim`` only where the unrolled flat sum is wanted explicitly
+    (per-row, low-volume uses such as :func:`normalize`). Both are
+    left-associated double adds, so values are bit-identical."""
     if dim is not None and isinstance(a, str) and isinstance(b, str):
         # Unrolled as ONE SQL string: the same left-associated
         # codegen-able tree, built with a single JVM round trip instead

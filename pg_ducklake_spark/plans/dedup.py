@@ -44,16 +44,26 @@ from pg_ducklake_spark.plans import query, rebalance, t
     """,
 )
 def dedup_exact_groups(spark, sf_dir):
-    """Exact duplicate groups by content digest (hash-groupBy)."""
+    """Exact duplicate groups by content digest (hash-groupBy).
+
+    Groups on the 16-byte BINARY digest — half the shuffle width and
+    cheaper key compares than the 32-char hex string — and renders hex
+    only for the surviving duplicate groups (lower(hex(unhex(x))) is
+    the identity on md5 output, so values match the oracle exactly)."""
     docs = t(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", F.md5("text").alias("digest"))
-        .groupBy("digest")
+        docs.select("doc_id", F.unhex(F.md5("text")).alias("bdigest"))
+        .groupBy("bdigest")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
             F.min("doc_id").cast("long").alias("keeper_doc_id"),
         )
         .filter(F.col("n_copies") > 1)
+        .select(
+            F.lower(F.hex("bdigest")).alias("digest"),
+            "n_copies",
+            "keeper_doc_id",
+        )
         .orderBy(F.desc("n_copies"), F.asc("keeper_doc_id"))
     )
 
@@ -68,11 +78,14 @@ def dedup_exact_groups(spark, sf_dir):
     """,
 )
 def dedup_exact_stats(spark, sf_dir):
+    # Distinct-count over the BINARY digest (same cardinality as the
+    # hex string, half the bytes through the distinct aggregate).
     docs = t(spark, sf_dir, "documents")
+    bd = F.unhex(F.md5("text"))
     return docs.agg(
         F.count(F.lit(1)).alias("total_docs"),
-        F.countDistinct(F.md5("text")).alias("unique_docs"),
-        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("removable"),
+        F.countDistinct(bd).alias("unique_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(bd)).alias("removable"),
     )
 
 
