@@ -119,3 +119,52 @@ def mm_feature_extraction(spark, sf_dir):
         F.round("byte_entropy_proxy", 6).alias("entropy"),
         F.round(F.element_at("feature", 1), 6).alias("f0"),
     ).orderBy("media_id")
+
+
+@query(
+    "mm_frame_sample",
+    # The operator emits one row per sampled byte offset
+    # (sequence(0, len-1, 1024)); the oracle verifies the aggregate of
+    # that explosion against the closed form — frames = ⌊max(len-1,0)/
+    # stride⌋ + 1, last offset = (frames-1)·stride — so any drift in
+    # the sampling arithmetic (off-by-one, empty payloads) fails the
+    # value compare.
+    oracle="""
+    SELECT media_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(FLOOR(GREATEST(n_bytes - 1, 0) / 1024) + 1 AS BIGINT)
+             AS n_frames,
+           CAST((FLOOR(GREATEST(n_bytes - 1, 0) / 1024)) * 1024 AS BIGINT)
+             AS last_offset
+    FROM (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+      FROM documents
+      WHERE doc_id % 3 = 2
+    ) v
+    ORDER BY media_id
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling over opaque video payloads: one row per sampled
+    offset (the stand-in for per-frame decode at a fixed byte stride),
+    rolled up per media item. The explode is pure column ops — no
+    Python in the loop, embarrassingly parallel at 100 TB."""
+    from pg_ducklake_spark.operators.multimodal import frame_sample
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    frames = frame_sample(media, every_n_bytes=1024)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.max("n_bytes").cast("long").alias("n_bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.max("byte_offset").cast("long").alias("last_offset"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("media_id")
+    )
