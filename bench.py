@@ -104,23 +104,38 @@ ITERS = 3
 # planner sees it — the same adaptivity a cost-based engine applies per
 # query, done here statically because AQE's runtime replanning costs
 # more than it saves at interactive scale):
-# - Whole-stage codegen OFF by default at bench scale: the generated
-#   Java source for expression-heavy plans (unrolled 64-dim dot
-#   products, fixed-point hi/lo aggregate splits) takes longer to
-#   *generate* per execution than interpreted evaluation of a few MB of
-#   rows; compute-dense shuffle joins keep it ON. At 100 TB codegen is
-#   always ON (session default) — source generation amortizes over
-#   minutes of scan.
+# - Whole-stage codegen ON by default — the 100 TB stance, and after
+#   the round-5 move to fold-based dot products (no giant generated
+#   methods left in the hot paths) also the measured winner for most
+#   of the sweep. The OFF list holds the shapes where a full A/B
+#   (2 warm + 2 timed per query per setting) measured interpreted
+#   evaluation faster at bench scale: iterative label propagation
+#   (components — codegen recompiles per round), Arrow/mapInPandas
+#   stages, and small window-dominated plans where source generation
+#   is the whole cost.
 # - 8 MB file splits only for queries whose timed stage is scan-bound
 #   (big fan-out over lineitem/orders/events): the sf0.1 files are one
 #   ~20 MB parquet each, so whole-file (128 MB) splits read them on one
 #   core; everything else prefers the lower task count.
-_CODEGEN_ON = {
-    "dedup_ngram_jaccard",
-    "stats_price_quantity_corr",
-    "ts_time_bucket_rollup",
+_CODEGEN_OFF = {
+    "events_by_type",
+    "events_sessionized_gap",
+    "rel_window_rank",
+    "dedup_exact_stats",
+    "dedup_exact_groups",
+    "text_quality_scores",
+    "text_fingerprint_dups",
+    "text_repetition_scores",
+    "sim_bruteforce_topk",
+    "sim_lsh_bucket_topk",
+    "ts_asof_join",
+    "ts_gap_fill_locf",
+    "pipe_filter_dedup_stats",
+    "pipe_crossmodal_dup_check",
+    "pipe_source_quota_cap",
     "events_value_quantiles",
-    "events_retention",
+    "dedup_components",
+    "mm_feature_extraction",
 }
 _SPLIT_8M = {
     "tpch_q3_shipping_priority",
@@ -139,7 +154,7 @@ _SPLIT_8M = {
 def _apply_query_conf(spark, name: str) -> None:
     spark.conf.set(
         "spark.sql.codegen.wholeStage",
-        "true" if name in _CODEGEN_ON else "false",
+        "false" if name in _CODEGEN_OFF else "true",
     )
     spark.conf.set(
         "spark.sql.files.maxPartitionBytes",
