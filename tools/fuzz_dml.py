@@ -165,6 +165,42 @@ def run(ops: int, seed: int, spark=None) -> list[str]:
                         f"time travel v{v} (op {k}): lake={len(tt)} rows,"
                         f" replay={len(rep)}"
                     )
+
+        # change-feed spot checks: for random (k1 < k2), the feed's net
+        # effect between those snapshots must transform the mirror's
+        # state at k1 into its state at k2 (multiset arithmetic):
+        #   replay(k1) + inserts&postimages - deletes&preimages == replay(k2)
+        if not problems and len(versions) >= 3:
+            from collections import Counter
+
+            for _ in range(2):
+                k1, k2 = sorted(rng.sample(range(1, len(versions) + 1), 2))
+                if k1 == k2:
+                    continue
+                v1, v2 = versions[k1 - 1], versions[k2 - 1]
+                feed = lake.table_changes("f", v1 + 1, v2).collect()
+                plus = Counter(
+                    (r.id, r.grp, r.val)
+                    for r in feed
+                    if r._change_type in ("insert", "update_postimage")
+                )
+                minus = Counter(
+                    (r.id, r.grp, r.val)
+                    for r in feed
+                    if r._change_type in ("delete", "update_preimage")
+                )
+                state = Counter(mirror.replay(k1))
+                state.update(plus)
+                state.subtract(minus)
+                want = Counter(mirror.replay(k2))
+                if +state != want:
+                    delta = (+state) - want
+                    missing = want - (+state)
+                    problems.append(
+                        f"change feed v{v1}..v{v2} (ops {k1}..{k2}) does not"
+                        f" reconcile: extra={dict(list(delta.items())[:2])}"
+                        f" missing={dict(list(missing.items())[:2])}"
+                    )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return problems
