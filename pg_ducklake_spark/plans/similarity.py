@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from pg_ducklake_spark.functions import sql_davg
 from pg_ducklake_spark.functions.hashing import hyperplanes
 from pg_ducklake_spark.plans import query, rebalance, t
 
@@ -491,4 +492,121 @@ def sim_pq_topk(spark, sf_dir):
         .withColumn("rnk", F.col("rnk").cast("long"))
         .select("q_id", "neighbor_id", "score", "rnk")
         .coalesce(1).sortWithinPartitions("q_id", "rnk")
+    )
+
+
+# --------------------------------------------------- codebook mixture
+
+# Fixed seeded codebook (8 cells x 64 dims, components k/64 — exact
+# doubles whose repr round-trips identically through both engines'
+# literal parsers). A FIXED codebook — unlike trained k-means cells —
+# makes the whole assignment SQL-expressible, so the oracle pins the
+# argmax itself, not just an assignment-independent invariant.
+_CODEBOOK = hyperplanes(8, _DIM, seed=13)
+# Python computes each norm with the same left-associated double adds
+# the engines would; embedding repr(norm) as a literal parses back to
+# the identical double, saving 8 symbolic sqrt(sum) evaluations per row.
+_CODE_NORMS = []
+for _c in _CODEBOOK:
+    _acc = 0.0
+    for _x in _c:
+        _acc += _x * _x
+    _CODE_NORMS.append(_acc**0.5)
+
+
+def _spark_cell_struct() -> str:
+    """array_max over (sim, -cell) structs: max cosine, ties to the
+    smallest cell — evaluated map-side, zero shuffle (same layout as
+    operators/ivf._assign)."""
+    entries = []
+    for j, c in enumerate(_CODEBOOK):
+        arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+        dot = _FOLD_DOT.format(a="embedding", b=arr)
+        sim = f"(({dot}) / (nrm * CAST({_CODE_NORMS[j]!r} AS DOUBLE)))"
+        entries.append(f"struct({sim} AS sim, CAST({-j} AS BIGINT) AS negcell)")
+    return f"array_max(array({', '.join(entries)}))"
+
+
+def _duck_cell_sims(col: str) -> list[str]:
+    sims = []
+    for j, c in enumerate(_CODEBOOK):
+        terms = " + ".join(
+            f"CAST({col}[{i + 1}] AS DOUBLE) * CAST({c[i]!r} AS DOUBLE)"
+            for i in range(_DIM)
+        )
+        sims.append(f"(({terms}) / (nrm * CAST({_CODE_NORMS[j]!r} AS DOUBLE)))")
+    return sims
+
+
+@query(
+    "sim_codebook_mix",
+    oracle=f"""
+    WITH normed AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    simmed AS (
+      SELECT vec_id, label,
+             {", ".join(f"{s} AS s{j}" for j, s in
+                        (lambda ss: list(enumerate(ss)))(_duck_cell_sims('embedding')))}
+      FROM normed
+    ),
+    assigned AS (
+      SELECT vec_id, label,
+             greatest(s0, s1, s2, s3, s4, s5, s6, s7) AS best_sim,
+             CASE {" ".join(f"WHEN s{j} >= greatest(s0, s1, s2, s3, s4, s5, s6, s7) THEN {j}"
+                            for j in range(8))} END AS cell
+      FROM simmed
+    )
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+           {sql_davg('best_sim')} AS avg_cos,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM assigned
+    GROUP BY cell
+    ORDER BY cell
+    """,
+)
+def sim_codebook_mix(spark, sf_dir):
+    """Corpus diversity mixture against a fixed seeded codebook: every
+    embedding is assigned to its max-cosine codebook cell and the query
+    reports the per-cell population, label diversity, and mean
+    assignment cosine — the cluster-balance report a training-data
+    pipeline runs before choosing mixture weights.
+
+    Scale shape: the codebook is a compile-time literal (k x dim), so
+    assignment is pure map-side expression work inside one scan — no
+    broadcast, no shuffle until the 8-group aggregate (map-side
+    combined). At 100 TB this is a single pass; the trained-centroid
+    variant of the same layout is operators/ivf.ivf_build (broadcast
+    centroids), whose assignment invariant is oracle-pinned by
+    sim_ivf_topk. avg_cos uses the exact fixed-point mean
+    (functions/exact.py) so the value is summation-order-independent."""
+    from pg_ducklake_spark.functions import davg
+
+    emb = rebalance(t(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", F.sqrt(F.expr(_FOLD_DOT.format(a="embedding", b="embedding")))
+    )
+    best = F.expr(_spark_cell_struct())
+    assigned = emb.select(
+        "label",
+        (-best["negcell"]).cast("long").alias("cell"),
+        best["sim"].alias("best_sim"),
+    )
+    total = Window.partitionBy()
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+            davg("best_sim").alias("avg_cos"),
+        )
+        .withColumn(
+            "share",
+            F.round(F.col("n_vecs").cast("double") / F.sum("n_vecs").over(total), 6),
+        )
+        .orderBy("cell")
     )

@@ -106,3 +106,82 @@ def stats_histogram_fixed_bins(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bin")
     )
+
+
+@query(
+    "stats_mad_outliers",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, value AS median FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.median) AS ad, m.median
+      FROM events e JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, median, ad,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, median, ad AS mad FROM r2 WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           m.median AS med,
+           m.mad AS mad,
+           CAST(SUM(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           ROUND(CAST(SUM(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS outlier_rate
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.median, m.mad
+    ORDER BY d.event_type
+    """,
+)
+def stats_mad_outliers(spark, sf_dir):
+    """Robust outlier detection per event type: lower median + MAD
+    (median absolute deviation), flagging values beyond 3 MADs — the
+    heavy-tail screen that, unlike z-scores, is immune to the outliers
+    it hunts.
+
+    Medians are EXACT order statistics computed by the two-phase
+    bin + refine operator (operators/quantile.py): a (type, floor(v))
+    histogram locates each group's k-th element, a second pass sorts
+    only the target bin — no group ever funnels through a single task,
+    unlike the oracle's window formulation (fine for DuckDB
+    single-node, a scale-killer for Spark). Both statistics are actual
+    data values (no interpolation), so every comparison — including
+    the ad > 3*MAD threshold — is bit-exact across engines."""
+    from pg_ducklake_spark.operators.quantile import group_median_exact
+
+    ev = t(spark, sf_dir, "events")
+    med = group_median_exact(ev, ["event_type"], "value", out_col="med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = group_median_exact(
+        dev, ["event_type"], "ad", out_col="mad"
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+    return (
+        flagged.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_out).cast("long").alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_rate",
+            F.round(F.col("n_outliers").cast("double") / F.col("n"), 6),
+        )
+        .select("event_type", "n", "med", "mad", "n_outliers", "outlier_rate")
+        .orderBy("event_type")
+    )

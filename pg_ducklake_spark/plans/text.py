@@ -441,3 +441,101 @@ def text_unigram_surprisal(spark, sf_dir):
         .coalesce(1)
         .sortWithinPartitions("source")
     )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks WHERE token <> '' GROUP BY lang, token
+    ),
+    ranked AS (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, token ASC) AS rnk
+      FROM counts
+    )
+    SELECT lang, CAST(rnk AS BIGINT) AS rnk, token, n
+    FROM ranked WHERE rnk <= 10
+    ORDER BY lang, rnk
+    """,
+)
+def text_heavy_hitters(spark, sf_dir):
+    """Top-10 most frequent tokens per language — the vocabulary
+    heavy-hitter report used to spot boilerplate and template spam
+    before training.
+
+    Scale shape: explode -> (lang, token) hash-aggregate is ONE shuffle
+    with map-side partial counts (token frequency follows Zipf, so the
+    partial aggregate collapses most of the explode volume before the
+    exchange); the per-lang top-k window then runs over the already
+    tiny counts table. No driver-side data, no cross join — at 100 TB
+    the exchange carries distinct (lang, token) pairs, not tokens."""
+    docs = rebalance(t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", "rnk", "token", "n")
+        .coalesce(1)
+        .sortWithinPartitions("lang", "rnk")
+    )
+
+
+@query(
+    "text_type_token_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    filtered AS (SELECT source, token FROM toks WHERE token <> '')
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab_size,
+           ROUND(CAST(COUNT(DISTINCT token) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS type_token_ratio
+    FROM filtered
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_type_token_ratio(spark, sf_dir):
+    """Type-token ratio (vocabulary size / token volume) per source —
+    the lexical-diversity screen that flags template-generated or
+    looping sources (low TTR) before they enter a training mix.
+
+    Scale shape: one explode feeding a per-source COUNT + exact
+    COUNT(DISTINCT token). Spark plans the distinct as a two-phase
+    expand/aggregate keyed on (source, token) — the duplicate collapse
+    happens map-side, so the exchange carries distinct pairs. The ratio
+    divides two exact BIGINTs, so rounding to 6 dp is engine-stable."""
+    docs = rebalance(t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.countDistinct("token").alias("vocab_size"),
+        )
+        .withColumn(
+            "type_token_ratio",
+            F.round(
+                F.col("vocab_size").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ),
+        )
+        .select("source", "total_tokens", "vocab_size", "type_token_ratio")
+        .coalesce(1)
+        .sortWithinPartitions("source")
+    )
