@@ -194,11 +194,25 @@ class TableState:
     history: list[SnapshotInfo] = field(default_factory=list)
     # per-snapshot schema versions: snapshot_id -> schema json (only changes)
     schema_log: list[tuple[int, dict]] = field(default_factory=list)
+    # column renames (≙ ducklake_name_mapping): [snapshot_id, old, new]
+    # in commit order — lets the scan map a current column back to the
+    # physical name it carries inside files written before the rename.
+    renames: list[list] = field(default_factory=list)
 
     @property
     def total_rows(self) -> int:
         deleted = sum(d["deleted"] for d in self.dvs.values())
         return sum(f.rows for f in self.files.values()) - deleted + len(self.inline_rows)
+
+    def physical_name(self, col: str, begin_snapshot: int) -> str:
+        """The column name physically stored in files written at
+        ``begin_snapshot`` for current-schema column ``col``: walk the
+        rename log backwards, undoing every rename that happened after
+        the file was written."""
+        for sid, old, new in reversed(self.renames):
+            if sid > begin_snapshot and col == new:
+                col = old
+        return col
 
     def schema_at(self, snapshot_id: int) -> T.StructType:
         cur = None
@@ -231,6 +245,7 @@ def state_to_json(state: TableState) -> dict:
         "views": state.views,
         "macros": state.macros,
         "schema_log": [[sid, sj] for sid, sj in state.schema_log],
+        "renames": [list(r) for r in state.renames],
         "history": [
             {
                 "snapshot_id": s.snapshot_id,
@@ -266,6 +281,7 @@ def state_from_json(d: dict) -> TableState:
         views=dict(d.get("views", {})),
         macros=dict(d.get("macros", {})),
         schema_log=[(sid, sj) for sid, sj in d.get("schema_log", [])],
+        renames=[list(r) for r in d.get("renames", [])],
         history=[SnapshotInfo(**h) for h in d.get("history", [])],
     )
     if state.schema_log:
@@ -356,6 +372,17 @@ class SnapshotLog:
             state.schema = T.StructType.fromJson(snap["schema"])
             state.schema_version = snap.get("schema_version", state.schema_version + 1)
             state.schema_log.append((sid, snap["schema"]))
+            rn = snap.get("rename")
+            if rn is None:
+                # Logs written before the structured field: recover the
+                # mapping from the (self-generated) operation string.
+                op = snap.get("operation", "")
+                if op.startswith("ALTER TABLE RENAME COLUMN "):
+                    parts = op[len("ALTER TABLE RENAME COLUMN "):].split(" TO ")
+                    if len(parts) == 2:
+                        rn = {"old": parts[0], "new": parts[1]}
+            if rn is not None:
+                state.renames.append([sid, rn["old"], rn["new"]])
         for d in snap.get("add", []):
             fe = FileEntry.from_json(d, sid)
             state.files[fe.path] = fe

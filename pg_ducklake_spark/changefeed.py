@@ -73,11 +73,52 @@ def table_changes(lake: "Lake", name: str, start, end=None) -> DataFrame:
     parts: list[DataFrame] = []
     empty = lake.spark.createDataFrame([], out_schema)
 
+    current_names = tuple(f.name for f in schema.fields)
+
     for v in range(a, b + 1):
         snap = log.read_snapshot(v)
         op = snap.get("operation", "WRITE")
         if op in _SKIP_OPS:
             continue
+        # Data committed at snapshot v carries the column names of THAT
+        # vintage; map each end-schema column back through any later
+        # renames (same walk as Lake._read_files).
+        phys = tuple(
+            end_state.physical_name(c, v) for c in current_names
+        )
+
+        def read_mapped(paths: list[str], with_ct: bool) -> DataFrame:
+            extra = (
+                [T.StructField("_change_type", T.StringType())]
+                if with_ct
+                else []
+            )
+            if phys == current_names:
+                rs = T.StructType(list(schema.fields) + extra)
+                return lake.spark.read.schema(rs).parquet(*paths)
+            claimed = {p for c, p in zip(current_names, phys) if p != c}
+            read_fields, aliases = [], []
+            for f, p in zip(schema.fields, phys):
+                if p == f.name and p in claimed:
+                    aliases.append((None, f))
+                    continue
+                read_fields.append(T.StructField(p, f.dataType, True))
+                aliases.append((p, f))
+            df = lake.spark.read.schema(
+                T.StructType(read_fields + extra)
+            ).parquet(*paths)
+            proj = [
+                (
+                    F.col(p).alias(f.name)
+                    if p is not None
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
+                for p, f in aliases
+            ]
+            if with_ct:
+                proj.append(F.col("_change_type"))
+            return df.select(*proj)
+
         ts = snap.get("timestamp")
         ts_lit = (
             F.lit(dt.datetime.fromisoformat(ts)).cast("timestamp") if ts else F.lit(None).cast("timestamp")
@@ -97,13 +138,10 @@ def table_changes(lake: "Lake", name: str, start, end=None) -> DataFrame:
         # rewrites/inserts already represented there.
         if added and op not in ("DELETE", "UPDATE", "MERGE"):
             paths = [os.path.join(table_dir, p) for p in added]
-            parts.append(stamp(lake.spark.read.schema(schema).parquet(*paths), "insert"))
+            parts.append(stamp(read_mapped(paths, with_ct=False), "insert"))
         if snap.get("cdf_path"):
-            cdf_schema = T.StructType(
-                list(schema.fields) + [T.StructField("_change_type", T.StringType())]
-            )
-            cdf = lake.spark.read.schema(cdf_schema).parquet(
-                os.path.join(table_dir, snap["cdf_path"])
+            cdf = read_mapped(
+                [os.path.join(table_dir, snap["cdf_path"])], with_ct=True
             )
             parts.append(stamp(cdf))
         inline_rows = [
@@ -114,7 +152,10 @@ def table_changes(lake: "Lake", name: str, start, end=None) -> DataFrame:
         if inline_rows:
             data = [
                 tuple(
-                    from_json_value(r["values"].get(f.name), f.dataType)
+                    from_json_value(
+                        r["values"].get(end_state.physical_name(f.name, v)),
+                        f.dataType,
+                    )
                     for f in schema.fields
                 )
                 + (r["change_type"],)

@@ -54,6 +54,9 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
             column_type VARCHAR, nulls_allowed BOOLEAN,
             begin_snapshot BIGINT, initial_default VARCHAR,
             default_value VARCHAR);
+        CREATE TABLE ducklake_name_mapping(
+            table_id BIGINT, snapshot_id BIGINT, old_name VARCHAR,
+            new_name VARCHAR);
         CREATE TABLE ducklake_data_file(
             table_id BIGINT, path VARCHAR, rows BIGINT, bytes BIGINT,
             begin_snapshot BIGINT, partition_values VARCHAR, stats VARCHAR);
@@ -108,6 +111,11 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
                 "INSERT INTO ducklake_snapshot VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
                 [name, s.snapshot_id, s.timestamp, s.schema_version, s.operation,
                  s.author, s.commit_message, s.commit_extra_info],
+            )
+        for sid, old, new in state.renames:
+            con.execute(
+                "INSERT INTO ducklake_name_mapping VALUES (?, ?, ?, ?)",
+                [tid, sid, old, new],
             )
         for fe in state.files.values():
             con.execute(
@@ -166,9 +174,17 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
         # src/pgducklake_freeze.cpp:100-105) — but inlined *rows* must
         # survive the round trip, so they are exported as JSON rows.
         for r in state.inline_rows:
+            # Materialize renames at freeze time: inline values are
+            # keyed by their insert-time names; re-key them to the
+            # current schema so the frozen reader needs no mapping.
+            bs = r.get("begin_snapshot", 0)
+            vals = {
+                f.name: r["values"].get(state.physical_name(f.name, bs))
+                for f in state.schema.fields
+            }
             con.execute(
                 "INSERT INTO ducklake_inlined_data VALUES (?, ?, ?)",
-                [tid, r["row_id"], json.dumps(r["values"])],
+                [tid, r["row_id"], json.dumps(vals)],
             )
         if state.table_stats:
             ts = state.table_stats
@@ -287,9 +303,19 @@ class FrozenLake:
                 ).fetchall()
             except duckdb.CatalogException:  # pre-embedding frozen files
                 dv_rows = None
+            try:
+                renames = con.execute(
+                    "SELECT snapshot_id, old_name, new_name FROM"
+                    " ducklake_name_mapping WHERE table_id = ?"
+                    " ORDER BY snapshot_id",
+                    [tid],
+                ).fetchall()
+            except duckdb.CatalogException:  # pre-mapping frozen files
+                renames = []
             self._tables[name] = {"cols": cols, "files": files,
                                   "inline": [json.loads(r[0]) for r in inline],
                                   "dvs": dvs, "dv_rows": dv_rows,
+                                  "renames": renames,
                                   "name": name}
         self._views: dict[str, dict] = {}
         self._macros: dict[str, dict] = {}
@@ -373,25 +399,71 @@ class FrozenLake:
                     "frozen file predates embedded delete positions "
                     "(ducklake_dv_rows); re-freeze it to attach over http"
                 )
+        renames = info.get("renames") or []
+
+        def physical_name(col: str, file_bs: int) -> str:
+            # Same walk as TableState.physical_name: undo every rename
+            # committed after the file was written.
+            for _sid, old, new in reversed(renames):
+                if _sid > file_bs and col == new:
+                    col = old
+            return col
+
+        current_names = tuple(f.name for f in schema.fields)
         groups: dict[tuple, list[str]] = {}
         for path, file_bs in info["files"]:
             missing = tuple(
                 c for c, (add_bs, _d) in fills.items() if file_bs < add_bs
             )
-            groups.setdefault(missing, []).append(path)
+            phys = tuple(physical_name(c, file_bs) for c in current_names)
+            groups.setdefault((missing, phys), []).append(path)
         has_dvs = bool(info.get("dvs"))
         parts = []
-        for missing, group_paths in sorted(groups.items()):
-            g = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.data_root, p) for p in group_paths]
-            )
-            if has_dvs:
-                # _metadata must be captured per scan, before the union
-                g = g.select(
-                    "*",
-                    F.col("_metadata.file_path").alias("_fp"),
-                    F.col("_metadata.row_index").alias("_ri"),
-                )
+        for (missing, phys), group_paths in sorted(groups.items()):
+            paths = [os.path.join(self.data_root, p) for p in group_paths]
+            if phys == current_names:
+                g = self.spark.read.schema(schema).parquet(*paths)
+                if has_dvs:
+                    # _metadata must be captured per scan, pre-union
+                    g = g.select(
+                        "*",
+                        F.col("_metadata.file_path").alias("_fp"),
+                        F.col("_metadata.row_index").alias("_ri"),
+                    )
+            else:
+                # Files predating a rename store the old column name:
+                # read under physical names, alias back (same dup-guard
+                # as Lake._read_files — a clashing re-added column
+                # cannot exist in these older files).
+                from pyspark.sql import types as T2
+
+                claimed = {
+                    p for c, p in zip(current_names, phys) if p != c
+                }
+                read_fields, aliases = [], []
+                for f, p in zip(schema.fields, phys):
+                    if p == f.name and p in claimed:
+                        aliases.append((None, f))
+                        continue
+                    read_fields.append(T2.StructField(p, f.dataType, True))
+                    aliases.append((p, f))
+                g = self.spark.read.schema(
+                    T2.StructType(read_fields)
+                ).parquet(*paths)
+                proj = [
+                    (
+                        F.col(p).alias(f.name)
+                        if p is not None
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                    )
+                    for p, f in aliases
+                ]
+                if has_dvs:
+                    proj += [
+                        F.col("_metadata.file_path").alias("_fp"),
+                        F.col("_metadata.row_index").alias("_ri"),
+                    ]
+                g = g.select(*proj)
             for c in missing:
                 dtype = next(
                     T._parse_datatype_string(ty)

@@ -422,7 +422,12 @@ class Lake:
                 for f in fields
             ]
 
-        self._alter_schema(name, f"RENAME COLUMN {old} TO {new}", xf)
+        self._alter_schema(
+            name,
+            f"RENAME COLUMN {old} TO {new}",
+            xf,
+            extra={"rename": {"old": old, "new": new}},
+        )
 
     _UPCASTS = {
         ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
@@ -478,23 +483,27 @@ class Lake:
 
         self._log(name).commit(snap, validate=validate, base_version=state.snapshot_id)
 
-    def _alter_schema(self, name: str, op: str, transform) -> None:
+    def _alter_schema(
+        self, name: str, op: str, transform, extra: dict | None = None
+    ) -> None:
         self._check_ddl()
         state = self._state(name)
         new_fields = transform(list(state.schema.fields))
         if [f.name for f in new_fields] == [f.name for f in state.schema.fields] and op.startswith("DROP"):
             raise LakeError(f"{op}: column not found in {name!r}")
         new_schema = T.StructType(new_fields)
-        # Renames must follow the physical parquet column names: rewrite
-        # inline rows' keys; parquet files are read by position-compatible
-        # name mapping below (rename = metadata-only for new reads of new
-        # files; old files resolve via the historical schema).
+        # Renames are metadata-only (≙ ducklake_name_mapping): the snap
+        # carries a structured {old, new} entry that the catalog replay
+        # folds into TableState.renames, and _read_files maps each
+        # current column back to its per-file physical name at scan time.
         snap = {
             "operation": f"ALTER TABLE {op}",
             "schema": new_schema.jsonValue(),
             "schema_version": state.schema_version + 1,
             "metrics": {},
         }
+        if extra:
+            snap.update(extra)
         self._log(name).commit(snap)
 
     # ---------------------------------------------------------- write path
@@ -678,12 +687,19 @@ class Lake:
             return None
         data = []
         for r in state.inline_rows:
+            bs = r.get("begin_snapshot", 0)
+            # Inline values are keyed by their insert-time column names;
+            # a later RENAME COLUMN must look them up under the physical
+            # (old) name, exactly like the parquet scan path.
             data.append(
                 tuple(
-                    from_json_value(r["values"].get(f.name), f.dataType)
+                    from_json_value(
+                        r["values"].get(state.physical_name(f.name, bs)),
+                        f.dataType,
+                    )
                     for f in schema.fields
                 )
-                + (r.get("begin_snapshot", 0),)
+                + (bs,)
             )
         aug = T.StructType(
             list(schema.fields) + [T.StructField("_dl_bs", T.LongType(), False)]
@@ -754,24 +770,67 @@ class Lake:
         # initial_default, not NULL — group files by which defaulted
         # columns they're missing (group count ≤ #ADD COLUMN DEFAULTs + 1,
         # independent of file count) and fill per group.
+        current_names = tuple(f.name for f in schema.fields)
         groups: dict[tuple, list[str]] = {}
         for rel in rels:
             bs = state.files[rel].begin_snapshot
             missing = tuple(
                 c for c, (add_snap, _e) in fills.items() if bs < add_snap
             )
-            groups.setdefault(missing, []).append(rel)
-        parts = []
-        for missing, group_rels in sorted(groups.items()):
-            g = self.spark.read.schema(schema).parquet(
-                *[os.path.join(table_dir, p) for p in group_rels]
+            # Files written before a RENAME COLUMN physically store the
+            # old name (rename is metadata-only, ≙ ducklake_name_mapping)
+            # — map each current column to the name it carries in this
+            # file's vintage. Group count stays bounded by #ALTERs, not
+            # #files.
+            phys = tuple(
+                state.physical_name(c, bs) for c in current_names
             )
-            if need_meta:
-                g = g.select(
-                    "*",
-                    F.col("_metadata.file_path").alias("_dl_fp"),
-                    F.col("_metadata.row_index").alias("_dl_ri"),
+            groups.setdefault((missing, phys), []).append(rel)
+        parts = []
+        for (missing, phys), group_rels in sorted(groups.items()):
+            paths = [os.path.join(table_dir, p) for p in group_rels]
+            if phys == current_names:
+                g = self.spark.read.schema(schema).parquet(*paths)
+                if need_meta:
+                    g = g.select(
+                        "*",
+                        F.col("_metadata.file_path").alias("_dl_fp"),
+                        F.col("_metadata.row_index").alias("_dl_ri"),
+                    )
+            else:
+                # Read under the physical names, then alias back to the
+                # current names. A physical name claimed by a rename-walk
+                # belongs to the OLDER column; a clashing same-named
+                # column must have been re-added after that rename, so it
+                # cannot exist in these files — read it as NULL (or its
+                # initial_default fill below).
+                claimed = {
+                    p for c, p in zip(current_names, phys) if p != c
+                }
+                read_fields, aliases = [], []
+                for f, p in zip(schema.fields, phys):
+                    if p == f.name and p in claimed:
+                        aliases.append((None, f))
+                        continue
+                    read_fields.append(T.StructField(p, f.dataType, True))
+                    aliases.append((p, f))
+                g = self.spark.read.schema(T.StructType(read_fields)).parquet(
+                    *paths
                 )
+                proj = [
+                    (
+                        F.col(p).alias(f.name)
+                        if p is not None
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                    )
+                    for p, f in aliases
+                ]
+                if need_meta:
+                    proj += [
+                        F.col("_metadata.file_path").alias("_dl_fp"),
+                        F.col("_metadata.row_index").alias("_dl_ri"),
+                    ]
+                g = g.select(*proj)
             for c in missing:
                 g = g.withColumn(
                     c, F.expr(fills[c][1]).cast(schema[c].dataType)

@@ -1,0 +1,101 @@
+"""RENAME COLUMN is metadata-only (≙ ducklake_name_mapping,
+src/pgducklake_freeze.cpp:52 table list): files, inline rows, change
+files, and frozen exports written before the rename keep the old
+physical name, and every read path must map the current column back to
+its per-vintage physical name. Found by tools/fuzz_schema.py — a
+renamed string column read NULL from pre-rename files."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def renamed_lake(lake, spark):
+    lake.create_table(
+        "t", "id bigint, g string, v bigint",
+        options={"data_inlining_row_limit": 2},
+    )
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [(0, "red", 10), (1, "blue", 20)], "id bigint, g string, v bigint"
+        ),
+    )
+    lake.insert_rows("t", [{"id": 2, "g": "plum", "v": 30}])
+    lake.rename_column("t", "g", "color")
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [(3, "cyan", 40)], "id bigint, color string, v bigint"
+        ),
+    )
+    return lake
+
+
+def test_scan_maps_renamed_column(renamed_lake):
+    rows = sorted(tuple(r) for r in renamed_lake.table("t").collect())
+    assert rows == [
+        (0, "red", 10), (1, "blue", 20), (2, "plum", 30), (3, "cyan", 40)
+    ]
+
+
+def test_chained_rename_and_update(renamed_lake):
+    renamed_lake.rename_column("t", "color", "hue")
+    renamed_lake.update("t", {"v": "v + 1"}, "id = 0")
+    rows = sorted(tuple(r) for r in renamed_lake.table("t").collect())
+    assert renamed_lake.table("t").columns == ["id", "hue", "v"]
+    assert (0, "red", 11) in rows and (2, "plum", 30) in rows
+
+
+def test_time_travel_has_old_name_and_values(renamed_lake):
+    df = renamed_lake.table("t", version=2)
+    assert df.columns == ["id", "g", "v"]
+    assert sorted(tuple(r) for r in df.collect()) == [
+        (0, "red", 10), (1, "blue", 20)
+    ]
+
+
+def test_filter_on_renamed_column_prunes_correctly(renamed_lake):
+    got = renamed_lake.scan("t", "color = 'red'").collect()
+    assert [tuple(r) for r in got] == [(0, "red", 10)]
+
+
+def test_change_feed_spans_rename(renamed_lake):
+    last = renamed_lake.current_snapshot("t")
+    feed = renamed_lake.table_changes("t", 1, last)
+    inserts = sorted(
+        (r.id, r.color, r.v)
+        for r in feed.collect()
+        if r._change_type == "insert"
+    )
+    assert inserts == [
+        (0, "red", 10), (1, "blue", 20), (2, "plum", 30), (3, "cyan", 40)
+    ]
+
+
+def test_freeze_round_trip_with_rename(renamed_lake, spark, tmp_path):
+    from pg_ducklake_spark.freeze import FrozenLake
+
+    renamed_lake.delete("t", "id = 1")
+    out = os.path.join(str(tmp_path), "out.ducklake")
+    renamed_lake.freeze(out)
+    fro = FrozenLake(spark, out)
+    df = fro.table("t")
+    assert df.columns == ["id", "color", "v"]
+    assert sorted(tuple(r) for r in df.collect()) == [
+        (0, "red", 10), (2, "plum", 30), (3, "cyan", 40)
+    ]
+
+
+def test_vacuum_rewrites_under_current_name(renamed_lake):
+    renamed_lake.delete("t", "id = 0")
+    renamed_lake.vacuum("t")
+    rows = sorted(tuple(r) for r in renamed_lake.table("t").collect())
+    assert rows == [(1, "blue", 20), (2, "plum", 30), (3, "cyan", 40)]
+    # And the rename mapping still resolves after the rewrite.
+    renamed_lake.rename_column("t", "color", "shade")
+    assert sorted(
+        tuple(r) for r in renamed_lake.table("t").collect()
+    ) == rows
