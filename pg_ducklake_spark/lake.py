@@ -422,11 +422,32 @@ class Lake:
                 for f in fields
             ]
 
+        # Partition / sort specs are expression strings over column
+        # names; rewrite identifier references so the NEXT write still
+        # resolves (the reference keeps its specs consistent DuckDB-side
+        # the same way — the spec follows the column, not the old name).
+        import re as _re
+
+        state = self._state(name)
+        ident = _re.compile(rf"\b{_re.escape(old)}\b")
+        extra: dict = {"rename": {"old": old, "new": new}}
+        sets: dict = {}
+        new_pspec = [ident.sub(new, e) for e in state.partition_spec]
+        if new_pspec != state.partition_spec:
+            sets["partition_spec"] = new_pspec
+        new_sspec = [
+            dict(s, expression=ident.sub(new, s["expression"]))
+            for s in state.sort_spec
+        ]
+        if new_sspec != state.sort_spec:
+            sets["sort_spec"] = new_sspec
+        if sets:
+            extra["set"] = sets
         self._alter_schema(
             name,
             f"RENAME COLUMN {old} TO {new}",
             xf,
-            extra={"rename": {"old": old, "new": new}},
+            extra=extra,
         )
 
     _UPCASTS = {

@@ -110,6 +110,16 @@ def prune_files(state: "TableState", where: str) -> list[str]:
             )
     keep = []
     for path, entry in state.files.items():
-        if all(_file_may_match(entry, c, o, l) for c, o, l in conjuncts):
+        # Stats are recorded under insert-time column names; a renamed
+        # column's stats live under its physical name in older files.
+        if all(
+            _file_may_match(
+                entry,
+                state.physical_name(c, entry.begin_snapshot),
+                o,
+                l,
+            )
+            for c, o, l in conjuncts
+        ):
             keep.append(path)
     return keep

@@ -99,3 +99,42 @@ def test_vacuum_rewrites_under_current_name(renamed_lake):
     assert sorted(
         tuple(r) for r in renamed_lake.table("t").collect()
     ) == rows
+
+
+def test_partition_spec_follows_rename(lake, spark):
+    lake.create_table("p", "k int, ts timestamp", partition_by=["k"])
+    lake.insert("p", spark.sql("SELECT 1 k, TIMESTAMP '2024-01-01' ts"))
+    lake.rename_column("p", "k", "kk")
+    lake.insert("p", spark.sql("SELECT 2 kk, TIMESTAMP '2024-01-02' ts"))
+    assert lake.get_partition("p") == ["kk"]
+    assert sorted(r[0] for r in lake.table("p").collect()) == [1, 2]
+
+
+def test_sort_spec_follows_rename(lake, spark):
+    lake.create_table("s", "a int, b int", sorted_by=["a ASC"])
+    lake.insert("s", spark.createDataFrame([(3, 1), (1, 2)], "a int, b int"))
+    lake.rename_column("s", "a", "aa")
+    assert lake.get_sort("s")[0]["expression"] == "aa"
+    lake.vacuum("s")  # compaction applies the (renamed) sort key
+    assert sorted(tuple(r) for r in lake.table("s").collect()) == [
+        (1, 2), (3, 1)
+    ]
+
+
+def test_prune_files_uses_physical_name(lake, spark):
+    from pg_ducklake_spark.operators.pruning import prune_files
+
+    lake.create_table("pr", "a int, s string")
+    for lo in (0, 100, 200):
+        lake.insert(
+            "pr",
+            spark.range(lo, lo + 100)
+            .select(F.col("id").cast("int").alias("a"), F.lit("x").alias("s"))
+            .coalesce(1),
+        )
+    lake.rename_column("pr", "a", "b")
+    state = lake._state("pr")
+    # Old files' stats live under physical name 'a'; pruning on the
+    # current name must still hit them.
+    assert len(prune_files(state, "b >= 250")) == 1
+    assert lake.scan("pr", "b >= 250").count() == 50
