@@ -343,3 +343,83 @@ def lake_bucketed_join(spark, sf_dir):
         )
         .coalesce(1).sortWithinPartitions("c_mktsegment")
     )
+
+
+@query(
+    "lake_incremental_stats",
+    oracle="""
+    WITH final AS (
+      SELECT source,
+             CASE WHEN source = 'src1' THEN n_chars + 7 ELSE n_chars END
+               AS nc
+      FROM documents WHERE lang <> 'de'
+      UNION ALL
+      SELECT source, n_chars AS nc FROM documents WHERE doc_id < 100
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(nc) AS BIGINT) AS sum_n_chars,
+           ROUND(CAST(SUM(nc) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+    FROM final
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def lake_incremental_stats(spark, sf_dir):
+    """Incremental materialized-view maintenance: per-source corpus
+    stats advanced across DELETE + UPDATE + INSERT purely from the
+    change feed (operators/incremental.py) — never rescanning the
+    table — and provably equal to the oracle's from-scratch recompute
+    of the final state.
+
+    Scale shape: the delta aggregation reads only changed rows (bounded
+    by DML volume, not corpus size); the merge is a full-outer join on
+    the group keys against a |groups|-row base. At 100 TB this is the
+    difference between maintaining corpus statistics per commit and
+    re-scanning the lake."""
+    from pg_ducklake_spark.operators.incremental import (
+        incremental_agg,
+        snapshot_agg,
+    )
+
+    lake = _tmp_lake(spark)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    lake.create_table(
+        "d", "doc_id bigint, source string, lang string, n_chars bigint"
+    )
+    lake.insert("d", docs)
+    v0 = lake.current_snapshot("d")
+    base = snapshot_agg(lake.table("d"), ["source"], ["n_chars"])
+    # Pin the base BEFORE the DML (a real MV would persist it): the
+    # collect is |sources| rows — metadata-sized by contract.
+    base = spark.createDataFrame(
+        base.collect(), "source string, n bigint, sum_n_chars bigint"
+    )
+    lake.delete("d", "lang = 'de'")
+    lake.update("d", {"n_chars": "n_chars + 7"}, "source = 'src1'")
+    lake.insert(
+        "d",
+        docs.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "source",
+            "lang",
+            "n_chars",
+        ),
+    )
+    out = incremental_agg(
+        lake, "d", base, ["source"], ["n_chars"], from_version=v0
+    )
+    return (
+        out.select(
+            "source",
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_n_chars").cast("long").alias("sum_n_chars"),
+            F.round(
+                F.col("sum_n_chars").cast("double") / F.col("n"), 6
+            ).alias("avg_chars"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("source")
+    )

@@ -317,10 +317,28 @@ def run_exact_kernel(spark) -> dict:
         f" read_parquet('{sf_dir}/documents.parquet')"
     )
 
-    def spark_kernel(df, min_copies):
+    def spark_kernel_md5(df, min_copies):
         return (
             df.select(F.md5("text").alias("d"), "doc_id")
             .groupBy("d")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id"))
+            .filter(F.col("n") > min_copies)
+            .groupBy()
+            .count()
+        )
+
+    def spark_kernel_xx(df, min_copies):
+        # The production plan (plans/dedup.py dedup_exact_groups):
+        # group on a 128-bit seeded-xxhash64 pair — engine-native,
+        # ~2.4x cheaper per row than md5, collision-safe past billions
+        # of rows.
+        return (
+            df.select(
+                F.xxhash64("text").alias("h1"),
+                F.xxhash64("text", F.lit(1)).alias("h2"),
+                "doc_id",
+            )
+            .groupBy("h1", "h2")
             .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id"))
             .filter(F.col("n") > min_copies)
             .groupBy()
@@ -338,9 +356,16 @@ def run_exact_kernel(spark) -> dict:
         ("rows_500k", docs, 1, duck_500k),
         ("rows_5m", big, 10, duck_5m),
     ):
-        s = _time_spark(lambda: spark_kernel(sdf, mc))
+        s_md5 = _time_spark(lambda: spark_kernel_md5(sdf, mc))
+        s_xx = _time_spark(lambda: spark_kernel_xx(sdf, mc))
         d = _time_duck(con, dsql)
-        out[label] = {"spark": s, "duck": d, "ratio": round(s / d, 2)}
+        out[label] = {
+            "spark_md5": s_md5,
+            "spark_xx128": s_xx,
+            "duck": d,
+            "ratio_md5": round(s_md5 / d, 2),
+            "ratio_xx128": round(s_xx / d, 2),
+        }
     con.close()
     return out
 

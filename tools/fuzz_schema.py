@@ -85,7 +85,10 @@ def run(ops: int, seed: int, spark=None) -> list[str]:
     problems: list[str] = []
     try:
         lake = Lake(spark, tmp)
-        lake.create_table("f", "id bigint, g string, v bigint")
+        lake.create_table(
+            "f", "id bigint, g string, v bigint",
+            options={"data_inlining_row_limit": 3},
+        )
         mirror = Mirror()
         # (name, spark_type) in current order; id is never altered.
         cols: list[tuple[str, str]] = [("id", "bigint"), ("g", "string"),
@@ -107,9 +110,9 @@ def run(ops: int, seed: int, spark=None) -> list[str]:
         for step in range(ops):
             mutable = [c for c in cols if c[0] != "id"]
             op = rng.choices(
-                ["insert", "add", "add_default", "drop", "rename",
-                 "widen", "update", "delete"],
-                weights=[30, 10, 10, 8 if len(mutable) > 1 else 0,
+                ["insert", "insert_inline", "add", "add_default", "drop",
+                 "rename", "widen", "update", "delete"],
+                weights=[24, 10, 10, 10, 8 if len(mutable) > 1 else 0,
                          10, 6, 12, 10],
             )[0]
             if op == "insert":
@@ -127,6 +130,20 @@ def run(ops: int, seed: int, spark=None) -> list[str]:
                 schema = ", ".join(f"{c} {t}" for c, t in cols)
                 lake.insert("f", spark.createDataFrame(rows, schema))
                 mirror.apply("INSERT INTO f VALUES " + ", ".join(lits))
+                record()
+            elif op == "insert_inline":
+                # Under the inline limit: rows land in the buffer, so a
+                # later rename must re-key buffered values too.
+                vals, sqls = {"id": next_id}, [str(next_id)]
+                for c, typ in cols[1:]:
+                    v, s = _lit(typ, rng)
+                    vals[c] = v
+                    sqls.append(s)
+                next_id += 1
+                lake.insert_rows("f", [vals])
+                mirror.apply(
+                    "INSERT INTO f VALUES (" + ", ".join(sqls) + ")"
+                )
                 record()
             elif op in ("add", "add_default"):
                 typ = rng.choice(["bigint", "string", "double"])
