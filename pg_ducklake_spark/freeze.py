@@ -419,7 +419,7 @@ class FrozenLake:
             groups.setdefault((missing, phys), []).append(path)
         has_dvs = bool(info.get("dvs"))
         parts = []
-        for (missing, phys), group_paths in sorted(groups.items()):
+        for (missing, phys), group_paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
             paths = [os.path.join(self.data_root, p) for p in group_paths]
             if phys == current_names:
                 g = self.spark.read.schema(schema).parquet(*paths)

@@ -417,8 +417,12 @@ class Lake:
 
     def rename_column(self, name: str, old: str, new: str) -> None:
         def xf(fields):
+            # Keep the field METADATA (initial_default / default_value):
+            # dropping it silently un-defaults the column for old files.
             return [
-                T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+                T.StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
                 for f in fields
             ]
 
@@ -468,7 +472,9 @@ class Lake:
             raise LakeError(f"column {col_name!r} not found in {name!r}")
         new_dt = _parse_schema(f"x {new_type}")[0].dataType
         new_fields = [
-            T.StructField(col_name, new_dt, f.nullable) if f.name == col_name else f
+            T.StructField(col_name, new_dt, f.nullable, f.metadata)
+            if f.name == col_name
+            else f
             for f in state.schema.fields
         ]
         new_schema = T.StructType(new_fields)
@@ -703,7 +709,17 @@ class Lake:
 
     # ----------------------------------------------------------- read path
 
-    def _inline_df(self, state: TableState, schema: T.StructType) -> DataFrame | None:
+    def _inline_df(
+        self,
+        state: TableState,
+        schema: T.StructType,
+        with_row_id: bool = False,
+    ) -> DataFrame | None:
+        """Inline-buffer rows as a DataFrame under ``schema``, with the
+        rename mapping AND initial-default fills applied — the single
+        authority every inline consumer (scan, predicate match, DML
+        rewrite) must go through. ``with_row_id`` appends
+        ``_dl_row_id`` for consumers that need to address rows."""
         if not state.inline_rows:
             return None
         data = []
@@ -720,10 +736,14 @@ class Lake:
                     )
                     for f in schema.fields
                 )
-                + (bs,)
+                + (bs, r["row_id"])
             )
         aug = T.StructType(
-            list(schema.fields) + [T.StructField("_dl_bs", T.LongType(), False)]
+            list(schema.fields)
+            + [
+                T.StructField("_dl_bs", T.LongType(), False),
+                T.StructField("_dl_row_id", T.LongType(), False),
+            ]
         )
         df = self.spark.createDataFrame(data, schema=aug)
         for c, (add_snap, expr) in self._initial_defaults(state, schema).items():
@@ -734,7 +754,8 @@ class Lake:
                     F.expr(expr).cast(schema[c].dataType),
                 ).otherwise(F.col(c)),
             )
-        return df.drop("_dl_bs")
+        df = df.drop("_dl_bs")
+        return df if with_row_id else df.drop("_dl_row_id")
 
     _DV_SCHEMA = T.StructType(
         [
@@ -748,18 +769,24 @@ class Lake:
         state: TableState, schema: T.StructType
     ) -> dict[str, tuple[int, str]]:
         """col -> (snapshot the column first appeared at, initial_default
-        SQL expr) for every schema field carrying an initial_default."""
+        SQL expr) for every schema field carrying an initial_default.
+
+        The add snapshot follows the LOGICAL column (newest→oldest walk
+        through renames), so a re-ADDed name is dated by its own add,
+        not a dropped predecessor's."""
         out: dict[str, tuple[int, str]] = {}
         for f in schema.fields:
             d = (f.metadata or {}).get("initial_default")
             if d is None:
                 continue
-            add_snap = None
-            for sid, sj in state.schema_log:
-                if any(fd["name"] == f.name for fd in sj["fields"]):
+            add_snap = 0
+            for sid, sj in reversed(state.schema_log):
+                pname = state.physical_name(f.name, sid)
+                if any(fd["name"] == pname for fd in sj["fields"]):
                     add_snap = sid
+                else:
                     break
-            out[f.name] = (add_snap or 0, d)
+            out[f.name] = (add_snap, d)
         return out
 
     def _read_files(
@@ -792,6 +819,24 @@ class Lake:
         # columns they're missing (group count ≤ #ADD COLUMN DEFAULTs + 1,
         # independent of file count) and fill per group.
         current_names = tuple(f.name for f in schema.fields)
+
+        def _added_at(c: str) -> int:
+            # First snapshot at which the current LOGICAL column `c`
+            # appeared: walk the schema log newest→oldest, following
+            # the column through renames (physical name at each log
+            # vintage); the oldest contiguous entry containing it is
+            # its add. Distinguishes a DROP-then-re-ADDed name from
+            # the column that originally carried it.
+            added = 0
+            for sid, sj in reversed(state.schema_log):
+                pname = state.physical_name(c, sid)
+                if any(fd["name"] == pname for fd in sj["fields"]):
+                    added = sid
+                else:
+                    break
+            return added
+
+        add_snaps = {c: _added_at(c) for c in current_names}
         groups: dict[tuple, list[str]] = {}
         for rel in rels:
             bs = state.files[rel].begin_snapshot
@@ -801,14 +846,18 @@ class Lake:
             # Files written before a RENAME COLUMN physically store the
             # old name (rename is metadata-only, ≙ ducklake_name_mapping)
             # — map each current column to the name it carries in this
-            # file's vintage. Group count stays bounded by #ALTERs, not
-            # #files.
+            # file's vintage. A column whose logical ADD postdates the
+            # file maps to None: it must read NULL/default even when an
+            # older file contains a DROPped column of the same name
+            # (name-reuse must not leak stale bytes). Group count stays
+            # bounded by #ALTERs, not #files.
             phys = tuple(
-                state.physical_name(c, bs) for c in current_names
+                (state.physical_name(c, bs) if add_snaps[c] <= bs else None)
+                for c in current_names
             )
             groups.setdefault((missing, phys), []).append(rel)
         parts = []
-        for (missing, phys), group_rels in sorted(groups.items()):
+        for (missing, phys), group_rels in sorted(groups.items(), key=lambda kv: repr(kv[0])):
             paths = [os.path.join(table_dir, p) for p in group_rels]
             if phys == current_names:
                 g = self.spark.read.schema(schema).parquet(*paths)
@@ -826,11 +875,13 @@ class Lake:
                 # cannot exist in these files — read it as NULL (or its
                 # initial_default fill below).
                 claimed = {
-                    p for c, p in zip(current_names, phys) if p != c
+                    p
+                    for c, p in zip(current_names, phys)
+                    if p is not None and p != c
                 }
                 read_fields, aliases = [], []
                 for f, p in zip(schema.fields, phys):
-                    if p == f.name and p in claimed:
+                    if p is None or (p == f.name and p in claimed):
                         aliases.append((None, f))
                         continue
                     read_fields.append(T.StructField(p, f.dataType, True))
@@ -996,21 +1047,12 @@ class Lake:
         self, state: TableState, pred: Column, schema: T.StructType
     ) -> list[int]:
         """Row ids of inline-buffer rows matching the predicate (the
-        buffer is tiny by contract, so the id column rides along)."""
-        if not state.inline_rows:
+        buffer is tiny by contract, so the id column rides along).
+        Goes through _inline_df so the predicate sees renamed columns
+        and initial-default fills exactly like a scan does."""
+        df = self._inline_df(state, schema, with_row_id=True)
+        if df is None:
             return []
-        aug = T.StructType(
-            list(schema.fields) + [T.StructField("_dl_row_id", T.LongType(), False)]
-        )
-        data = [
-            tuple(
-                from_json_value(r["values"].get(f.name), f.dataType)
-                for f in schema.fields
-            )
-            + (r["row_id"],)
-            for r in state.inline_rows
-        ]
-        df = self.spark.createDataFrame(data, schema=aug)
         return [r["_dl_row_id"] for r in df.filter(pred).select("_dl_row_id").collect()]
 
     def delete(
@@ -1090,11 +1132,24 @@ class Lake:
                 add = self._write_data(
                     table_dir, kept, state.partition_spec, options=self.options(name)
                 )
-        inline_changes = [
-            {"change_type": "delete", "values": r["values"]}
-            for r in state.inline_rows
-            if r["row_id"] in set(inline_ids)
-        ]
+        # Change rows are read back under the DELETE snapshot's schema
+        # vintage: record them as a scan would see them (renames
+        # resolved, initial defaults filled) via _inline_df.
+        inline_changes = []
+        if inline_ids:
+            buf = self._inline_df(state, schema, with_row_id=True)
+            keep = set(inline_ids)
+            inline_changes = [
+                {
+                    "change_type": "delete",
+                    "values": {
+                        f.name: to_json_value(r[f.name], f.dataType)
+                        for f in schema.fields
+                    },
+                }
+                for r in buf.collect()
+                if r["_dl_row_id"] in keep
+            ]
         self._commit_dml(
             name,
             state,
@@ -1172,25 +1227,36 @@ class Lake:
         if inline_ids:
             # Rewrite matching inline rows driver-side (tiny by contract).
             keep_ids = set(inline_ids)
-            old_rows = [r for r in state.inline_rows if r["row_id"] in keep_ids]
+            # The preimage view must match what a scan would return —
+            # renamed columns resolved AND initial defaults filled — so
+            # both the SET evaluation and the recorded preimage go
+            # through _inline_df (the single inline-read authority).
+            buf_rows = [
+                r
+                for r in self._inline_df(
+                    state, schema, with_row_id=True
+                ).collect()
+                if r["_dl_row_id"] in keep_ids
+            ]
             old_df = self.spark.createDataFrame(
                 [
-                    tuple(
-                        from_json_value(r["values"].get(f.name), f.dataType)
-                        for f in schema.fields
-                    )
-                    for r in old_rows
+                    tuple(r[f.name] for f in schema.fields)
+                    for r in buf_rows
                 ],
                 schema=schema,
             )
             updated = apply_set(old_df).collect()
-            for old, new in zip(old_rows, updated):
+            for old, new in zip(buf_rows, updated):
+                old_vals = {
+                    f.name: to_json_value(old[f.name], f.dataType)
+                    for f in schema.fields
+                }
                 vals = {
                     f.name: to_json_value(new[f.name], f.dataType)
                     for f in schema.fields
                 }
                 inline_changes.append(
-                    {"change_type": "update_preimage", "values": old["values"]}
+                    {"change_type": "update_preimage", "values": old_vals}
                 )
                 inline_changes.append(
                     {"change_type": "update_postimage", "values": vals}

@@ -138,3 +138,79 @@ def test_prune_files_uses_physical_name(lake, spark):
     # current name must still hit them.
     assert len(prune_files(state, "b >= 250")) == 1
     assert lake.scan("pr", "b >= 250").count() == 50
+
+
+def test_drop_then_readd_does_not_leak_stale_bytes(lake, spark):
+    lake.create_table("t2", "id bigint, g string, v bigint")
+    lake.insert(
+        "t2",
+        spark.createDataFrame(
+            [(0, "old0", 10), (1, "old1", 20)], "id bigint, g string, v bigint"
+        ),
+    )
+    lake.drop_column("t2", "g")
+    lake.add_column("t2", "g", "string")  # name reuse
+    lake.insert(
+        "t2",
+        spark.createDataFrame([(2, 30, "new2")], "id bigint, v bigint, g string"),
+    )
+    rows = sorted(tuple(r) for r in lake.table("t2").collect())
+    # Pre-re-add rows must read NULL, not the dropped column's bytes.
+    assert rows == [(0, 10, None), (1, 20, None), (2, 30, "new2")]
+
+
+def test_readd_with_default_backfills_all_older_files(lake, spark):
+    lake.create_table("t3", "id bigint, g string")
+    lake.insert(
+        "t3", spark.createDataFrame([(0, "old")], "id bigint, g string")
+    )
+    lake.drop_column("t3", "g")
+    lake.add_column("t3", "g", "string", default="'dflt'")
+    [row] = lake.table("t3").collect()
+    assert row["g"] == "dflt"
+
+
+def test_rename_then_readd_same_name(lake, spark):
+    lake.create_table("t4", "id bigint, g string")
+    lake.insert(
+        "t4", spark.createDataFrame([(0, "orig")], "id bigint, g string")
+    )
+    lake.rename_column("t4", "g", "h")
+    lake.add_column("t4", "g", "string")
+    lake.insert(
+        "t4",
+        spark.createDataFrame(
+            [(1, "kept", "newg")], "id bigint, h string, g string"
+        ),
+    )
+    rows = sorted(tuple(r) for r in lake.table("t4").collect())
+    # The renamed column follows its physical name; the re-added g
+    # cannot exist in the pre-rename file.
+    assert rows == [(0, "orig", None), (1, "kept", "newg")]
+
+
+def test_inline_update_preserves_initial_default(lake, spark):
+    """Found by tools/fuzz_schema.py seed 99: updating an inline row
+    that predates an ADD COLUMN DEFAULT must keep the default-filled
+    view, not rewrite the row with NULLs."""
+    lake.create_table(
+        "t5", "id bigint, v bigint", options={"data_inlining_row_limit": 4}
+    )
+    lake.insert_rows("t5", [{"id": 0, "v": 7}])
+    lake.add_column("t5", "c", "bigint", default="620")
+    lake.update("t5", {"v": "v + 1"}, "id = 0")
+    [row] = lake.table("t5").collect()
+    assert (row["v"], row["c"]) == (8, 620)
+
+
+def test_inline_predicate_sees_default_and_renamed(lake, spark):
+    lake.create_table(
+        "t6", "id bigint, g string", options={"data_inlining_row_limit": 4}
+    )
+    lake.insert_rows("t6", [{"id": 0, "g": "x"}])
+    lake.rename_column("t6", "g", "h")
+    lake.add_column("t6", "c", "bigint", default="5")
+    # Predicates over the renamed column and the defaulted column must
+    # match the buffered row exactly like a scan would.
+    assert lake.delete("t6", "h = 'x' AND c = 5") == 1
+    assert lake.table("t6").count() == 0

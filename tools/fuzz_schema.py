@@ -73,7 +73,7 @@ class Mirror:
         return self.state(con)
 
 
-def run(ops: int, seed: int, spark=None) -> list[str]:
+def run(ops: int, seed: int, spark=None, verbose: bool = False) -> list[str]:
     from pg_ducklake_spark import Lake
 
     if spark is None:
@@ -216,6 +216,8 @@ def run(ops: int, seed: int, spark=None) -> list[str]:
                 mirror.apply(f"DELETE FROM f WHERE {pred}")
                 record()
 
+            if verbose:
+                print(f'  step {step}: {mirror.log[-1][:400]}' if op not in ('vacuum','flush') else f'  step {step}: {op}')
             got_cols, got = lake_state()
             want_cols, want = mirror.state()
             if got_cols != want_cols:
@@ -259,13 +261,14 @@ def main() -> int:
     ap.add_argument("--ops", type=int, default=25)
     ap.add_argument("--seed", type=int, default=20260814)
     ap.add_argument("--seeds", type=str, default=None)
+    ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
     seeds = (
         [int(s) for s in args.seeds.split(",")] if args.seeds else [args.seed]
     )
     bad = 0
     for s in seeds:
-        problems = run(args.ops, s)
+        problems = run(args.ops, s, verbose=args.verbose)
         for p in problems:
             print(f"seed {s} DIVERGED: {p}")
         bad += len(problems)
