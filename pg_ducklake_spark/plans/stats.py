@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from functools import partial
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pg_ducklake_spark.functions import dsum, sql_dsum
@@ -183,5 +184,78 @@ def stats_mad_outliers(spark, sf_dir):
             F.round(F.col("n_outliers").cast("double") / F.col("n"), 6),
         )
         .select("event_type", "n", "med", "mad", "n_outliers", "outlier_rate")
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stats_binned_quantiles",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(FLOOR(value) AS BIGINT)
+    ),
+    cum AS (
+      SELECT event_type, b, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY b
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM binned
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN c >= CAST(CEIL(0.5 * n) AS BIGINT)
+                         THEN b + 1 END) AS BIGINT) AS p50_ub,
+           CAST(MIN(CASE WHEN c >= CAST(CEIL(0.9 * n) AS BIGINT)
+                         THEN b + 1 END) AS BIGINT) AS p90_ub,
+           CAST(MIN(CASE WHEN c >= CAST(CEIL(0.99 * n) AS BIGINT)
+                         THEN b + 1 END) AS BIGINT) AS p99_ub
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stats_binned_quantiles(spark, sf_dir):
+    """One-pass mergeable-histogram quantiles: p50/p90/p99 upper bounds
+    per event type from unit-width bins — the single-shuffle sketch a
+    100 TB pipeline uses when the exact two-pass order statistic
+    (stats_mad_outliers) is too expensive. Error is bounded by the bin
+    width by construction, and the estimate (smallest bin upper edge
+    whose cumulative count reaches ceil(q*n)) is pure integer
+    arithmetic — bit-identical on both engines.
+
+    Scale shape: ONE map-side-combined shuffle on (type, bin); the
+    cumulative window runs over the |types| x |bins| histogram, never
+    the data. Histograms merge associatively, so the same layout
+    serves streaming and incremental maintenance."""
+    ev = t(spark, sf_dir, "events")
+    binned = ev.groupBy(
+        "event_type", F.floor("value").cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = binned.withColumn("c", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wtot)
+    )
+
+    def ub(q: float):
+        k = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        return F.min(
+            F.when(F.col("c") >= k, F.col("b") + 1)
+        ).cast("long")
+
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            ub(0.5).alias("p50_ub"),
+            ub(0.9).alias("p90_ub"),
+            ub(0.99).alias("p99_ub"),
+        )
         .orderBy("event_type")
     )
