@@ -111,9 +111,9 @@ def run(ops: int, seed: int, spark=None, verbose: bool = False) -> list[str]:
             mutable = [c for c in cols if c[0] != "id"]
             op = rng.choices(
                 ["insert", "insert_inline", "add", "add_default", "drop",
-                 "rename", "widen", "update", "delete"],
+                 "rename", "widen", "update", "delete", "vacuum", "flush"],
                 weights=[24, 10, 10, 10, 8 if len(mutable) > 1 else 0,
-                         10, 6, 12, 10],
+                         10, 6, 12, 10, 5, 5],
             )[0]
             if op == "insert":
                 n = rng.randint(2, 8)
@@ -210,11 +210,15 @@ def run(ops: int, seed: int, spark=None, verbose: bool = False) -> list[str]:
                     f"UPDATE f SET {col} = {col} + {delta} WHERE {pred}"
                 )
                 record()
-            else:
+            elif op == "delete":
                 pred = f"id % {rng.randint(3, 7)} = {rng.randint(1, 2)}"
                 lake.delete("f", pred)
                 mirror.apply(f"DELETE FROM f WHERE {pred}")
                 record()
+            elif op == "vacuum":
+                lake.vacuum("f")  # no mirror: must not change contents
+            else:
+                lake.flush_inlined_data()  # ditto
 
             if verbose:
                 print(f'  step {step}: {mirror.log[-1][:400]}' if op not in ('vacuum','flush') else f'  step {step}: {op}')
