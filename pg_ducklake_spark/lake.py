@@ -74,10 +74,43 @@ def _os_user() -> str | None:
         return None
 
 
+# DuckDB/PG type spellings Spark's DDL parser rejects → Spark types
+# (reference type tiers: docs/data_types.md:10-50). Applied only when
+# the native parse fails, so a column legitimately NAMED one of these
+# words never gets rewritten under a valid schema.
+_TYPE_SPELLINGS = [
+    (re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE), "STRING"),
+    (re.compile(r"\bTEXT\b", re.IGNORECASE), "STRING"),
+    (re.compile(r"\bBYTEA\b", re.IGNORECASE), "BINARY"),
+    (re.compile(r"\bBLOB\b", re.IGNORECASE), "BINARY"),
+    (re.compile(r"\bINT8\b", re.IGNORECASE), "BIGINT"),
+    (re.compile(r"\bINT4\b", re.IGNORECASE), "INT"),
+    (re.compile(r"\bINT2\b", re.IGNORECASE), "SMALLINT"),
+    (re.compile(r"\bFLOAT8\b", re.IGNORECASE), "DOUBLE"),
+    (re.compile(r"\bFLOAT4\b", re.IGNORECASE), "FLOAT"),
+    (re.compile(r"\bUUID\b", re.IGNORECASE), "STRING"),
+]
+
+
+# VARCHAR(n)/CHAR(n) parse into Spark char/varchar types that the
+# runtime rejects outside pure-SQL plans (createDataFrame paths throw
+# INTERNAL_ERROR unless preserveCharVarcharTypeInfo). The reference
+# stores them as plain text (docs/data_types.md) — normalize always.
+_CHAR_PARAM_RE = re.compile(r"\b(?:VARCHAR|CHAR|CHARACTER)\s*\(\s*\d+\s*\)",
+                            re.IGNORECASE)
+
+
 def _parse_schema(schema: str | T.StructType) -> T.StructType:
     if isinstance(schema, T.StructType):
         return schema
-    return T.StructType.fromDDL(schema)
+    schema = _CHAR_PARAM_RE.sub("STRING", schema)
+    try:
+        return T.StructType.fromDDL(schema)
+    except Exception:
+        normalized = schema
+        for pat, repl in _TYPE_SPELLINGS:
+            normalized = pat.sub(repl, normalized)
+        return T.StructType.fromDDL(normalized)
 
 
 def _partition_columns(spec: list[str]) -> list[tuple[str, Column]]:

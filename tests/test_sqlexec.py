@@ -210,3 +210,30 @@ def test_begin_commit_multi_table_atomic(lake):
     lake.execute("COMMIT")
     assert lake.execute("SELECT count(*) AS n FROM a").collect()[0]["n"] == 1
     assert lake.execute("SELECT count(*) AS n FROM b").collect()[0]["n"] == 1
+
+
+def test_duckdb_pg_type_spellings(lake, spark):
+    """DuckDB/PG DDL type names the reference accepts
+    (docs/data_types.md) parse at the SQL prompt: bare VARCHAR/TEXT,
+    VARCHAR(n), BYTEA, INT8/FLOAT8, UUID."""
+    lake.execute(
+        "CREATE TABLE ty (id INT8, g VARCHAR, s VARCHAR(10), t TEXT,"
+        " b BYTEA, u UUID, f FLOAT8)"
+    )
+    assert dict(lake.table("ty").dtypes) == {
+        "id": "bigint", "g": "string", "s": "string", "t": "string",
+        "b": "binary", "u": "string", "f": "double",
+    }
+    lake.execute(
+        "INSERT INTO ty VALUES (1, 'x', 'abc', 'tt', NULL,"
+        " '0000-1111', 1.5)"
+    )
+    [row] = lake.execute("SELECT * FROM ty").collect()
+    assert (row["id"], row["s"], row["f"]) == (1, "abc", 1.5)
+
+
+def test_column_named_like_a_type_survives(lake, spark):
+    # A column legitimately NAMED "text" with a valid Spark schema must
+    # not be rewritten by the spelling normalization.
+    lake.create_table("ty2", "text string, n int")
+    assert lake.table("ty2").columns == ["text", "n"]
