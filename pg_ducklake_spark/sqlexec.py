@@ -67,13 +67,18 @@ def split_top_level(s: str, sep: str = ",") -> list[str]:
 
 
 _CREATE_TABLE = re.compile(
-    r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
     r"\((?P<cols>.*)\)\s*(?:USING\s+\w+\s*)?$",
     re.I | re.S,
 )
 _CTAS = re.compile(
-    r"^CREATE\s+TABLE\s+(?P<name>\w+)\s+(?:USING\s+\w+\s+)?AS\s+(?P<query>.+)$",
+    r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+(?P<name>\w+)\s+"
+    r"(?:USING\s+\w+\s+)?AS\s+(?P<query>.+)$",
     re.I | re.S,
+)
+_TRUNCATE = re.compile(
+    r"^TRUNCATE\s+(?:TABLE\s+)?(?P<name>\w+)$", re.I
 )
 _CREATE_VIEW = re.compile(
     r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+)\s+AS\s+"
@@ -197,10 +202,15 @@ def execute(lake: "Lake", sql: str) -> Any:
             raise LakeError("temporary tables are not supported with the lake format")
         m = _CTAS.match(stmt)
         if m:
+            if m.group("replace"):
+                _drop_if_exists(lake, m.group("name"))
             return lake.create_table_as(m.group("name"), m.group("query"))
         m = _CREATE_TABLE.match(stmt)
         if m:
-            if re.search(r"\bIF\s+NOT\s+EXISTS\b", stmt, re.I):
+            if m.group("replace"):
+                _drop_if_exists(lake, m.group("name"))
+                lake.create_table(m.group("name"), m.group("cols"))
+            elif re.search(r"\bIF\s+NOT\s+EXISTS\b", stmt, re.I):
                 lake.create_table(m.group("name"), m.group("cols"), if_not_exists=True)
             else:
                 lake.create_table(m.group("name"), m.group("cols"))
@@ -435,4 +445,19 @@ def execute(lake: "Lake", sql: str) -> Any:
             return None
         raise LakeError(f"unsupported RESET statement: {stmt[:80]!r}")
 
+    if head == "TRUNCATE":
+        m = _TRUNCATE.match(stmt)
+        if not m:
+            raise LakeError(f"unsupported TRUNCATE statement: {stmt[:80]!r}")
+        return lake.delete(m.group("name"), "true")
+
     raise LakeError(f"unsupported statement: {stmt[:80]!r}")
+
+
+def _drop_if_exists(lake: "Lake", name: str) -> None:
+    from pg_ducklake_spark.errors import LakeError as _LE
+
+    try:
+        lake.drop_table(name)
+    except _LE:
+        pass

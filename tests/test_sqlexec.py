@@ -237,3 +237,19 @@ def test_column_named_like_a_type_survives(lake, spark):
     # not be rewritten by the spelling normalization.
     lake.create_table("ty2", "text string, n int")
     assert lake.table("ty2").columns == ["text", "n"]
+
+
+def test_create_or_replace_table_and_truncate(lake, spark):
+    lake.execute("CREATE TABLE t9 (a INT)")
+    lake.execute("INSERT INTO t9 VALUES (1), (2)")
+    lake.execute("CREATE OR REPLACE TABLE t9 AS SELECT 5 AS b")
+    assert [tuple(r) for r in lake.execute("SELECT * FROM t9").collect()] == [(5,)]
+    # plain-column form too
+    lake.execute("CREATE OR REPLACE TABLE t9 (c BIGINT)")
+    assert lake.table("t9").columns == ["c"]
+    lake.execute("INSERT INTO t9 VALUES (7), (8), (9)")
+    assert lake.execute("TRUNCATE t9") == 3
+    assert lake.table("t9").count() == 0
+    # CREATE OR REPLACE on a missing table just creates
+    lake.execute("CREATE OR REPLACE TABLE t10 (d INT)")
+    assert lake.table("t10").columns == ["d"]
