@@ -445,6 +445,12 @@ def execute(lake: "Lake", sql: str) -> Any:
             return None
         raise LakeError(f"unsupported RESET statement: {stmt[:80]!r}")
 
+    if head == "ANALYZE":
+        m = re.match(r"^ANALYZE\s+(?:TABLE\s+)?(?P<name>\w+)$", stmt, re.I)
+        if not m:
+            raise LakeError(f"unsupported ANALYZE statement: {stmt[:80]!r}")
+        return lake.analyze(m.group("name"))
+
     if head == "TRUNCATE":
         m = _TRUNCATE.match(stmt)
         if not m:

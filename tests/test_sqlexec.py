@@ -253,3 +253,11 @@ def test_create_or_replace_table_and_truncate(lake, spark):
     # CREATE OR REPLACE on a missing table just creates
     lake.execute("CREATE OR REPLACE TABLE t10 (d INT)")
     assert lake.table("t10").columns == ["d"]
+
+
+def test_analyze_routes_to_stats(lake, spark):
+    lake.execute("CREATE TABLE ta (a INT, s TEXT)")
+    lake.execute("INSERT INTO ta VALUES (1, 'x'), (2, 'y'), (2, 'y')")
+    stats = lake.execute("ANALYZE ta")
+    assert stats["row_count"] == 3
+    assert lake.table_stats("ta")["row_count"] == 3
