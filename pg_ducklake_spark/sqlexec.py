@@ -445,6 +445,12 @@ def execute(lake: "Lake", sql: str) -> Any:
             return None
         raise LakeError(f"unsupported RESET statement: {stmt[:80]!r}")
 
+    if head == "CHECKPOINT":
+        m = re.match(r"^CHECKPOINT(?:\s+(?P<name>\w+))?$", stmt, re.I)
+        if not m:
+            raise LakeError(f"unsupported CHECKPOINT statement: {stmt[:80]!r}")
+        return lake.checkpoint(m.group("name"))
+
     if head == "ANALYZE":
         m = re.match(r"^ANALYZE\s+(?:TABLE\s+)?(?P<name>\w+)$", stmt, re.I)
         if not m:

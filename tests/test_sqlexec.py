@@ -261,3 +261,11 @@ def test_analyze_routes_to_stats(lake, spark):
     stats = lake.execute("ANALYZE ta")
     assert stats["row_count"] == 3
     assert lake.table_stats("ta")["row_count"] == 3
+
+
+def test_checkpoint_statement(lake, spark):
+    lake.execute("CREATE TABLE tc (a INT)")
+    lake.execute("INSERT INTO tc VALUES (1)")
+    out = lake.execute("CHECKPOINT tc")
+    assert isinstance(out, dict)
+    assert lake.table("tc").count() == 1
