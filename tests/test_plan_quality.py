@@ -206,3 +206,40 @@ def test_explode_prefilters_stay_fenced(plans, name):
         if node.startswith("Filter"):
             assert "concat_ws" not in ln, f"shingle chain in Filter: {ln[:160]}"
             assert "split(lower" not in ln, f"tokenizer in Filter: {ln[:160]}"
+
+
+def test_mad_outliers_windows_all_partitioned(plans):
+    """The exact-median bin+refine plan must never funnel a whole
+    group through one task: every Window is partitioned (by the group
+    key), and the per-group refine/merge joins broadcast."""
+    s = plan_of(plans("stats_mad_outliers"))
+    for ln in s.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "event_type" in ln, f"unpartitioned Window: {ln.strip()}"
+    assert "BroadcastHashJoin" in s
+
+
+def test_binned_quantiles_single_data_shuffle(plans):
+    """The histogram sketch aggregates map-side on (type, bin); the
+    cumulative windows run over the tiny histogram, partitioned by
+    event_type."""
+    df = plans("stats_binned_quantiles")
+    s = plan_of(df)
+    assert "partial_count" in s or "HashAggregate" in s
+    for ln in s.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "event_type" in ln, f"unpartitioned Window: {ln.strip()}"
+
+
+def test_codebook_mix_no_join_before_aggregate(plans):
+    """Codebook assignment is pure map-side expression work — the plan
+    must contain no join at all (the codebook is a literal), just the
+    scan -> project -> aggregate chain plus the tiny share window."""
+    s = plan_of(plans("sim_codebook_mix"))
+    assert "Join" not in s
+
+
+def test_incremental_stats_merge_is_a_join_on_group_keys(plans):
+    """The MV advance merges base and delta aggregates."""
+    s = plan_of(plans("lake_incremental_stats"))
+    assert "FullOuter" in s or "full_outer" in s.lower()
