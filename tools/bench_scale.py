@@ -61,6 +61,7 @@ QUERIES_SF1 = [
     "sim_bruteforce_topk",
     "sim_lsh_bucket_topk",
     "sim_embedding_near_dup",
+    "sim_codebook_mix",
 ]
 # The sf1 perf-weak set (VERDICT r4: all sub-2 s absolute, fixed-cost
 # shaped). sf10 is their "largest measured scale"; the data-bound
@@ -72,6 +73,7 @@ QUERIES_SF10 = [
     "dedup_exact_stats",
     "sim_bruteforce_topk",
     "sim_lsh_bucket_topk",
+    "sim_codebook_mix",
 ]
 
 # A realistically-sized vocabulary matters: with a tiny one, word
