@@ -80,6 +80,12 @@ _CTAS = re.compile(
 _TRUNCATE = re.compile(
     r"^TRUNCATE\s+(?:TABLE\s+)?(?P<name>\w+)$", re.I
 )
+# COPY <table> TO '<path>' [(FORMAT x)] / COPY <table> FROM '<path>' [...]
+_COPY = re.compile(
+    r"^COPY\s+(?P<name>\w+)\s+(?P<dir>TO|FROM)\s+'(?P<path>[^']+)'"
+    r"\s*(?:\(\s*(?P<opts>[^)]*)\))?$",
+    re.I | re.S,
+)
 _CREATE_VIEW = re.compile(
     r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+)\s+AS\s+"
     r"(?P<query>.+)$",
@@ -444,6 +450,45 @@ def execute(lake: "Lake", sql: str) -> Any:
                 lake.set_option(name, DEFAULT_OPTIONS[name])
             return None
         raise LakeError(f"unsupported RESET statement: {stmt[:80]!r}")
+
+    if head == "COPY":
+        m = _COPY.match(stmt)
+        if not m:
+            raise LakeError(f"unsupported COPY statement: {stmt[:80]!r}")
+        name, path = m.group("name"), m.group("path")
+        opts = {}
+        for kv in (m.group("opts") or "").split(","):
+            kv = kv.strip()
+            if kv:
+                parts = kv.split(None, 1)
+                opts[parts[0].upper()] = (
+                    parts[1].strip("'\" ") if len(parts) > 1 else "true"
+                )
+        fmt = opts.get("FORMAT", "").lower() or (
+            "csv" if path.lower().endswith(".csv") else "parquet"
+        )
+        if m.group("dir").upper() == "TO":
+            df = lake.table(name)
+            w = df.write.mode("overwrite")
+            if fmt == "csv":
+                w.option(
+                    "header", opts.get("HEADER", "true")
+                ).csv(path)
+            else:
+                w.parquet(path)
+            return df.count()
+        # COPY ... FROM: ingest the file into the table (the reference's
+        # read_csv ingestion path generalized to parquet).
+        if fmt == "csv":
+            from pg_ducklake_spark.sources.csv import read_csv
+
+            df = read_csv(
+                lake.spark, path,
+                header=opts.get("HEADER", "true") != "false",
+            )
+        else:
+            df = lake.spark.read.parquet(path)
+        return lake.insert(name, df)
 
     if head == "CHECKPOINT":
         m = re.match(r"^CHECKPOINT(?:\s+(?P<name>\w+))?$", stmt, re.I)

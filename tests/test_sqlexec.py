@@ -269,3 +269,22 @@ def test_checkpoint_statement(lake, spark):
     out = lake.execute("CHECKPOINT tc")
     assert isinstance(out, dict)
     assert lake.table("tc").count() == 1
+
+
+def test_copy_to_and_from(lake, spark, tmp_path):
+    lake.execute("CREATE TABLE tcp (a INT, s TEXT)")
+    lake.execute("INSERT INTO tcp VALUES (1, 'x'), (2, 'y')")
+    out = str(tmp_path / "out.parquet")
+    assert lake.execute(f"COPY tcp TO '{out}'") == 2
+    assert spark.read.parquet(out).count() == 2
+    # round-trip back in (parquet)
+    lake.execute("CREATE TABLE tcp2 (a INT, s TEXT)")
+    assert lake.execute(f"COPY tcp2 FROM '{out}'") == 2
+    assert sorted(tuple(r) for r in lake.table("tcp2").collect()) == [
+        (1, "x"), (2, "y")
+    ]
+    # csv export with explicit format option
+    outc = str(tmp_path / "out_csv")
+    assert lake.execute(f"COPY tcp TO '{outc}' (FORMAT csv)") == 2
+    got = spark.read.option("header", "true").csv(outc)
+    assert got.count() == 2
