@@ -86,6 +86,12 @@ _COPY = re.compile(
     r"\s*(?:\(\s*(?P<opts>[^)]*)\))?$",
     re.I | re.S,
 )
+# COPY (SELECT ...) TO '<path>' [(FORMAT x)] — query-result export
+_COPY_QUERY = re.compile(
+    r"^COPY\s*\((?P<query>.+)\)\s*TO\s+'(?P<path>[^']+)'"
+    r"\s*(?:\(\s*(?P<opts>[^)]*)\))?$",
+    re.I | re.S,
+)
 _CREATE_VIEW = re.compile(
     r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+)\s+AS\s+"
     r"(?P<query>.+)$",
@@ -452,12 +458,14 @@ def execute(lake: "Lake", sql: str) -> Any:
         raise LakeError(f"unsupported RESET statement: {stmt[:80]!r}")
 
     if head == "COPY":
-        m = _COPY.match(stmt)
-        if not m:
+        mq = _COPY_QUERY.match(stmt)
+        m = None if mq else _COPY.match(stmt)
+        if not (m or mq):
             raise LakeError(f"unsupported COPY statement: {stmt[:80]!r}")
-        name, path = m.group("name"), m.group("path")
+        g = mq or m
+        path = g.group("path")
         opts = {}
-        for kv in (m.group("opts") or "").split(","):
+        for kv in (g.group("opts") or "").split(","):
             kv = kv.strip()
             if kv:
                 parts = kv.split(None, 1)
@@ -467,8 +475,10 @@ def execute(lake: "Lake", sql: str) -> Any:
         fmt = opts.get("FORMAT", "").lower() or (
             "csv" if path.lower().endswith(".csv") else "parquet"
         )
-        if m.group("dir").upper() == "TO":
-            df = lake.table(name)
+        if mq or m.group("dir").upper() == "TO":
+            df = (
+                lake.sql(mq.group("query")) if mq else lake.table(m.group("name"))
+            )
             w = df.write.mode("overwrite")
             if fmt == "csv":
                 w.option(
@@ -477,6 +487,7 @@ def execute(lake: "Lake", sql: str) -> Any:
             else:
                 w.parquet(path)
             return df.count()
+        name = m.group("name")
         # COPY ... FROM: ingest the file into the table (the reference's
         # read_csv ingestion path generalized to parquet).
         if fmt == "csv":

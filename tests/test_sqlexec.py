@@ -288,3 +288,12 @@ def test_copy_to_and_from(lake, spark, tmp_path):
     assert lake.execute(f"COPY tcp TO '{outc}' (FORMAT csv)") == 2
     got = spark.read.option("header", "true").csv(outc)
     assert got.count() == 2
+
+
+def test_copy_query_to(lake, spark, tmp_path):
+    lake.execute("CREATE TABLE tcq (a INT)")
+    lake.execute("INSERT INTO tcq VALUES (1), (2), (3)")
+    out = str(tmp_path / "q.parquet")
+    n = lake.execute(f"COPY (SELECT a * 10 AS b FROM tcq WHERE a > 1) TO '{out}'")
+    assert n == 2
+    assert sorted(r["b"] for r in spark.read.parquet(out).collect()) == [20, 30]
