@@ -1035,16 +1035,46 @@ class Lake:
 
         for tbl in self.list_tables():
             self.table(tbl).createOrReplaceTempView(tbl)
+        # A16 SQL surface: ``FROM time_travel('t', version|'timestamp')``
+        # (reference: src/pgducklake_time_travel.cpp:36-74,
+        # test/regression/sql/time_travel.sql:8-34). Spark has no
+        # pluggable table-valued functions, so each call site is bound
+        # to a temp view of the historical DataFrame before planning —
+        # the same bind-time substitution the reference performs.
+        query = self._bind_time_travel_calls(query)
         cat = self._catalog_state()
         macros = dict(DUCKDB_COMPAT_MACROS)
         if cat is not None:
             macros.update(cat.macros)  # user macros shadow compat
             for vname, vdef in cat.views.items():
-                body = expand_macros(vdef["sql"], macros)
+                # View bodies may themselves call time_travel(...)
+                # (views over table functions, time_travel.sql:21-23).
+                body = self._bind_time_travel_calls(
+                    expand_macros(vdef["sql"], macros)
+                )
                 self.spark.sql(body).select(*vdef["columns"]).createOrReplaceTempView(
                     vname
                 )
         return self.spark.sql(expand_macros(query, macros))
+
+    _TIME_TRAVEL_CALL = re.compile(
+        r"\btime_travel\s*\(\s*'(?P<name>\w+)'\s*,\s*"
+        r"(?P<arg>\d+|'[^']+')\s*\)",
+        re.I,
+    )
+
+    def _bind_time_travel_calls(self, query: str) -> str:
+        def sub(m: "re.Match[str]") -> str:
+            name, arg = m.group("name"), m.group("arg")
+            version_or_ts = (
+                int(arg) if arg.isdigit() else arg.strip("'")
+            )
+            df = self.time_travel(name, version_or_ts)
+            alias = f"_dl_tt_{name}_{abs(hash((name, arg))) % 10**8}"
+            df.createOrReplaceTempView(alias)
+            return alias
+
+        return self._TIME_TRAVEL_CALL.sub(sub, query)
 
     def execute(self, statement: str) -> Any:
         """One SQL statement, routed like the reference's PG prompt:

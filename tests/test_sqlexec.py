@@ -297,3 +297,24 @@ def test_copy_query_to(lake, spark, tmp_path):
     n = lake.execute(f"COPY (SELECT a * 10 AS b FROM tcq WHERE a > 1) TO '{out}'")
     assert n == 2
     assert sorted(r["b"] for r in spark.read.parquet(out).collect()) == [20, 30]
+
+
+def test_time_travel_table_function_in_sql(lake, spark):
+    """A16 SQL surface: FROM time_travel('t', version) — the
+    reference's table function (time_travel.sql:8-34), incl. the
+    historical SCHEMA and a view created over it keeping its creation
+    shape (time_travel.sql:21-23)."""
+    lake.execute("CREATE TABLE tv (a INT)")
+    lake.execute("INSERT INTO tv VALUES (1)")
+    v = lake.current_snapshot("tv")
+    lake.execute("INSERT INTO tv VALUES (2)")
+    got = lake.execute(f"SELECT * FROM time_travel('tv', {v}) ORDER BY a")
+    assert [r["a"] for r in got.collect()] == [1]
+    # historical schema: travel to before an ADD COLUMN
+    lake.execute("ALTER TABLE tv ADD COLUMN b TEXT")
+    got2 = lake.execute(f"SELECT * FROM time_travel('tv', {v})")
+    assert got2.columns == ["a"]
+    # view over the table function pins the historical result
+    lake.execute(f"CREATE VIEW tv_old AS SELECT * FROM time_travel('tv', {v})")
+    lake.execute("INSERT INTO tv VALUES (3, 'z')")
+    assert [r["a"] for r in lake.execute("SELECT * FROM tv_old").collect()] == [1]
