@@ -1057,24 +1057,49 @@ class Lake:
                 )
         return self.spark.sql(expand_macros(query, macros))
 
-    _TIME_TRAVEL_CALL = re.compile(
-        r"\btime_travel\s*\(\s*'(?P<name>\w+)'\s*,\s*"
-        r"(?P<arg>\d+|'[^']+')\s*\)",
+    _TABLE_FUNC_CALL = re.compile(
+        r"\b(?P<fn>time_travel|table_changes|table_insertions|"
+        r"table_deletions|snapshots|list_files)"
+        r"\s*\(\s*'(?P<name>\w+)'\s*"
+        r"(?P<rest>(?:,\s*(?:\d+|'[^']*'))*)\s*\)",
         re.I,
     )
 
     def _bind_time_travel_calls(self, query: str) -> str:
+        """Bind the reference's SQL table functions (A16/A18/A19:
+        time_travel, table_changes/insertions/deletions, snapshots,
+        list_files) to temp views of their DataFrames before planning."""
+
+        def parse_args(rest: str) -> list:
+            out = []
+            for raw in re.findall(r"\d+|'[^']*'", rest or ""):
+                out.append(int(raw) if raw.isdigit() else raw.strip("'"))
+            return out
+
         def sub(m: "re.Match[str]") -> str:
-            name, arg = m.group("name"), m.group("arg")
-            version_or_ts = (
-                int(arg) if arg.isdigit() else arg.strip("'")
+            fn = m.group("fn").lower()
+            name = m.group("name")
+            args = parse_args(m.group("rest"))
+            if fn == "time_travel":
+                df = self.time_travel(name, args[0])
+            elif fn == "table_changes":
+                df = self.table_changes(name, *args)
+            elif fn == "table_insertions":
+                df = self.table_insertions(name, *args)
+            elif fn == "table_deletions":
+                df = self.table_deletions(name, *args)
+            elif fn == "snapshots":
+                df = self.snapshots(name)
+            else:
+                df = self.list_files(name)
+            alias = (
+                f"_dl_{fn}_{name}_"
+                f"{abs(hash((fn, name, tuple(args)))) % 10**8}"
             )
-            df = self.time_travel(name, version_or_ts)
-            alias = f"_dl_tt_{name}_{abs(hash((name, arg))) % 10**8}"
             df.createOrReplaceTempView(alias)
             return alias
 
-        return self._TIME_TRAVEL_CALL.sub(sub, query)
+        return self._TABLE_FUNC_CALL.sub(sub, query)
 
     def execute(self, statement: str) -> Any:
         """One SQL statement, routed like the reference's PG prompt:

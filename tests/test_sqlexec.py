@@ -318,3 +318,32 @@ def test_time_travel_table_function_in_sql(lake, spark):
     lake.execute(f"CREATE VIEW tv_old AS SELECT * FROM time_travel('tv', {v})")
     lake.execute("INSERT INTO tv VALUES (3, 'z')")
     assert [r["a"] for r in lake.execute("SELECT * FROM tv_old").collect()] == [1]
+
+
+def test_change_feed_table_functions_in_sql(lake, spark):
+    """A18/A19 SQL surface: table_changes / table_insertions /
+    table_deletions / snapshots / list_files as table functions
+    (data_change_feed.sql:17-43, sql/pg_ducklake--0.1.0.sql:344-449)."""
+    lake.execute("CREATE TABLE tf (a INT)")
+    lake.execute("INSERT INTO tf VALUES (1)")
+    v1 = lake.current_snapshot("tf")
+    lake.execute("INSERT INTO tf VALUES (2)")
+    lake.execute("DELETE FROM tf WHERE a = 1")
+    v3 = lake.current_snapshot("tf")
+    feed = lake.execute(
+        f"SELECT a, _change_type FROM table_changes('tf', {v1 + 1}, {v3})"
+        " ORDER BY a, _change_type"
+    ).collect()
+    assert [(r["a"], r["_change_type"]) for r in feed] == [
+        (1, "delete"), (2, "insert")
+    ]
+    ins = lake.execute(
+        f"SELECT a FROM table_insertions('tf', {v1 + 1}, {v3})"
+    ).collect()
+    assert [r["a"] for r in ins] == [2]
+    dels = lake.execute(
+        f"SELECT a FROM table_deletions('tf', {v1 + 1}, {v3})"
+    ).collect()
+    assert [r["a"] for r in dels] == [1]
+    assert lake.execute("SELECT COUNT(*) AS n FROM snapshots('tf')").collect()[0]["n"] >= 3
+    assert lake.execute("SELECT COUNT(*) AS n FROM list_files('tf')").collect()[0]["n"] >= 1
