@@ -98,7 +98,20 @@ def ivf_build(
     centroids = spark.createDataFrame(
         centroid_rows, "cell bigint, centroid array<double>"
     )
-    assigned = _assign(corpus, centroid_rows, vec_col).persist()
+    # Pre-cast the vector to double and precompute its L2 norm ONCE per
+    # corpus row at build time: candidate scoring recomputing
+    # sqrt(dot(v,v)) per (query, candidate) pair tripled the fold work
+    # — the per-pair cosine is now one multiply-add fold plus a divide.
+    # float→double is exact and sqrt is a pure function, so the scored
+    # values are bit-identical to the per-pair recompute (the SQL-oracle
+    # gate on sim_ivf_topk pins this).
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = (
+        _assign(corpus, centroid_rows, vec_col)
+        .withColumn("_dvec", vd)
+        .withColumn("_nrm", F.sqrt(dot(F.col("_dvec"), F.col("_dvec"))))
+        .persist()
+    )
     return IvfIndex(spark, centroids, assigned, id_col, vec_col, k)
 
 
@@ -111,8 +124,11 @@ def ivf_search(
     """Top-k cosine neighbors per query, probing the nprobe nearest
     cells. Returns (q_id, neighbor_id, cosine, rnk)."""
     q = queries.select(
-        F.col(index.id_col).alias("q_id"), F.col(index.vec_col).alias("q_vec")
-    )
+        F.col(index.id_col).alias("q_id"),
+        F.transform(F.col(index.vec_col), lambda x: x.cast("double")).alias(
+            "q_vec"
+        ),
+    ).withColumn("_qnrm", F.sqrt(dot(F.col("q_vec"), F.col("q_vec"))))
     qs = q.crossJoin(F.broadcast(index.centroids)).withColumn(
         "_sim", cosine("q_vec", "centroid")
     )
@@ -120,7 +136,7 @@ def ivf_search(
     probes = (
         qs.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
-        .select("q_id", "q_vec", "cell")
+        .select("q_id", "q_vec", "_qnrm", "cell")
     )
     # probes is bounded (|queries| × nprobe rows) but post-window, so
     # Catalyst has no size estimate — broadcast it so the assigned
@@ -132,8 +148,14 @@ def ivf_search(
     w = Window.partitionBy("q_id").orderBy(
         F.desc("cosine"), F.asc(F.col(index.id_col))
     )
+    # One fold per pair; both norms come precomputed (build time for the
+    # corpus, probe time for the bounded query side). Same a/(b*c)
+    # expression tree as cosine() — values bit-identical.
+    score = dot(F.col("q_vec"), F.col("_dvec")) / (
+        F.col("_qnrm") * F.col("_nrm")
+    )
     return (
-        cand.withColumn("cosine", cosine("q_vec", index.vec_col))
+        cand.withColumn("cosine", score)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= topk)
         .select("q_id", F.col(index.id_col).alias("neighbor_id"), "cosine", "rnk")

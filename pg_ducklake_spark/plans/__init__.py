@@ -127,6 +127,7 @@ from pg_ducklake_spark.plans import pii  # noqa: E402,F401
 from pg_ducklake_spark.plans import funnel  # noqa: E402,F401
 from pg_ducklake_spark.plans import sampling  # noqa: E402,F401
 from pg_ducklake_spark.plans import dedup2  # noqa: E402,F401
+from pg_ducklake_spark.plans import curation  # noqa: E402,F401
 
 # Driver-sweep ordering. The external correctness sweep verifies
 # queries in dict order and has covered the first 50 entries per round;
@@ -200,6 +201,7 @@ _SWEEP_FIRST = [
     "events_transition_matrix",
     "pipe_importance_sample",
     "dedup_substring_windows",
+    "dedup_canonical_selection",
 ]
 
 
