@@ -128,6 +128,7 @@ from pg_ducklake_spark.plans import funnel  # noqa: E402,F401
 from pg_ducklake_spark.plans import sampling  # noqa: E402,F401
 from pg_ducklake_spark.plans import dedup2  # noqa: E402,F401
 from pg_ducklake_spark.plans import curation  # noqa: E402,F401
+from pg_ducklake_spark.plans import semdedup  # noqa: E402,F401
 
 # Driver-sweep ordering. The external correctness sweep verifies
 # queries in dict order and has covered the first 50 entries per round;
@@ -161,12 +162,10 @@ _SWEEP_FIRST = [
     "sim_embedding_near_dup",
     "mm_binary_metadata",
     "mm_feature_extraction",
-    "ts_asof_join",
     "text_langid_confusion",
     "text_quality_scores",
     "pipe_filter_dedup_stats",
     "stats_value_moments",
-    "rel2_salted_skew_join",
     "ts_gap_fill_locf",
     "pipe_stratified_sample",
     # Round-5 rotation: the new families take the hard driver rows;
@@ -202,6 +201,12 @@ _SWEEP_FIRST = [
     "pipe_importance_sample",
     "dedup_substring_windows",
     "dedup_canonical_selection",
+    # Round-6 second rotation: SemDeDup cluster-scoped pruning and the
+    # hashed linear quality classifier take driver rows; the rows they
+    # displace (salted skew join, ts_asof_join — driver-green r2-r4)
+    # stay covered by the full judge harness.
+    "dedup_semantic_prune",
+    "text_quality_classifier",
 ]
 
 

@@ -1,0 +1,298 @@
+"""Semantic deduplication (SemDeDup) and a hashed linear quality model.
+
+Two training-data-curation operators that extend the dedup / text
+families beyond the reference's SQL surface (the reference has no
+vector or classifier ops at all — docs/README.md scopes it to
+lakehouse SQL; these are the north-star pipeline stages BASELINE.json
+asks for):
+
+* ``dedup_semantic_prune`` — SemDeDup (Abbas et al., 2023,
+  arXiv:2303.09540): cluster the corpus, then deduplicate ONLY within
+  a cluster, where near-duplicates concentrate. The quadratic pairwise
+  term is bounded by the largest cluster, not the corpus: at 100 TB
+  you grow k with N (the paper used 50k clusters for LAION) so the
+  per-cluster population — and therefore per-task pair work after the
+  single cell-keyed shuffle — stays constant.
+
+* ``text_quality_classifier`` — a fastText-shaped linear document
+  scorer (hashed unigram + bigram features, integer weights) computed
+  entirely map-side: no explode, no per-token shuffle. The only
+  exchange is the final per-source rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_ducklake_spark.functions.hashing import hyperplanes, sql_h32
+from pg_ducklake_spark.plans import query, rebalance, t
+from pg_ducklake_spark.plans.similarity import _DIM, _duck_dot, _FOLD_DOT
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped near-duplicate pruning
+# ---------------------------------------------------------------------------
+
+# Seeded literal centroids (k x dim), same exact-in-binary rational
+# components as the sign-LSH planes / the sim_codebook_mix codebook —
+# literal round-trips through SQL text parse to identical doubles on
+# both engines. 32 cells ≈ sqrt(N) at the test scale; production would
+# use trained centroids (operators/ivf.ivf_build) at k ∝ N.
+_SEM_K = 32
+_SEM_CODEBOOK = hyperplanes(_SEM_K, _DIM, seed=29)
+_SEM_NORMS = []
+for _c in _SEM_CODEBOOK:
+    _acc = 0.0
+    for _x in _c:
+        _acc += _x * _x
+    _SEM_NORMS.append(_acc**0.5)
+
+# Cosine threshold above which the lower-id document wins and the
+# higher-id one is pruned. The synthetic embeddings are near-isotropic
+# (no planted global dups at test SF), so a moderate τ is what produces
+# a meaningful per-cell report; τ is the operator's tuning knob.
+_SEM_TAU = 0.35
+
+
+def _spark_sem_cell() -> str:
+    """Map-side argmax-cosine cell assignment: array_max over
+    (sim, -cell) structs — max cosine, ties to the smallest cell."""
+    entries = []
+    for j, c in enumerate(_SEM_CODEBOOK):
+        arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+        dot = _FOLD_DOT.format(a="embedding", b=arr)
+        sim = f"(({dot}) / (nrm * CAST({_SEM_NORMS[j]!r} AS DOUBLE)))"
+        entries.append(f"struct({sim} AS sim, CAST({-j} AS BIGINT) AS negcell)")
+    return f"array_max(array({', '.join(entries)}))"
+
+
+def _duck_sem_sims() -> list[str]:
+    sims = []
+    for j, c in enumerate(_SEM_CODEBOOK):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST({c[i]!r} AS DOUBLE)"
+            for i in range(_DIM)
+        )
+        sims.append(f"(({terms}) / (nrm * CAST({_SEM_NORMS[j]!r} AS DOUBLE)))")
+    return sims
+
+
+_DUCK_UNIT_DOT = " + ".join(f"a.unit[{i}] * b.unit[{i}]" for i in range(1, _DIM + 1))
+
+_SEM_SIMS = _duck_sem_sims()
+_SEM_GREATEST = "greatest(" + ", ".join(f"s{j}" for j in range(_SEM_K)) + ")"
+
+
+@query(
+    "dedup_semantic_prune",
+    oracle=f"""
+    WITH normed AS (
+      SELECT vec_id,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm,
+             embedding
+      FROM embeddings
+    ),
+    simmed AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit,
+             {", ".join(f"{s} AS s{j}" for j, s in enumerate(_SEM_SIMS))}
+      FROM normed
+    ),
+    assigned AS (
+      SELECT vec_id, unit,
+             CASE {" ".join(f"WHEN s{j} >= {_SEM_GREATEST} THEN {j}"
+                            for j in range(_SEM_K))} END AS cell
+      FROM simmed
+    ),
+    dropped AS (
+      SELECT DISTINCT b.cell AS cell, b.vec_id AS vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ({_DUCK_UNIT_DOT}) > {_SEM_TAU!r}
+    )
+    SELECT CAST(t.cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept,
+           ROUND(CAST(COALESCE(d.n_dropped, 0) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS drop_rate
+    FROM assigned t
+    LEFT JOIN (SELECT cell, COUNT(*) AS n_dropped FROM dropped GROUP BY cell) d
+      ON t.cell = d.cell
+    GROUP BY t.cell, d.n_dropped
+    ORDER BY cell
+    """,
+)
+def dedup_semantic_prune(spark, sf_dir):
+    """SemDeDup: cluster-scoped semantic near-duplicate pruning report.
+
+    Every embedding is assigned map-side to its max-cosine cell of a
+    literal k=32 codebook (zero shuffle — same layout as
+    sim_codebook_mix; a production run swaps in trained IVF centroids
+    via broadcast, operators/ivf.py). Within each cell — and ONLY
+    within a cell — pairs above cosine τ mark the higher-id member as
+    dropped (the deterministic keep-lowest-id greedy; swap in a
+    quality rank as the order key to keep the best copy instead). The
+    report is the per-cell population / dropped / kept breakdown a
+    curation pipeline reviews before committing the prune.
+
+    Scale shape: ONE shuffle keyed on cell for the self-join; pair
+    work is quadratic only in cluster population, which the operator
+    bounds by growing k with N (SemDeDup's own recipe — 50k clusters
+    at LAION scale), so each task does constant work. The pair payload
+    is the 64-double unit vector computed once per ROW (not per pair),
+    and the pair dot is a bare multiply-add fold over pre-normalized
+    doubles — no per-pair sqrt or cast. Dropped-id dedup and both
+    aggregates are map-side combined.
+
+    Cross-engine exactness: unit components are embedding[i]/nrm with
+    nrm the left-associated double norm — bit-identical on both
+    engines — and the pair dot folds in element order, so the τ
+    comparison is exact (no epsilon)."""
+    emb = rebalance(t(spark, sf_dir, "embeddings"))
+    normed = emb.withColumn(
+        "nrm", F.sqrt(F.expr(_FOLD_DOT.format(a="embedding", b="embedding")))
+    )
+    best = F.expr(_spark_sem_cell())
+    assigned = normed.select(
+        "vec_id",
+        (-best["negcell"]).cast("long").alias("cell"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").alias("unit"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), "cell", F.col("unit").alias("unit_a")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), "cell", F.col("unit").alias("unit_b")
+    )
+    pair_dot = _FOLD_DOT.format(a="unit_a", b="unit_b")
+    dropped = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr(pair_dot) > F.lit(_SEM_TAU))
+        .select("cell", F.col("id_b").alias("vec_id"))
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    totals = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    # The drop-count side is ≤ k rows by construction — broadcast it so
+    # the report merge never shuffles the totals.
+    return (
+        totals.join(F.broadcast(dropped), on="cell", how="left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.round(
+                F.coalesce("n_dropped", F.lit(0)).cast("double")
+                / F.col("n_vecs").cast("double"),
+                6,
+            ).alias("drop_rate"),
+        )
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-shaped)
+# ---------------------------------------------------------------------------
+
+# Integer weight for a hashed feature: h32(feature) % 2001 - 1000, an
+# exact BIGINT in [-1000, 1000] on both engines. A real deployment
+# replaces this derivation with a broadcast lookup of trained weights;
+# the plan shape (map-side fold, one rollup shuffle) is identical.
+_W_SPARK = "(CAST(conv(substr(md5({f}), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000)"
+
+
+def _w_duck(f: str) -> str:
+    return f"({sql_h32(f)} % 2001 - 1000)"
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS ts
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(COALESCE(list_sum(list_transform(ts,
+                      tk -> {_w_duck('tk')})), 0) AS BIGINT)
+             + CAST(COALESCE(list_sum(list_transform(range(1, len(ts)),
+                      i -> {_w_duck("(ts[i] || '_' || ts[i + 1])")})), 0) AS BIGINT)
+               AS score
+      FROM toks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (score > 0) AS BIGINT) AS n_keep,
+           ROUND(CAST(COUNT(*) FILTER (score > 0) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate,
+           ROUND(CAST(SUM(score) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_score
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """fastText-shaped linear quality filter: per-source keep report.
+
+    Each document's score is the integer sum of hashed unigram and
+    word-bigram feature weights (the hashing trick — feature id =
+    md5-derived h32, weight = h32 % 2001 - 1000); keep = score > 0.
+    The report is the per-source document count, keep count, keep
+    rate, and mean score — the accept/reject audit a quality filter
+    emits before a training mix is frozen.
+
+    Scale shape: the entire score is ONE map-side expression — the
+    token array never explodes, features fold per row inside
+    whole-stage codegen, and the only exchange is the per-source
+    rollup (map-side combined). At 100 TB this reads the corpus once
+    and shuffles a handful of rows. Integer weights make every doc
+    score exact, so the keep/drop split is engine-independent; the two
+    float outputs divide exact BIGINTs and round to 6 dp.
+
+    Bigrams pair adjacent positions via zip_with over the two
+    shifted slices (empty when a doc has < 2 tokens, matching the
+    oracle's empty range())."""
+    docs = rebalance(t(spark, sf_dir, "documents"))
+    uni = (
+        "aggregate(transform(ts, tk -> " + _W_SPARK.format(f="tk") + "), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    bi_feats = (
+        "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1), "
+        "(x, y) -> concat(x, '_', y))"
+    )
+    bi = (
+        f"aggregate(transform({bi_feats}, tk -> " + _W_SPARK.format(f="tk") + "), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = docs.select(
+        "source", F.split(F.lower("text"), " ").alias("ts")
+    ).select("source", (F.expr(uni) + F.expr(bi)).alias("score"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("score") > 0).cast("long").alias("n_keep"),
+            F.sum("score").alias("_sum_score"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            F.round(
+                F.col("n_keep").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("keep_rate"),
+            F.round(
+                F.col("_sum_score").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("avg_score"),
+        )
+        .orderBy("source")
+    )
