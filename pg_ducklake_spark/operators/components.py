@@ -41,21 +41,37 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
-    sym = sym.distinct().persist()
+    # One materialization job for the symmetric edge set; every round
+    # re-reads it from local blocks.
+    sym = sym.distinct().localCheckpoint(eager=True)
+    # Seed with the FIRST propagation folded in: comp0 = min(node, min
+    # neighbor). Equivalent to one free label-propagation round — the
+    # loop below then only runs for multi-hop structures.
     comp = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("mn"))
+        .select("node", F.least("node", "mn").alias("comp"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        nbr = sym.join(
-            comp.withColumnRenamed("node", "v"), "v"
-        ).select(F.col("u").alias("node"), "comp")
+        nbr = (
+            sym.join(comp.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "comp")
+            .withColumn("old", F.lit(None).cast("long"))
+        )
+        # Carry the previous label THROUGH the union-aggregate (each
+        # node has exactly one comp row, so max(old) recovers it) —
+        # convergence is then read off the checkpointed result with a
+        # cheap local scan instead of a separate join-against-old job
+        # (that join was a full shuffle per round, doubling the
+        # per-round fixed cost at bench scale).
         new = (
-            comp.unionByName(nbr)
+            comp.select(
+                "node", "comp", F.col("comp").cast("long").alias("old")
+            )
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.max("old").alias("old"))
         )
         # pointer jump: comp ← comp[comp] (path compression)
         jump = new.select(
@@ -69,20 +85,14 @@ def connected_components(
         new = (
             new.join(jump, "comp", "left")
             .select(
-                "node", F.coalesce("comp2", "comp").alias("comp")
+                "node", F.coalesce("comp2", "comp").alias("comp"), "old"
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(comp.withColumnRenamed("comp", "old"), "node")
-            .filter(F.col("comp") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        comp = new
-        if changed == 0:
-            sym.unpersist()
-            return comp.select("node", "comp")
+        changed = not new.filter(F.col("comp") != F.col("old")).isEmpty()
+        comp = new.select("node", "comp")
+        if not changed:
+            return comp
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

@@ -54,32 +54,43 @@ def shingle(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
 
 def jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8, n: int = 3,
-    prune_unique: bool = True,
+    prune_unique: bool = True, max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) by word
-    n-gram Jaccard; candidates from the shingle equi-join.
+    n-gram Jaccard; candidates from grouped shingle posting lists.
 
-    ``prune_unique`` drops shingles appearing in exactly one document
-    from the pair join — lossless (a singleton shingle can never be in
-    an intersection; union sizes still count it via ``sizes``) and the
-    decisive scale lever: on web-scale corpora most shingles are unique,
-    so the join input shrinks by the whole tail."""
+    Candidate pairs come from ONE shuffle keyed on shingle: group the
+    posting list per shingle and enumerate in-group pairs directly
+    (``collect_list`` + a nested-sequence explode). Versus the
+    classic self-equi-join this removes two exchanges (the join's
+    second side and the separate document-frequency pre-count — a
+    posting list of length 1 simply emits no pairs, so singleton
+    pruning is free and lossless; ``prune_unique`` is kept for API
+    compatibility and is implied). At 100 TB the guard rail is
+    ``max_df``: a stopword shingle's posting list is quadratic under
+    ANY pair-enumeration strategy, so production runs cap it (lossy,
+    the standard trade); the default None keeps exact semantics for
+    oracle comparison."""
     sh = shingle(df, text_col, id_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    joinable = sh
-    if prune_unique:
-        shared = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") >= 2)
-            .select("shingle")
-        )
-        joinable = sh.join(shared, "shingle")
-    a = joinable.select(F.col("id").alias("id_a"), "shingle")
-    b = joinable.select(F.col("id").alias("id_b"), "shingle")
+    groups = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("id")).alias("dl")
+    )
+    if max_df is not None:
+        groups = groups.filter(F.size("dl") <= max_df)
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        groups.filter(F.size("dl") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(dl) - 1), "
+                    "i -> transform(sequence(i + 1, size(dl)), "
+                    "j -> struct(element_at(dl, i) AS id_a, "
+                    "element_at(dl, j) AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -129,6 +129,7 @@ from pg_ducklake_spark.plans import sampling  # noqa: E402,F401
 from pg_ducklake_spark.plans import dedup2  # noqa: E402,F401
 from pg_ducklake_spark.plans import curation  # noqa: E402,F401
 from pg_ducklake_spark.plans import semdedup  # noqa: E402,F401
+from pg_ducklake_spark.plans import sketches  # noqa: E402,F401
 
 # Driver-sweep ordering. The external correctness sweep verifies
 # queries in dict order and has covered the first 50 entries per round;
@@ -162,8 +163,6 @@ _SWEEP_FIRST = [
     "sim_embedding_near_dup",
     "mm_binary_metadata",
     "mm_feature_extraction",
-    "text_langid_confusion",
-    "text_quality_scores",
     "pipe_filter_dedup_stats",
     "stats_value_moments",
     "ts_gap_fill_locf",
@@ -201,12 +200,16 @@ _SWEEP_FIRST = [
     "pipe_importance_sample",
     "dedup_substring_windows",
     "dedup_canonical_selection",
-    # Round-6 second rotation: SemDeDup cluster-scoped pruning and the
-    # hashed linear quality classifier take driver rows; the rows they
-    # displace (salted skew join, ts_asof_join — driver-green r2-r4)
-    # stay covered by the full judge harness.
+    # Round-6 second rotation: SemDeDup cluster-scoped pruning, the
+    # hashed linear quality classifier, and the sketch family (HLL
+    # cardinality, count-min heavy hitters) take driver rows; the rows
+    # they displace (salted skew join, ts_asof_join, langid confusion,
+    # quality scores — driver-green r2-r4) stay covered by the full
+    # judge harness.
     "dedup_semantic_prune",
     "text_quality_classifier",
+    "stats_hll_distinct",
+    "text_cms_heavy_hitters",
 ]
 
 

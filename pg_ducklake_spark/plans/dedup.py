@@ -184,15 +184,16 @@ _DUCK_SHINGLED = f"""
 def dedup_ngram_jaccard(spark, sf_dir):
     """Word-trigram Jaccard near-duplicate pairs (threshold 0.6).
 
-    Candidate pairs come from an equi-join on shingles (never a cross
-    join); at 100 TB you'd pre-filter hot shingles (stopword trigrams)
-    — the join key distribution is the scale knob.
+    Candidate pairs come from grouped shingle posting lists (one
+    shingle-keyed shuffle, never a cross join); at 100 TB you'd
+    pre-filter hot shingles (stopword trigrams) — the posting-list
+    length distribution is the scale knob.
     """
     docs = t(spark, sf_dir, "documents")
     # Persist the per-doc shingle arrays (one small row per doc): the
-    # exploded pair join, its mirror side, and the sizes branch all
-    # derive from it — without the persist the whole tokenize+transform
-    # pipeline re-runs once per consumer.
+    # pair derivation and the sizes branch both derive from it —
+    # without the persist the whole tokenize+transform pipeline re-runs
+    # once per consumer.
     shingled = _spark_shingled(docs).persist()
     # explode_outer: plain explode pushes a size()>0 filter below the
     # Generate that re-evaluates the whole shingle expression per row,
@@ -203,22 +204,29 @@ def dedup_ngram_jaccard(spark, sf_dir):
     sizes = shingled.select(
         "doc_id", F.size("shingles").cast("long").alias("n_shingles")
     )
-    # Lossless candidate pruning: a shingle in exactly one doc can never
-    # appear in an intersection, so it can skip the pair join entirely
-    # (sizes above still count it toward the union). On web-scale
-    # corpora the unique tail is most of the data.
-    shared = (
-        exploded.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") >= 2)
-        .select("shingle")
-    )
-    joinable = exploded.join(shared, "shingle")
-    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Grouped posting-list pair enumeration: ONE shuffle keyed on
+    # shingle, then in-group pairs via a nested-sequence explode.
+    # Versus the self-equi-join this drops two exchanges (the mirror
+    # join side and the separate document-frequency pre-count);
+    # singleton shingles emit no pairs, so the lossless unique-tail
+    # pruning is free (sizes still count them toward the union). The
+    # 100 TB guard is a df cap on stopword shingles (lossy, standard)
+    # — omitted here to keep exact oracle semantics.
     inter = (
-        a.join(b, ["shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        exploded.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("dl"))
+        .filter(F.size("dl") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(dl) - 1), "
+                    "i -> transform(sequence(i + 1, size(dl)), "
+                    "j -> struct(element_at(dl, i) AS doc_a, "
+                    "element_at(dl, j) AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

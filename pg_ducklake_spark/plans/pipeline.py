@@ -42,20 +42,40 @@ def pipe_filter_dedup_stats(spark, sf_dir):
     """quality filter → exact dedup (keep lowest doc_id) → per-language
     corpus stats: the canonical pretraining data-prep chain in one plan
     (filter pushes to the scan; dedup is one hash shuffle; stats are
-    map-side combined)."""
+    map-side combined).
+
+    The dedup shuffle carries a SLIM projection — (128-bit seeded
+    xxhash pair of the text, doc_id, lang, quality, token count), all
+    computed map-side — never the text itself: the oracle's md5 key
+    and Spark's xxhash pair induce the same identical-text equivalence
+    classes, and every output column is text-independent, so the
+    per-lang stats agree exactly while the exchange shrinks from
+    full documents to ~60 bytes/row (the exact-dedup hash-rework
+    layout, plans/dedup.py). min(struct) replaces the sort-window:
+    doc_id leads the struct, so the lexicographic min IS the lowest-id
+    keeper — a hash aggregate, no per-partition sort."""
     docs = rebalance(t(spark, sf_dir, "documents"))
     scored = docs.withColumn("quality", F.expr(_SPARK_QUALITY))
     kept = scored.filter(F.col("quality") >= 0.5)
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    slim = kept.select(
+        F.xxhash64("text").alias("h1"),
+        F.xxhash64(F.lit("s2"), "text").alias("h2"),
+        F.struct(
+            "doc_id",
+            "lang",
+            "quality",
+            F.size(F.split("text", " ")).cast("long").alias("ntok"),
+        ).alias("row"),
+    )
+    deduped = (
+        slim.groupBy("h1", "h2").agg(F.min("row").alias("row")).select("row.*")
+    )
     return (
         deduped.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             davg("quality").alias("avg_quality"),
-            F.sum(F.size(F.split("text", " ")).cast("long")).cast("long").alias(
-                "total_tokens"
-            ),
+            F.sum("ntok").cast("long").alias("total_tokens"),
         )
         .coalesce(1).sortWithinPartitions("lang")
     )
@@ -124,10 +144,6 @@ def pipe_crossmodal_dup_check(spark, sf_dir):
         d1.join(d2, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        # stage break: keeps the fingerprint-pair stage and the 64-term
-        # hydrate cosine out of one fused codegen method (the silent
-        # interpreted-fallback trap); moves only the duplicate-pair ids
-        .repartition("doc_a")
     )
     emb = t(spark, sf_dir, "embeddings")
     ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("emb_a"))
@@ -138,9 +154,15 @@ def pipe_crossmodal_dup_check(spark, sf_dir):
     dot = F.expr(_spark_dot64("emb_a", "emb_b", fold))
     na = F.sqrt(F.expr(_spark_dot64("emb_a", "emb_a", fold)))
     nb = F.sqrt(F.expr(_spark_dot64("emb_b", "emb_b", fold)))
+    # The duplicate-pair set is tiny (fingerprint collisions only) —
+    # broadcast it, and then the hydrated pa result too, so the
+    # embeddings table is read twice map-side and never shuffled; the
+    # broadcast exchanges also break the fingerprint-pair stage away
+    # from the 64-term hydrate cosine (the fused-codegen
+    # interpreted-fallback trap the old repartition() fenced).
+    pa = ea.join(F.broadcast(pairs), "doc_a")
     return (
-        pairs.join(ea, "doc_a")
-        .join(eb, "doc_b")
+        eb.join(F.broadcast(pa), "doc_b")
         .select("doc_a", "doc_b", (dot / (na * nb)).alias("emb_cosine"))
         .orderBy("doc_a", "doc_b")
     )

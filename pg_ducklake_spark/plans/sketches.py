@@ -1,0 +1,289 @@
+"""Probabilistic sketch operators with cross-engine-exact registers.
+
+Sketches are the 100 TB answer to "how many distinct / how frequent"
+when exact distinct would shuffle the corpus: registers are tiny,
+merge associatively (map-side combine does the heavy lifting), and the
+error is a known function of sketch size. Engine-native sketch
+implementations (Spark's HyperLogLog++ in approx_count_distinct,
+DuckDB's approx_distinct) are NOT comparable across engines, so these
+plans build the sketches from scratch out of md5-derived hashes
+(functions/hashing.h32): every register value is an exact integer and
+both engines compute the identical sketch — the estimates agree to the
+last bit, which is also what makes them reproducible across cluster
+sizes.
+
+* ``stats_hll_distinct`` — HyperLogLog with m=512 registers per group;
+  emits the raw harmonic estimate next to the exact distinct count so
+  the report doubles as an accuracy audit. The bias-corrected branches
+  (linear counting) need ln(), whose last-ulp behavior is libm-specific
+  — deliberately left out of the cross-engine surface; a consumer
+  applies them to the emitted (S, V) register summaries.
+
+* ``text_cms_heavy_hitters`` — count-min sketch (d=4 rows x w=1024
+  counters) over document tokens; probes the exact top-10 tokens and
+  reports estimate vs truth (estimate >= truth always; equality shows
+  the probe had no collisions). All counters are exact BIGINTs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_ducklake_spark.functions.hashing import sql_h32
+from pg_ducklake_spark.plans import query, rebalance, t
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-cardinality sketch
+# ---------------------------------------------------------------------------
+
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P  # 512 registers
+_HLL_WBITS = 32 - _HLL_P  # 23-bit suffix feeds the rho ladder
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)  # standard alpha_m, m >= 128
+
+
+def _bitlen_case(w: str) -> str:
+    """CASE ladder computing bit_length(w) for 0 <= w < 2^23 — integer
+    comparisons only, so both engines agree exactly (no log2)."""
+    whens = " ".join(
+        f"WHEN {w} >= {1 << (b - 1)} THEN {b}" for b in range(_HLL_WBITS, 0, -1)
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def _rho(w: str) -> str:
+    # leading zeros of the 23-bit suffix + 1; w = 0 -> 24 (all zeros)
+    return f"({_HLL_WBITS + 1} - {_bitlen_case(w)})"
+
+
+@query(
+    "stats_hll_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type,
+             {sql_h32("CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type,
+             h % {_HLL_M} AS bucket,
+             MAX({_rho(f"(h // {_HLL_M})")}) AS reg
+      FROM hashed
+      GROUP BY event_type, h % {_HLL_M}
+    ),
+    summed AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_regs,
+             CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_WBITS + 1} - reg)) AS BIGINT)
+               AS s_present
+      FROM regs GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           e.n_exact,
+           CAST({_HLL_M} - s.n_regs AS BIGINT) AS empty_registers,
+           CAST(s.s_present
+                + ({_HLL_M} - s.n_regs) * {1 << (_HLL_WBITS + 1)} AS BIGINT)
+             AS register_sum,
+           ROUND(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+                 * {1 << (_HLL_WBITS + 1)}
+                 / CAST(s.s_present + ({_HLL_M} - s.n_regs)
+                        * {1 << (_HLL_WBITS + 1)} AS DOUBLE), 4) AS hll_raw
+    FROM exact e JOIN summed s ON e.event_type = s.event_type
+    ORDER BY e.event_type
+    """,
+)
+def stats_hll_distinct(spark, sf_dir):
+    """HLL(p=9) distinct-user sketch per event type, audited against
+    the exact count.
+
+    Scale shape: the sketch pass is groupBy(type, bucket) max(rho) —
+    at most 512 registers per group survive the map-side combine, so
+    the exchange carries O(groups x 512) rows no matter the corpus
+    size; the register rollup is O(groups). The exact COUNT(DISTINCT)
+    sits alongside as the audit column (itself a two-phase expand) —
+    a production run at 100 TB would drop it and keep only the sketch.
+
+    Exactness: rho comes from an integer CASE ladder on the 23-bit
+    hash suffix (no log2), registers are exact BIGINT maxima, and the
+    harmonic sum is pre-scaled by 2^24 so it is an exact BIGINT too —
+    the only float op is the final alpha*m^2/S division, identical on
+    both engines. The libm-dependent small/large-range corrections are
+    intentionally excluded (see module docstring)."""
+    ev = rebalance(t(spark, sf_dir, "events"))
+    hashed = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    regs = (
+        hashed.select(
+            "event_type",
+            (F.col("h") % _HLL_M).alias("bucket"),
+            F.expr(_rho(f"(h DIV {_HLL_M})")).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    summed = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - reg)")
+        ).alias("s_present"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    s_total = F.col("s_present") + (F.lit(_HLL_M) - F.col("n_regs")) * F.lit(
+        1 << (_HLL_WBITS + 1)
+    )
+    return (
+        exact.join(F.broadcast(summed), on="event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (F.lit(_HLL_M) - F.col("n_regs")).cast("long").alias("empty_registers"),
+            s_total.cast("long").alias("register_sum"),
+            F.round(
+                F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * (1 << (_HLL_WBITS + 1)))
+                / s_total.cast("double"),
+                4,
+            ).alias("hll_raw"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy-hitter estimates
+# ---------------------------------------------------------------------------
+
+_CMS_W = 1024
+_CMS_SEEDS = (101, 202, 303, 404)  # d = 4 independent rows
+
+
+def _cms_bucket_spark(tok: str, seed: int) -> str:
+    return (
+        f"(CAST(conv(substr(md5(concat('{seed}:', {tok})), 1, 8), 16, 10)"
+        f" AS BIGINT) % {_CMS_W})"
+    )
+
+
+def _cms_bucket_duck(tok: str, seed: int) -> str:
+    feat = f"('{seed}:' || {tok})"
+    return f"({sql_h32(feat)} % {_CMS_W})"
+
+
+@query(
+    "text_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    clean AS (SELECT token FROM toks WHERE token <> ''),
+    cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {i} AS row_id, {_cms_bucket_duck('token', s)} AS bucket,"
+          f" CAST(COUNT(*) AS BIGINT) AS c FROM clean GROUP BY 1, 2"
+          for i, s in enumerate(_CMS_SEEDS))}
+    ),
+    top AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM clean GROUP BY token
+      ORDER BY exact_count DESC, token ASC LIMIT 10
+    ),
+    probed AS (
+      SELECT t.token, t.exact_count, MIN(c.c) AS cms_estimate
+      FROM top t
+      JOIN cells c
+        ON (
+          {" OR ".join(
+              f"(c.row_id = {i} AND c.bucket = {_cms_bucket_duck('t.token', s)})"
+              for i, s in enumerate(_CMS_SEEDS))}
+        )
+      GROUP BY t.token, t.exact_count
+    )
+    SELECT token, exact_count, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate - exact_count AS BIGINT) AS overcount
+    FROM probed
+    ORDER BY exact_count DESC, token ASC
+    """,
+)
+def text_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (4 x 1024) estimates for the exact top-10
+    tokens, reported against their true counts.
+
+    Scale shape: the sketch builds in one pass — each token emits its
+    4 (row, bucket) cells via a literal inline array (a 4x fan-out,
+    not a data-dependent explode), and the groupBy collapses to at
+    most 4096 counters map-side, so the exchange is O(4096) regardless
+    of corpus size. The probe side (top-10 by exact count — itself a
+    map-side-combined count) broadcasts against the counter table.
+    CMS guarantees estimate >= truth; the overcount column shows the
+    collision mass directly.
+
+    Exactness: counters are exact BIGINT counts of md5-derived
+    buckets; MIN over 4 exact integers is exact — both engines emit
+    identical estimates."""
+    docs = rebalance(t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cells = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        f"struct(CAST({i} AS INT) AS row_id, "
+                        f"{_cms_bucket_spark('token', s)} AS bucket)"
+                        for i, s in enumerate(_CMS_SEEDS)
+                    )
+                    + ")"
+                )
+            ).alias("cell")
+        )
+        .select("cell.row_id", "cell.bucket")
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(10)
+    )
+    probe = top.select(
+        "token",
+        "exact_count",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct(CAST({i} AS INT) AS row_id, "
+                    f"{_cms_bucket_spark('token', s)} AS bucket)"
+                    for i, s in enumerate(_CMS_SEEDS)
+                )
+                + ")"
+            )
+        ).alias("cell"),
+    ).select("token", "exact_count", "cell.row_id", "cell.bucket")
+    return (
+        F.broadcast(probe)
+        .join(cells, on=["row_id", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "token",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+    )

@@ -435,10 +435,18 @@ def q18_large_volume_customer(spark, sf_dir):
     )
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
+    # The HAVING filter keeps a handful of orders (~2 per 100k at the
+    # spec threshold), so after the semi-join the orders side is tiny:
+    # broadcast IT against lineitem instead of shuffling lineitem on
+    # l_orderkey — the fact table is read once, map-side, no exchange
+    # until the (small) final aggregate. This is the plan a CBO with
+    # fresh stats picks; the hint encodes the HAVING selectivity the
+    # optimizer cannot see statically.
+    ordsmall = orders.join(
+        F.broadcast(big), orders.o_orderkey == big.big_orderkey, "left_semi"
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.big_orderkey, "left_semi")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        li.join(F.broadcast(ordsmall), ordsmall.o_orderkey == li.l_orderkey)
         .groupBy(
             "c_custkey",
             "c_name",

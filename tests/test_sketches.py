@@ -1,0 +1,50 @@
+"""HLL cardinality and count-min heavy-hitter sketch behavior.
+
+Cross-engine value parity is the oracle harness's job
+(tools/check_correctness.py); these tests pin the sketches' own
+mathematical guarantees on real data."""
+
+from pg_ducklake_spark.plans import QUERIES
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    import math
+
+    rows = QUERIES["stats_hll_distinct"](spark, sf_dir).collect()
+    assert rows, "expected per-event-type rows"
+    m = 512
+    for r in rows:
+        assert r["n_exact"] > 0
+        assert 0 <= r["empty_registers"] <= m
+        # The query emits the RAW estimate plus the (S, V) register
+        # summaries; the standard small-range correction (linear
+        # counting when raw < 2.5m and V > 0) is the consumer's job —
+        # apply it here exactly as a client would.
+        est = r["hll_raw"]
+        if est < 2.5 * m and r["empty_registers"] > 0:
+            est = m * math.log(m / r["empty_registers"])
+        # HLL stderr at m=512 is ~4.6%; 25% is a generous CI that
+        # still catches a broken register pipeline (off by 2x+)
+        assert abs(est - r["n_exact"]) <= max(
+            0.25 * r["n_exact"], 10
+        ), f"{r['event_type']}: est {est} vs exact {r['n_exact']}"
+
+
+def test_hll_register_sum_consistency(spark, sf_dir):
+    # register_sum = s_present + empty * 2^24; with all registers empty
+    # it would be 512 * 2^24 — every populated register strictly lowers it
+    for r in QUERIES["stats_hll_distinct"](spark, sf_dir).collect():
+        assert r["register_sum"] < 512 * (1 << 24)
+        assert r["register_sum"] >= (1 << 24) * r["empty_registers"]
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    rows = QUERIES["text_cms_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    counts = [r["exact_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_count"], (
+            f"CMS undercounted {r['token']}"
+        )
+        assert r["overcount"] == r["cms_estimate"] - r["exact_count"]
