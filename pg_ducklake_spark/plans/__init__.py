@@ -130,6 +130,7 @@ from pg_ducklake_spark.plans import dedup2  # noqa: E402,F401
 from pg_ducklake_spark.plans import curation  # noqa: E402,F401
 from pg_ducklake_spark.plans import semdedup  # noqa: E402,F401
 from pg_ducklake_spark.plans import sketches  # noqa: E402,F401
+from pg_ducklake_spark.plans import graph  # noqa: E402,F401
 
 # Driver-sweep ordering. The external correctness sweep verifies
 # queries in dict order and has covered the first 50 entries per round;
@@ -164,7 +165,6 @@ _SWEEP_FIRST = [
     "mm_binary_metadata",
     "mm_feature_extraction",
     "pipe_filter_dedup_stats",
-    "stats_value_moments",
     "ts_gap_fill_locf",
     "pipe_stratified_sample",
     # Round-5 rotation: the new families take the hard driver rows;
@@ -177,7 +177,6 @@ _SWEEP_FIRST = [
     "pipe_quality_gate",
     "pipe_training_order",
     "mm_frame_sample",
-    "events_sessionized_gap",
     # Round-5 late rotation: the session's new families take driver
     # rows; the displaced rows (duckdb-compat SQL, range join, corr,
     # crossmodal check, bucketed join) are driver-green since round 4
@@ -210,6 +209,11 @@ _SWEEP_FIRST = [
     "text_quality_classifier",
     "stats_hll_distinct",
     "text_cms_heavy_hitters",
+    # Round-6 third rotation: graph analytics over the dup-pair graph
+    # (displacing stats_value_moments and events_sessionized_gap,
+    # driver-green r2-r4).
+    "graph_triangle_census",
+    "graph_degree_histogram",
 ]
 
 

@@ -62,6 +62,7 @@ QUERIES_SF1 = [
     "sim_lsh_bucket_topk",
     "sim_embedding_near_dup",
     "sim_codebook_mix",
+    "dedup_semantic_prune",
 ]
 # The sf1 perf-weak set (VERDICT r4: all sub-2 s absolute, fixed-cost
 # shaped). sf10 is their "largest measured scale"; the data-bound
