@@ -54,6 +54,16 @@ COMBOS = {
         "spark.sql.shuffle.partitions": "8",
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     },
+    "aqe_off_sp4_split128m": {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "4",
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    },
+    "aqe_off_sp16_split128m": {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "16",
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    },
     "aqe_on_sp8_split16m_par1st_off": {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
