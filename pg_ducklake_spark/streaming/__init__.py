@@ -12,6 +12,7 @@ from pg_ducklake_spark.streaming.stream import (
     stream_lake_appends,
     streaming_exact_dedup,
     streaming_sessionize,
+    streaming_token_topk,
     windowed_event_counts,
 )
 
@@ -21,4 +22,5 @@ __all__ = [
     "running_totals_stateful",
     "streaming_exact_dedup",
     "streaming_sessionize",
+    "streaming_token_topk",
 ]

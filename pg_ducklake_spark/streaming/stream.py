@@ -376,3 +376,118 @@ def streaming_minhash_dedup(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+_TK_OUT = T.StructType(
+    [
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("token", T.StringType(), False),
+        T.StructField("count_upper", T.LongType(), False),
+        T.StructField("count_lower", T.LongType(), False),
+    ]
+)
+
+# Space-Saving summary as parallel arrays (the state store cannot hold
+# maps): tracked tokens, their upper-bound counts, and the insertion
+# error (count of the entry each one evicted).
+_TK_STATE = T.StructType(
+    [
+        T.StructField("toks", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("errs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def streaming_token_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    capacity: int = 64,
+    n_buckets: int = 32,
+    emit_top: int = 10,
+) -> DataFrame:
+    """Streaming heavy-hitter tokens with BOUNDED state: Space-Saving
+    (Metwally et al. 2005) summaries, one per hash bucket.
+
+    Tokens shard by ``h32(token) % n_buckets`` — each token lives in
+    exactly ONE bucket, so per-bucket summaries compose into a global
+    top-k without double counting, and state is capped at
+    ``n_buckets * capacity`` counters no matter how many distinct
+    tokens the stream carries (the property plain streaming
+    aggregation lacks: its state grows with the vocabulary). Each
+    micro-batch first collapses to per-token deltas (pandas
+    value_counts — the map-side combine), then applies the classic
+    update: tracked -> add; room -> insert exact; full -> evict the
+    min-count entry m and insert with count = m.count + delta,
+    err = m.count. Space-Saving guarantees
+    true_count <= count_upper and count_upper - err <= true_count
+    per bucket stream; both bounds are emitted so a consumer can see
+    the uncertainty. Per trigger each bucket emits its current top
+    ``emit_top`` (count desc, token asc — deterministic).
+
+    At scale: buckets are the parallelism unit (state-store
+    partitions); capacity trades memory for error (err <=
+    bucket_stream_len / capacity)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pg_ducklake_spark.functions.hashing import h32
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(text_col), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    keyed = toks.withColumn("bucket", h32(F.col("token")) % n_buckets)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout below
+            state.remove()
+            yield pd.DataFrame({f.name: [] for f in _TK_OUT.fields})
+            return
+        toks_s, counts_s, errs_s = (
+            state.get if state.exists else ([], [], [])
+        )
+        summary = {
+            t: [c, e] for t, c, e in zip(toks_s, counts_s, errs_s)
+        }
+        batch = pd.concat(list(pdfs)) if pdfs else pd.DataFrame({"token": []})
+        # per-batch combine, then deterministic application order
+        deltas = batch["token"].value_counts().sort_index()
+        for tok, delta in deltas.items():
+            delta = int(delta)
+            if tok in summary:
+                summary[tok][0] += delta
+            elif len(summary) < capacity:
+                summary[tok] = [delta, 0]
+            else:
+                evict = min(summary.items(), key=lambda kv: (kv[1][0], kv[0]))
+                m = evict[1][0]
+                del summary[evict[0]]
+                summary[tok] = [m + delta, m]
+        items = sorted(summary.items())
+        state.update(
+            (
+                [t for t, _ in items],
+                [c for _, (c, _) in items],
+                [e for _, (_, e) in items],
+            )
+        )
+        top = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))[
+            :emit_top
+        ]
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(top),
+                "token": [t for t, _ in top],
+                "count_upper": [c for _, (c, _) in top],
+                "count_lower": [c - e for _, (c, e) in top],
+            }
+        )
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=_TK_OUT,
+        stateStructType=_TK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -38,6 +38,48 @@ def test_hll_register_sum_consistency(spark, sf_dir):
         assert r["register_sum"] >= (1 << 24) * r["empty_registers"]
 
 
+def test_hll_registers_merge_associatively(spark, sf_dir):
+    """The property that makes HLL distributed: registers built on any
+    partition of the data max-merge to exactly the whole-data sketch.
+    Split events by parity of event_id, build registers per half, merge
+    with max, compare against the one-pass registers."""
+    from pyspark.sql import functions as F
+
+    from pg_ducklake_spark.plans import t
+    from pg_ducklake_spark.plans.sketches import _HLL_M, _rho
+
+    ev = t(spark, sf_dir, "events")
+
+    def regs(df):
+        hashed = df.select(
+            "event_type",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+                " AS BIGINT)"
+            ).alias("h"),
+        )
+        return (
+            hashed.select(
+                "event_type",
+                (F.col("h") % _HLL_M).alias("bucket"),
+                F.expr(_rho(f"(h DIV {_HLL_M})")).alias("rho"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("reg"))
+        )
+
+    whole = {
+        (r["event_type"], r["bucket"]): r["reg"] for r in regs(ev).collect()
+    }
+    a = regs(ev.filter(F.col("event_id") % 2 == 0))
+    b = regs(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {}
+    for r in a.collect() + b.collect():
+        k = (r["event_type"], r["bucket"])
+        merged[k] = max(merged.get(k, 0), r["reg"])
+    assert merged == whole
+
+
 def test_cms_never_undercounts(spark, sf_dir):
     rows = QUERIES["text_cms_heavy_hitters"](spark, sf_dir).collect()
     assert len(rows) == 10

@@ -426,3 +426,63 @@ def test_streaming_minhash_near_dup_across_batches(spark, lake, tmp_path):
     assert 10 in best and best[10] == (1.0, 1)      # exact resend
     assert 11 in best and best[11][1] == 1 and best[11][0] >= 0.5
     assert 12 not in best
+
+
+def test_streaming_token_topk_bounded_state(spark, lake, tmp_path):
+    """Space-Saving heavy hitters across micro-batches: the dominant
+    token's upper bound is exact when it never got evicted, counts
+    accumulate across batches, state stays within capacity, and the
+    lower/upper bounds bracket the true frequency."""
+    from pg_ducklake_spark.streaming import (
+        stream_lake_appends,
+        streaming_token_topk,
+    )
+
+    lake.create_table("tdocs", "doc_id bigint, text string")
+    lake.insert(
+        "tdocs",
+        spark.createDataFrame(
+            [(1, "hot hot hot cold warm"), (2, "hot cold tepid")],
+            "doc_id bigint, text string",
+        ),
+    )
+
+    rows: list = []
+
+    def run():
+        q = (
+            streaming_token_topk(
+                stream_lake_appends(lake, "tdocs"), capacity=4, n_buckets=2
+            )
+            .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = {r.token: r for r in rows}
+    assert first["hot"].count_upper == 4 and first["hot"].count_lower == 4
+
+    rows.clear()
+    lake.insert(
+        "tdocs",
+        spark.createDataFrame(
+            [(3, "hot hot mild mild mild breeze")], "doc_id bigint, text string"
+        ),
+    )
+    run()
+    latest = {r.token: r for r in rows}
+    # counts accumulated across batches; 'hot' seen 6 times total
+    assert latest["hot"].count_upper == 6
+    # bounds bracket the truth for every emitted token
+    truth = {"hot": 6, "cold": 2, "warm": 1, "tepid": 1, "mild": 3, "breeze": 1}
+    for tok, r in latest.items():
+        assert r.count_lower <= truth[tok] <= r.count_upper, tok
+    # bounded state: each bucket tracks at most `capacity` tokens
+    from collections import Counter
+
+    per_bucket = Counter(r.bucket for r in rows)
+    assert all(v <= 4 for v in per_bucket.values())
