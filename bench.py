@@ -87,6 +87,17 @@ HEADLINE = [
     "mm_feature_extraction",
     "ts_gap_fill_locf",
     "pipe_stratified_sample",
+    # Round-5 third-session families: SemDeDup cluster-scoped pruning,
+    # the hashed linear quality classifier, the sketch pair (HLL
+    # cardinality, count-min heavy hitters), and graph analytics over
+    # the dup-pair graph — the flagship curation surface added this
+    # session, benched alongside the families it extends.
+    "dedup_semantic_prune",
+    "text_quality_classifier",
+    "stats_hll_distinct",
+    "text_cms_heavy_hitters",
+    "graph_triangle_census",
+    "graph_degree_histogram",
 ]
 
 
