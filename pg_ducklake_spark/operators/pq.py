@@ -101,9 +101,12 @@ def pq_train(
     return PqIndex(books, m, dsub, books.shape[1], id_col, vec_col)
 
 
-def pq_encode(index: PqIndex, corpus: DataFrame) -> DataFrame:
-    """(id, codes array<int>) — one Arrow-batched pass, vectorized
-    argmin against each subspace codebook."""
+def pq_encode(
+    index: PqIndex, corpus: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, [keep_cols...,] codes array<int>) — one Arrow-batched pass,
+    vectorized argmin against each subspace codebook. ``keep_cols``
+    rides extra columns (e.g. an IVF cell id) through the encoding."""
     from pyspark.sql.functions import pandas_udf
 
     books, m, dsub = index.codebooks, index.m, index.dsub
@@ -124,7 +127,9 @@ def pq_encode(index: PqIndex, corpus: DataFrame) -> DataFrame:
         return pd.Series(list(out))
 
     return corpus.select(
-        F.col(index.id_col), encode(F.col(index.vec_col)).alias("codes")
+        F.col(index.id_col),
+        *[F.col(c) for c in keep_cols],
+        encode(F.col(index.vec_col)).alias("codes"),
     )
 
 

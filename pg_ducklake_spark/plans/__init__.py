@@ -161,8 +161,10 @@ _SWEEP_FIRST = [
     "sim_lsh_bucket_topk",
     "sim_ivf_topk",
     "sim_pq_topk",
+    # Round-6 addition: the composed IVF-PQ index (displacing
+    # mm_binary_metadata, driver-green r2-r4; mm keeps two rows).
+    "sim_ivfpq_topk",
     "sim_embedding_near_dup",
-    "mm_binary_metadata",
     "mm_feature_extraction",
     "pipe_filter_dedup_stats",
     "ts_gap_fill_locf",

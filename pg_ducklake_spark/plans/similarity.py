@@ -495,6 +495,59 @@ def sim_pq_topk(spark, sf_dir):
     )
 
 
+
+@query(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH queries AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id >= 15 AND vec_id < 20
+    ),
+    scored AS (
+      SELECT q_id, vec_id AS neighbor_id,
+             {_duck_cosine('q_emb', 'embedding')} AS score
+      FROM queries, embeddings
+      WHERE vec_id <> q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT q_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    ORDER BY q_id, rnk
+    """,
+)
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN (operators/ivfpq.py) — FAISS's IndexIVFPQ
+    layout: IVF cells prune WHICH vectors are scored, PQ codes prune
+    WHAT is read to score them; probe cells are chosen driver-side (no
+    Spark job), one mapInPandas pass ADC-scores only probed-cell rows,
+    and the float vectors are touched only for the re-rank shortlist.
+
+    Probing ALL cells with a corpus-covering re-rank budget makes the
+    result provably equal to exact cosine top-k INDEPENDENT of both
+    trained quantizers — the same oracle construction as sim_ivf_topk
+    and sim_pq_topk, here pinning the COMPOSED assign→encode→probe→
+    ADC→re-rank pipeline end to end. The pruned path's recall/probe
+    trade is asserted in tests/test_ivfpq.py."""
+    from pg_ducklake_spark.operators.ivfpq import ivfpq_build, ivfpq_search
+
+    emb = t(spark, sf_dir, "embeddings")
+    index = ivfpq_build(spark, emb, n_cells=8, m=8, k=256, seed=42)
+    queries = emb.filter((F.col("vec_id") >= 15) & (F.col("vec_id") < 20))
+    return (
+        ivfpq_search(
+            index, queries, topk=10, nprobe=8, rerank=1_000_000, corpus=emb
+        )
+        .withColumn("rnk", F.col("rnk").cast("long"))
+        .select("q_id", "neighbor_id", "score", "rnk")
+        .coalesce(1).sortWithinPartitions("q_id", "rnk")
+    )
+
+
 # --------------------------------------------------- codebook mixture
 
 # Fixed seeded codebook (8 cells x 64 dims, components k/64 — exact
