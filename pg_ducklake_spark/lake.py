@@ -382,6 +382,63 @@ class Lake:
             raise TableAlreadyExistsError(f"table {new_name!r} already exists")
         os.rename(self._table_dir(name), self._table_dir(new_name))
         self._logs.pop(name, None)
+
+    def clone_table(self, name: str, new_name: str) -> None:
+        """Zero-copy clone (branch): every immutable artifact — data
+        parquet, delete files, snapshot log, checkpoints — is
+        HARD-LINKED into the new table directory, so no row data is
+        copied and the clone carries the source's full history (time
+        travel and the change feed work on it immediately).
+
+        Unlike a reference-sharing shallow clone, hard links make the
+        two tables fully independent afterwards: dropping or
+        vacuuming either one unlinks only its own directory entries —
+        the shared inodes survive until both sides release them — so
+        there is no cross-table GC protocol to get wrong (the classic
+        shallow-clone footgun). Writes after the clone diverge
+        naturally: each side appends its own snapshots.
+
+        The log-directory listing is captured BEFORE the data files
+        are linked, so a concurrent writer can only leave orphan data
+        files in the clone (harmless; its cleanup GCs them), never a
+        log entry whose files are missing."""
+        self._check_ddl()
+        if not self._log(name).exists():
+            raise TableNotFoundError(f"table {name!r} does not exist")
+        if self._log(new_name).exists():
+            raise TableAlreadyExistsError(f"table {new_name!r} already exists")
+        src = self._table_dir(name)
+        dst = self._table_dir(new_name)
+        log_dir_name = os.path.basename(self._log(name).log_dir)
+        src_log = os.path.join(src, log_dir_name)
+        log_files = sorted(os.listdir(src_log))  # capture FIRST
+
+        def _link(s: str, d: str) -> None:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)  # cross-device fallback
+
+        os.makedirs(dst, exist_ok=True)
+        try:
+            for root, _dirs, files in os.walk(src):
+                rel = os.path.relpath(root, src)
+                if rel == log_dir_name or rel.startswith(
+                    log_dir_name + os.sep
+                ):
+                    continue
+                troot = dst if rel == "." else os.path.join(dst, rel)
+                os.makedirs(troot, exist_ok=True)
+                for f in files:
+                    _link(os.path.join(root, f), os.path.join(troot, f))
+            dst_log = os.path.join(dst, log_dir_name)
+            os.makedirs(dst_log, exist_ok=True)
+            for f in log_files:
+                _link(os.path.join(src_log, f), os.path.join(dst_log, f))
+        except Exception:
+            shutil.rmtree(dst, ignore_errors=True)
+            raise
+        self._logs.pop(new_name, None)
         self._logs.pop(new_name, None)
 
     # -- schema evolution (A4; old snapshots keep old schemas,

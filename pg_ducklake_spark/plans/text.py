@@ -539,3 +539,82 @@ def text_type_token_ratio(spark, sf_dir):
         .coalesce(1)
         .sortWithinPartitions("source")
     )
+
+
+@query(
+    "text_tfidf_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token <> '' GROUP BY source, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n FROM documents),
+    scored AS (
+      SELECT tf.source, tf.token, tf.tf, df.df,
+             tf.tf * ((n.n * 1000) // df.df) AS score
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+      WHERE df.df < n.n
+    ),
+    ranked AS (
+      SELECT source, token, tf, df, CAST(score AS BIGINT) AS score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score DESC, token ASC) AS rnk
+      FROM scored
+    )
+    SELECT source, token, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY source, rnk
+    """,
+)
+def text_tfidf_terms(spark, sf_dir):
+    """Top-5 characteristic terms per source by a TF-IDF surrogate —
+    the keyword profile a corpus browser shows next to each source.
+
+    The idf factor is the INTEGER surrogate (N * 1000) DIV df instead
+    of ln(N/df): monotone in the same direction, but exact integer
+    arithmetic on both engines (ln()'s last-ulp behavior is
+    libm-specific — the same reason the HLL sketch leaves its
+    corrections to the consumer). Terms present in every source
+    (df = N) are dropped as corpus-wide stopwords.
+
+    Scale shape: one (source, token) aggregate over the exploded
+    tokens (map-side combined), a token-keyed aggregate for df over
+    the ALREADY-AGGREGATED tf table (vocabulary-sized, not
+    corpus-sized), a broadcast join back, and a per-source top-5
+    window over the tf table — nothing after the first aggregate
+    touches corpus-scale data."""
+    docs = rebalance(t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct("source").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") < F.col("n"))
+        .select(
+            "source",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") * F.expr("(n * 1000) DIV df")).cast("long").alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "token", "tf", "df", "score", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("source", "rnk")
+    )

@@ -92,6 +92,10 @@ _COPY_QUERY = re.compile(
     r"\s*(?:\(\s*(?P<opts>[^)]*)\))?$",
     re.I | re.S,
 )
+_CLONE = re.compile(
+    r"^CREATE\s+TABLE\s+(?P<name>\w+)\s+CLONE\s+(?P<src>\w+)\s*;?\s*$",
+    re.I | re.S,
+)
 _CREATE_VIEW = re.compile(
     r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+)\s+AS\s+"
     r"(?P<query>.+)$",
@@ -212,6 +216,10 @@ def execute(lake: "Lake", sql: str) -> Any:
             # Parity: the reference rejects TEMP tables on its AM
             # (test/regression/expected/temp_table.out).
             raise LakeError("temporary tables are not supported with the lake format")
+        m = _CLONE.match(stmt)
+        if m:
+            lake.clone_table(m.group("src"), m.group("name"))
+            return None
         m = _CTAS.match(stmt)
         if m:
             if m.group("replace"):
