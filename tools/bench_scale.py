@@ -262,11 +262,24 @@ def run_tier(spark, tier: str, names: list[str]) -> dict:
     )
     enc.unpersist()
 
+    from pg_ducklake_spark.operators.ivfpq import ivfpq_build, ivfpq_search
+
+    cidx = ivfpq_build(spark, emb, n_cells=32, m=8, k=256, seed=42)
+    cidx.encoded.count()
+    spark_times["sim_ivfpq_pruned(nprobe=4/32,rerank=4)"] = _time_spark(
+        lambda: ivfpq_search(
+            cidx, queries_df, topk=10, nprobe=4, rerank=4, corpus=emb
+        )
+    )
+    cidx.encoded.unpersist()
+
     from pg_ducklake_spark.plans import ORACLES as _O
 
     for pruned, oracle_of in (
         ("sim_ivf_pruned(nprobe=4/32)", "sim_ivf_topk"),
         ("sim_pq_pruned(rerank=4)", "sim_pq_topk"),
+        # composed index vs the same exact brute-force oracle timing
+        ("sim_ivfpq_pruned(nprobe=4/32,rerank=4)", "sim_ivf_topk"),
     ):
         duck_times[pruned] = _time_duck(con, _O[oracle_of])
     con.close()
