@@ -63,3 +63,23 @@ def test_clone_sql_route_and_errors(spark, lake):
         lake.clone_table("t1", "t2")
     with pytest.raises(TableNotFoundError):
         lake.clone_table("missing", "t3")
+
+
+def test_clone_with_inline_rows_and_vacuum_independence(spark, lake):
+    lake.create_table(
+        "src3", "a int, b string", options={"data_inlining_row_limit": 100}
+    )
+    lake.insert(
+        "src3", spark.createDataFrame([(1, "p"), (2, "q")], "a int, b string")
+    )
+    lake.append_batch("src3", {"a": [3, 4], "b": ["r", "s"]})  # inline rows
+    lake.clone_table("src3", "dst3")
+    assert _rows(lake, "dst3") == _rows(lake, "src3")
+    # flushing/vacuuming the clone must not disturb the source
+    lake.flush_inlined_data("dst3")
+    lake.vacuum("dst3")
+    assert _rows(lake, "dst3") == _rows(lake, "src3")
+    assert lake.table("src3").count() == 4
+    # and the source's own flush still works on its intact inline state
+    lake.flush_inlined_data("src3")
+    assert lake.table("src3").count() == 4
