@@ -73,3 +73,66 @@ def pipe_importance_sample(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "pipe_mixture_weights",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w
+      FROM per_source
+    ),
+    tot AS (SELECT ((CAST(SUM(CAST(((CAST(FLOOR((w) * 10000000000 + 0.5) AS BIGINT)) - ((((CAST(FLOOR((w) * 10000000000 + 0.5) AS BIGINT)) % 1000000000) + 1000000000) % 1000000000)) / 1000000000 AS BIGINT)) AS DOUBLE) * 1000000000 + CAST(SUM((((CAST(FLOOR((w) * 10000000000 + 0.5) AS BIGINT)) % 1000000000) + 1000000000) % 1000000000) AS DOUBLE)) / 10000000000) AS total FROM weighted)
+    SELECT w.source, w.n_tokens,
+           ROUND(w.w / t.total, 6) AS share,
+           CAST(FLOOR(w.w / t.total * 1000000000) AS BIGINT)
+             AS planned_tokens
+    FROM weighted w CROSS JOIN tot t
+    ORDER BY w.source
+    """,
+)
+def pipe_mixture_weights(spark, sf_dir):
+    """Temperature-scaled training-mixture plan (alpha = 0.5): each
+    source's sampling weight is sqrt(its token count), normalized —
+    the standard up-weighting of small sources (multilingual LM
+    mixing; e.g. XLM-R's temperature sampling) — plus the planned
+    token allocation under a 1B-token budget.
+
+    Exactness: sqrt is IEEE-correctly-rounded (identical on both
+    engines), and the normalizing total uses the exact fixed-point
+    sum (functions/exact.py), so it is summation-order-independent —
+    shares and the floor'd allocations match bit-for-bit. Scale
+    shape: one map-side-combined per-source aggregate over the
+    corpus; everything after operates on |sources| rows (the
+    broadcast single-row total, same layout as graph_triangle_census's
+    summary join)."""
+    from pg_ducklake_spark.functions import dsum
+
+    docs = rebalance(t(spark, sf_dir, "documents"))
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long"))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    weighted = per_source.select(
+        "source", "n_tokens", F.sqrt(F.col("n_tokens").cast("double")).alias("w")
+    )
+    tot = weighted.agg(dsum("w").alias("total"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("w") / F.col("total"), 6).alias("share"),
+            F.floor(F.col("w") / F.col("total") * F.lit(1000000000))
+            .cast("long")
+            .alias("planned_tokens"),
+        )
+        .orderBy("source")
+    )

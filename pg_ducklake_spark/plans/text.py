@@ -542,79 +542,89 @@ def text_type_token_ratio(spark, sf_dir):
 
 
 @query(
-    "text_tfidf_terms",
+    "text_distinctive_terms",
     oracle="""
     WITH toks AS (
       SELECT source, unnest(string_split(lower(text), ' ')) AS token
       FROM documents
     ),
+    clean AS (SELECT source, token FROM toks WHERE token <> ''),
     tf AS (
       SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
-      FROM toks WHERE token <> '' GROUP BY source, token
+      FROM clean GROUP BY source, token
     ),
-    df AS (
-      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    src_tot AS (
+      SELECT source, CAST(SUM(tf) AS BIGINT) AS src_tokens FROM tf GROUP BY source
     ),
-    n AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n FROM documents),
+    term_tot AS (
+      SELECT token, CAST(SUM(tf) AS BIGINT) AS tf_all FROM tf GROUP BY token
+    ),
+    all_tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS tot_tokens FROM tf),
     scored AS (
-      SELECT tf.source, tf.token, tf.tf, df.df,
-             tf.tf * ((n.n * 1000) // df.df) AS score
-      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
-      WHERE df.df < n.n
+      SELECT tf.source, tf.token, tf.tf, tt.tf_all,
+             ROUND(CAST(tf.tf * a.tot_tokens AS DOUBLE)
+                   / CAST(tt.tf_all * st.src_tokens AS DOUBLE), 6) AS lift
+      FROM tf
+      JOIN term_tot tt ON tf.token = tt.token
+      JOIN src_tot st ON tf.source = st.source
+      CROSS JOIN all_tot a
     ),
     ranked AS (
-      SELECT source, token, tf, df, CAST(score AS BIGINT) AS score,
+      SELECT source, token, tf, tf_all, lift,
              ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY score DESC, token ASC) AS rnk
+                                ORDER BY lift DESC, token ASC) AS rnk
       FROM scored
     )
-    SELECT source, token, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+    SELECT source, token, tf, tf_all, lift, CAST(rnk AS BIGINT) AS rnk
     FROM ranked WHERE rnk <= 5
     ORDER BY source, rnk
     """,
 )
-def text_tfidf_terms(spark, sf_dir):
-    """Top-5 characteristic terms per source by a TF-IDF surrogate —
-    the keyword profile a corpus browser shows next to each source.
-
-    The idf factor is the INTEGER surrogate (N * 1000) DIV df instead
-    of ln(N/df): monotone in the same direction, but exact integer
-    arithmetic on both engines (ln()'s last-ulp behavior is
-    libm-specific — the same reason the HLL sketch leaves its
-    corrections to the consumer). Terms present in every source
-    (df = N) are dropped as corpus-wide stopwords.
+def text_distinctive_terms(spark, sf_dir):
+    """Top-5 distinctive terms per source by corpus lift — the keyness
+    profile a corpus browser shows next to each source: lift =
+    (term rate within the source) / (term rate in the whole corpus),
+    > 1 means over-represented. (A df-based idf is degenerate on this
+    corpus — the synthetic vocabulary appears in every source — and
+    ln() is libm-specific anyway; the lift ratio divides two exact
+    BIGINT cross-products, so it is bit-identical across engines.)
 
     Scale shape: one (source, token) aggregate over the exploded
-    tokens (map-side combined), a token-keyed aggregate for df over
-    the ALREADY-AGGREGATED tf table (vocabulary-sized, not
-    corpus-sized), a broadcast join back, and a per-source top-5
-    window over the tf table — nothing after the first aggregate
-    touches corpus-scale data."""
+    tokens (map-side combined); the three totals all derive from the
+    ALREADY-AGGREGATED tf table (vocabulary-sized), join back
+    broadcast, and the per-source top-5 window runs over tf — nothing
+    after the first aggregate touches corpus-scale data."""
     docs = rebalance(t(spark, sf_dir, "documents"))
     toks = docs.select(
         "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
     tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.countDistinct("source").alias("n"))
+    src_tot = tf.groupBy("source").agg(F.sum("tf").cast("long").alias("src_tokens"))
+    term_tot = tf.groupBy("token").agg(F.sum("tf").cast("long").alias("tf_all"))
+    all_tot = tf.agg(F.sum("tf").cast("long").alias("tot_tokens"))
     scored = (
-        tf.join(F.broadcast(df_), "token")
-        .crossJoin(F.broadcast(n))
-        .filter(F.col("df") < F.col("n"))
+        tf.join(F.broadcast(term_tot), "token")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(all_tot))
         .select(
             "source",
             "token",
             "tf",
-            "df",
-            (F.col("tf") * F.expr("(n * 1000) DIV df")).cast("long").alias(
-                "score"
-            ),
+            "tf_all",
+            F.round(
+                (F.col("tf") * F.col("tot_tokens")).cast("double")
+                / (F.col("tf_all") * F.col("src_tokens")).cast("double"),
+                6,
+            ).alias("lift"),
         )
     )
-    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("token"))
+    w = Window.partitionBy("source").orderBy(F.desc("lift"), F.asc("token"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
-        .select("source", "token", "tf", "df", "score", F.col("rnk").cast("long").alias("rnk"))
+        .select(
+            "source", "token", "tf", "tf_all", "lift",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
         .orderBy("source", "rnk")
     )
