@@ -143,3 +143,36 @@ def test_partial_commit_artifacts_are_ignored(tmp_path):
     assert state.snapshot_id == 2 and "data/x" in state.files
     v3 = fresh.commit({"operation": "INSERT", "add": [], "metrics": {}})
     assert v3 == 3
+
+
+# ------------------------------------------------- sketch hash machinery
+
+
+@given(st.integers(min_value=0, max_value=(1 << 23) - 1))
+def test_hll_rho_ladder_matches_bit_length(w):
+    """The generated integer CASE ladder must equal 24 - bit_length(w)
+    for every 23-bit suffix (rho = leading zeros + 1)."""
+    import duckdb
+
+    from pg_ducklake_spark.plans.sketches import _rho
+
+    got = duckdb.connect().execute(f"SELECT {_rho(str(w))}").fetchone()[0]
+    assert got == 24 - w.bit_length()
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               min_size=0, max_size=30))
+def test_h32_sql_matches_python_md5(s):
+    """sql_h32's positional base-16 expansion must equal the first 8
+    md5 hex chars as an integer — the contract every md5-derived
+    operator (minhash, CMS, HLL, sampling) builds on."""
+    import hashlib
+
+    import duckdb
+
+    from pg_ducklake_spark.functions.hashing import sql_h32
+
+    expected = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    lit = "'" + s.replace("'", "''") + "'"
+    got = duckdb.connect().execute(f"SELECT {sql_h32(lit)}").fetchone()[0]
+    assert got == expected
