@@ -63,6 +63,8 @@ QUERIES_SF1 = [
     "sim_embedding_near_dup",
     "sim_codebook_mix",
     "dedup_semantic_prune",
+    "text_quality_classifier",
+    "graph_degree_histogram",
 ]
 # The sf1 perf-weak set (VERDICT r4: all sub-2 s absolute, fixed-cost
 # shaped). sf10 is their "largest measured scale"; the data-bound
