@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pg_ducklake_spark.functions import davg, sql_davg
+from pg_ducklake_spark.functions.hashing import sql_h32
 from pg_ducklake_spark.plans import query, rebalance, t
 from pg_ducklake_spark.plans.text import _DUCK_QUALITY, _SPARK_QUALITY
 
@@ -664,4 +665,125 @@ def pipe_training_order(spark, sf_dir):
     return (
         docs.select(key.alias("shuffle_key"), "doc_id", "source")
         .orderBy("shuffle_key", "doc_id")
+    )
+
+
+@query(
+    "pipe_length_buckets",
+    oracle="""
+    WITH lens AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT n_toks,
+             CAST(POW(2, CEIL(LOG2(GREATEST(n_toks, 1)))) AS BIGINT) AS bucket
+      FROM lens
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           ROUND(1.0 - CAST(SUM(n_toks) AS DOUBLE)
+                 / CAST(COUNT(*) * bucket AS DOUBLE), 6) AS waste_rate
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def pipe_length_buckets(spark, sf_dir):
+    """Length-bucketed batching plan: documents binned to power-of-2
+    token-length buckets with the padding-waste rate per bucket — the
+    report that decides between padded batching and sequence packing
+    (pipe_pack_sequences is the zero-waste alternative).
+
+    Exactness: the bucket is 2^ceil(log2(n)) — computed via the
+    float log2/pow on BOTH engines, safe here because n_toks is a
+    small integer and log2 of an exact power of two is exact in IEEE
+    (the only values where ceil could tip); all emitted counts are
+    exact BIGINTs and waste_rate divides two of them. Scale shape:
+    one map-side expression + one small-key aggregate; nothing
+    shuffles but the per-bucket partials."""
+    docs = rebalance(t(spark, sf_dir, "documents"))
+    lens = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("n_toks")
+    )
+    bucketed = lens.withColumn(
+        "bucket",
+        F.expr(
+            "CAST(POW(2, CEILING(LOG2(GREATEST(n_toks, 1)))) AS BIGINT)"
+        ),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs") * F.col("bucket")).cast("long").alias(
+                "padded_tokens"
+            ),
+            F.round(
+                F.lit(1.0)
+                - F.col("total_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket")).cast("double"),
+                6,
+            ).alias("waste_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "pipe_train_eval_split",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT source,
+             {sql_h32("CAST(doc_id AS VARCHAR)")} % 100 AS slot
+      FROM documents
+    ),
+    labeled AS (
+      SELECT source,
+             CASE WHEN slot < 90 THEN 'train'
+                  WHEN slot < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM hashed
+    )
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM labeled
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def pipe_train_eval_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by hashed doc id,
+    reported per source — the split audit a pipeline freezes BEFORE
+    training so membership never depends on row order, partitioning,
+    or rerun (the md5-derived slot is a pure function of doc_id; the
+    same document lands in the same split on any cluster, any day).
+
+    Scale shape: pure map-side hash + one small-key aggregate."""
+    docs = rebalance(t(spark, sf_dir, "documents"))
+    slot = (
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        )
+        % 100
+    )
+    labeled = docs.select(
+        "source",
+        F.when(slot < 90, F.lit("train"))
+        .when(slot < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return (
+        labeled.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
     )
