@@ -382,6 +382,7 @@ class Lake:
             raise TableAlreadyExistsError(f"table {new_name!r} already exists")
         os.rename(self._table_dir(name), self._table_dir(new_name))
         self._logs.pop(name, None)
+        self._logs.pop(new_name, None)
 
     def clone_table(self, name: str, new_name: str) -> None:
         """Zero-copy clone (branch): every immutable artifact — data
@@ -438,7 +439,6 @@ class Lake:
         except Exception:
             shutil.rmtree(dst, ignore_errors=True)
             raise
-        self._logs.pop(new_name, None)
         self._logs.pop(new_name, None)
 
     # -- schema evolution (A4; old snapshots keep old schemas,

@@ -61,7 +61,8 @@ def jaccard_pairs(
 
     Candidate pairs come from ONE shuffle keyed on shingle: group the
     posting list per shingle and enumerate in-group pairs directly
-    (``collect_list`` + a nested-sequence explode). Versus the
+    (``collect_list`` + streamed posexplode/slice generators, so no
+    single row ever holds the quadratic pair array). Versus the
     classic self-equi-join this removes two exchanges (the join's
     second side and the separate document-frequency pre-count — a
     posting list of length 1 simply emits no pairs, so singleton
@@ -78,19 +79,19 @@ def jaccard_pairs(
     )
     if max_df is not None:
         groups = groups.filter(F.size("dl") <= max_df)
+    # Two chained generators: posexplode picks the left element, then a
+    # slice-explode emits its suffix partners. Spark's Generate operator
+    # STREAMS generator output, so per-row memory is O(len(dl)) — the
+    # n^2 pair volume is spread over n streamed rows, never materialized
+    # as one n^2-element array inside a single row (a stopword shingle
+    # would OOM a task under the flatten(transform(...)) formulation).
     inter = (
         groups.filter(F.size("dl") >= 2)
+        .select(F.col("dl"), F.posexplode("dl").alias("i", "id_a"))
         .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, size(dl) - 1), "
-                    "i -> transform(sequence(i + 1, size(dl)), "
-                    "j -> struct(element_at(dl, i) AS id_a, "
-                    "element_at(dl, j) AS id_b))))"
-                )
-            ).alias("p")
+            "id_a",
+            F.explode(F.expr("slice(dl, i + 2, size(dl))")).alias("id_b"),
         )
-        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

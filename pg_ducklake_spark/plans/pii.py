@@ -119,12 +119,15 @@ def _placeholder_count(col: str, placeholder: str) -> str:
     WITH pii AS (SELECT source, {_DUCK_DERIVED} AS pii_text FROM documents),
     red AS (SELECT source, {_duck_redacted()} AS redacted FROM pii)
     SELECT source,
-           SUM({_placeholder_count('redacted', _EMAIL_SUB)}) AS n_emails_redacted,
-           SUM({_placeholder_count('redacted', _IPV4_SUB)}) AS n_ipv4_redacted,
-           SUM({_placeholder_count('redacted', _PHONE_SUB)}) AS n_phones_redacted,
-           SUM({_duck_count('email', 'redacted')}
+           CAST(SUM({_placeholder_count('redacted', _EMAIL_SUB)})
+                AS BIGINT) AS n_emails_redacted,
+           CAST(SUM({_placeholder_count('redacted', _IPV4_SUB)})
+                AS BIGINT) AS n_ipv4_redacted,
+           CAST(SUM({_placeholder_count('redacted', _PHONE_SUB)})
+                AS BIGINT) AS n_phones_redacted,
+           CAST(SUM({_duck_count('email', 'redacted')}
                + {_duck_count('ipv4', 'redacted')}
-               + {_duck_count('phone', 'redacted')}) AS residual_matches
+               + {_duck_count('phone', 'redacted')}) AS BIGINT) AS residual_matches
     FROM red
     GROUP BY source
     ORDER BY source

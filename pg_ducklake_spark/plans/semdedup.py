@@ -87,7 +87,7 @@ _SEM_GREATEST = "greatest(" + ", ".join(f"s{j}" for j in range(_SEM_K)) + ")"
     oracle=f"""
     WITH normed AS (
       SELECT vec_id,
-             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm,
+             greatest(sqrt({_duck_dot('embedding', 'embedding')}), 1e-300) AS nrm,
              embedding
       FROM embeddings
     ),
@@ -149,8 +149,17 @@ def dedup_semantic_prune(spark, sf_dir):
     engines — and the pair dot folds in element order, so the τ
     comparison is exact (no epsilon)."""
     emb = rebalance(t(spark, sf_dir, "embeddings"))
+    # greatest(..., 1e-300): a zero vector divides by the tiny constant
+    # instead of 0, giving unit = zeros / sims = 0 on BOTH engines
+    # (DuckDB returns NULL for 0/0, Spark NaN — this guard removes the
+    # divergence; the constant is far below any real norm so nonzero
+    # vectors are bit-unchanged).
     normed = emb.withColumn(
-        "nrm", F.sqrt(F.expr(_FOLD_DOT.format(a="embedding", b="embedding")))
+        "nrm",
+        F.greatest(
+            F.sqrt(F.expr(_FOLD_DOT.format(a="embedding", b="embedding"))),
+            F.lit(1e-300),
+        ),
     )
     best = F.expr(_spark_sem_cell())
     assigned = normed.select(

@@ -336,7 +336,8 @@ def streaming_minhash_dedup(
         ids, sigs = state.get if state.exists else ([], [])
         ids, sigs = list(ids), list(sigs)
         out = {"doc_id": [], "dup_of": [], "est_jaccard": [], "band_id": []}
-        batch = pd.concat(list(pdfs)) if pdfs else None
+        chunks = list(pdfs)  # materialize: an iterator is always truthy
+        batch = pd.concat(chunks) if chunks else None
         if batch is not None and len(batch):
             for _, row in batch.sort_values("doc_id").iterrows():
                 sig_new = list(row["_sig"])
@@ -450,7 +451,8 @@ def streaming_token_topk(
         summary = {
             t: [c, e] for t, c, e in zip(toks_s, counts_s, errs_s)
         }
-        batch = pd.concat(list(pdfs)) if pdfs else pd.DataFrame({"token": []})
+        chunks = list(pdfs)  # materialize: an iterator is always truthy
+        batch = pd.concat(chunks) if chunks else pd.DataFrame({"token": []})
         # per-batch combine, then deterministic application order
         deltas = batch["token"].value_counts().sort_index()
         for tok, delta in deltas.items():
