@@ -517,7 +517,7 @@ class FrozenLake:
                 ).alias("_fp"),
                 F.col("row_index").alias("_ri"),
             )
-            df = df.join(F.broadcast(dv), ["_fp", "_ri"], "left_anti").drop(
+            df = df.join(F.broadcast(dv), ["_fp", "_ri"], "left_anti").drop(  # bcast-ok: per-file delete vector, bounded by max file rows
                 "_fp", "_ri"
             )
         if info["inline"]:

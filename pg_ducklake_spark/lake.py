@@ -1018,7 +1018,7 @@ class Lake:
                     F.col("row_index").alias("_dl_ri"),
                 )
             )
-            df = df.join(F.broadcast(dv), ["_dl_fp", "_dl_ri"], "left_anti")
+            df = df.join(F.broadcast(dv), ["_dl_fp", "_dl_ri"], "left_anti")  # bcast-ok: per-file delete vector, bounded by max file rows
         if not keep_meta:
             df = df.drop("_dl_fp", "_dl_ri")
         return df

@@ -158,7 +158,7 @@ def asof_join_range(
     # full row (wide keys + arbitrary payload columns kill the exchange
     # at scale); a monotonic id gives the same grouping with an 8-byte key.
     tagged = left.withColumn("_asof_rid", F.monotonically_increasing_id())
-    joined = tagged.join(F.broadcast(r), cond, "left")
+    joined = tagged.join(F.broadcast(r), cond, "left")  # bcast-ok: documented small-right contract (docstring)
     w = Window.partitionBy("_asof_rid").orderBy(
         F.col(f"{right_prefix}{on}").desc_nulls_last()
     )

@@ -129,7 +129,7 @@ def ivf_search(
             "q_vec"
         ),
     ).withColumn("_qnrm", F.sqrt(dot(F.col("q_vec"), F.col("q_vec"))))
-    qs = q.crossJoin(F.broadcast(index.centroids)).withColumn(
+    qs = q.crossJoin(F.broadcast(index.centroids)).withColumn(  # bcast-ok: k centroids
         "_sim", cosine("q_vec", "centroid")
     )
     wq = Window.partitionBy("q_id").orderBy(F.desc("_sim"), F.asc("cell"))
@@ -142,7 +142,7 @@ def ivf_search(
     # Catalyst has no size estimate — broadcast it so the assigned
     # corpus streams through unshuffled (at scale, a shuffle of the
     # whole corpus on cell id is the cost IVF exists to avoid).
-    cand = index.assigned.join(F.broadcast(probes), "cell").filter(
+    cand = index.assigned.join(F.broadcast(probes), "cell").filter(  # bcast-ok: q*nprobe-bounded probe set
         F.col(index.id_col) != F.col("q_id")
     )
     w = Window.partitionBy("q_id").orderBy(

@@ -195,11 +195,11 @@ def ivfpq_search(
         # scan (same hydrate layout and budget guard as pq_search).
         if n_keep * max(len(q_ids), 1) <= 1_000_000:
             shortlist = cv.join(
-                F.broadcast(shortlist.join(F.broadcast(qv), "q_id")),
+                F.broadcast(shortlist.join(F.broadcast(qv), "q_id")),  # bcast-ok: q*k-bounded shortlist x capped query batch
                 "neighbor_id",
             )
         else:
-            shortlist = shortlist.join(F.broadcast(qv), "q_id").join(
+            shortlist = shortlist.join(F.broadcast(qv), "q_id").join(  # bcast-ok: capped query batch
                 cv, "neighbor_id"
             )
         shortlist = shortlist.withColumn(

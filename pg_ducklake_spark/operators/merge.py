@@ -76,7 +76,7 @@ def merge(
     # Affected target files + matched-row counts, one DV-filtered scan.
     tmeta = lake._read_files(target, state, schema, keep_meta=True)
     hits = (
-        tmeta.join(F.broadcast(keys) if _small(src) else keys, on)
+        tmeta.join(F.broadcast(keys) if _small(src) else keys, on)  # bcast-ok: guarded by _small() row-count check
         .groupBy("_dl_fp")
         .count()
         .collect()
@@ -92,7 +92,7 @@ def merge(
     if state.inline_rows:
         inline_df = lake._inline_df(state, schema)
         inline_hit = (
-            keys.join(F.broadcast(inline_df.select(*on)), on, "left_semi")
+            keys.join(F.broadcast(inline_df.select(*on)), on, "left_semi")  # bcast-ok: inline buffer capped by flush threshold
             .limit(1)
             .count()
         )

@@ -83,7 +83,7 @@ def group_order_statistic(
     ).select(*key_cols, "_bin", (F.col("_k") - (F.col("_cum") - F.col("_cnt"))).alias("_j"))
     # Refine: only rows in each group's target bin are sorted, and the
     # target set (one row per group) broadcasts.
-    in_bin = binned.join(F.broadcast(target), [*key_cols, "_bin"])
+    in_bin = binned.join(F.broadcast(target), [*key_cols, "_bin"])  # bcast-ok: one bin per group, group-domain bounded
     wrank = Window.partitionBy(*key_cols).orderBy("_v")
     return (
         in_bin.withColumn("_rn", F.row_number().over(wrank))

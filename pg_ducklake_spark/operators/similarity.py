@@ -85,7 +85,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    scored = corpus.crossJoin(F.broadcast(q)).filter(
+    scored = corpus.crossJoin(F.broadcast(q)).filter(  # bcast-ok: capped query batch
         F.col(id_col) != F.col("q_id")
     )
     w = Window.partitionBy("q_id").orderBy(

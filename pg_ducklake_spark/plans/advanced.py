@@ -53,13 +53,15 @@ def q8_market_share(spark, sf_dir):
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # part/supplier/customer are SF-proportional: no forced broadcast —
+        # size-based auto-broadcast at small SF, shuffle/AQE at 100 TB.
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
-        .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)
-        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))  # bcast-ok: nation is constant (25 rows)
+        .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)  # bcast-ok: region is constant (5 rows)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))  # bcast-ok: nation is constant (25 rows)
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             vol.alias("volume"),
@@ -90,7 +92,8 @@ def q16_supplier_counts(spark, sf_dir):
     )
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is SF-proportional: no forced broadcast.
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
@@ -113,7 +116,8 @@ def q16_supplier_counts(spark, sf_dir):
 def q19_disjunctive_filter(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # part is SF-proportional: no forced broadcast.
+    j = li.join(part, li.l_partkey == part.p_partkey)
     c = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
          & F.col("l_quantity").between(1, 11))
@@ -155,9 +159,11 @@ def q21_sole_supplier_orders(spark, sf_dir):
         .select(F.col("l_orderkey").alias("sole_orderkey"))
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # supplier is SF-proportional and sole is order-proportional:
+        # no forced broadcast on either.
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sole), li.l_orderkey == F.col("sole_orderkey"), "left_semi")
+        .join(sole, li.l_orderkey == F.col("sole_orderkey"), "left_semi")
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -188,7 +194,7 @@ def q22_low_activity_customers(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders")
     )
     return (
-        cust.join(F.broadcast(avg_bal))
+        cust.join(F.broadcast(avg_bal))  # bcast-ok: 1-row aggregate
         .filter(F.col("c_acctbal") > F.col("threshold"))
         .join(counts, cust.c_custkey == F.col("ck"), "left")
         .filter(F.coalesce(F.col("n_orders"), F.lit(0)) < 8)

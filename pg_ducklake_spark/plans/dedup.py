@@ -73,7 +73,10 @@ def dedup_exact_groups(spark, sf_dir):
     )
     return (
         docs.join(
-            F.broadcast(groups), docs.doc_id == groups.keeper_doc_id
+            # duplicate-group count is data-dependent, not bounded: no
+            # forced broadcast — AQE sizes the post-shuffle side at
+            # runtime and broadcasts exactly when it is actually small.
+            groups, docs.doc_id == groups.keeper_doc_id
         )
         .select(
             F.md5("text").alias("digest"),
@@ -236,12 +239,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        # sizes is per-document (grows with the corpus) — broadcasting it
+        # would OOM executors at 100 TB; shuffle-join on the already-
+        # shuffled pair keys instead. Result tail is a distributed
+        # range-partitioned sort, not a single-task funnel.
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
-        .coalesce(1).sortWithinPartitions("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -367,7 +374,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
-        .coalesce(1).sortWithinPartitions("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -530,7 +537,7 @@ def dedup_simhash_pairs(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
         .distinct()
-        .coalesce(1).sortWithinPartitions("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -607,5 +614,5 @@ def dedup_components(spark, sf_dir):
             F.col("node").cast("long").alias("doc_id"),
             F.col("comp").cast("long").alias("component"),
         )
-        .coalesce(1).sortWithinPartitions("doc_id")
+        .orderBy("doc_id")
     )

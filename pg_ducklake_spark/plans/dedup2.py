@@ -96,6 +96,5 @@ def dedup_substring_windows(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
         .select("doc_a", "doc_b", "n_shared")
-        .coalesce(1)
-        .sortWithinPartitions("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
     )

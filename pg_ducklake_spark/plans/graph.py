@@ -124,8 +124,8 @@ def graph_triangle_census(spark, sf_dir):
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
-        summary.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(tri_n))
+        summary.crossJoin(F.broadcast(n_edges))  # bcast-ok: 1-row total
+        .crossJoin(F.broadcast(tri_n))  # bcast-ok: 1-row total
         .select(
             F.col("n_nodes").cast("long").alias("n_nodes"),
             F.col("n_edges").cast("long").alias("n_edges"),

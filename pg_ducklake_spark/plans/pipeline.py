@@ -161,9 +161,9 @@ def pipe_crossmodal_dup_check(spark, sf_dir):
     # broadcast exchanges also break the fingerprint-pair stage away
     # from the 64-term hydrate cosine (the fused-codegen
     # interpreted-fallback trap the old repartition() fenced).
-    pa = ea.join(F.broadcast(pairs), "doc_a")
+    pa = ea.join(F.broadcast(pairs), "doc_a")  # bcast-ok: pairs bounded by 128-bit fingerprint collisions, <<corpus
     return (
-        eb.join(F.broadcast(pa), "doc_b")
+        eb.join(F.broadcast(pa), "doc_b")  # bcast-ok: pair-bounded hydrate, <<corpus
         .select("doc_a", "doc_b", (dot / (na * nb)).alias("emb_cosine"))
         .orderBy("doc_a", "doc_b")
     )
@@ -345,7 +345,7 @@ def pipe_pack_sequences(spark, sf_dir):
     )
     return packed.select(
         "doc_id", "bin_id", "bin_offset", "seg_tokens", "doc_token_start"
-    ).coalesce(1).sortWithinPartitions("doc_id", "bin_id")
+    ).orderBy("doc_id", "bin_id")
 
 
 @query(
@@ -383,7 +383,7 @@ def pipe_chunk_documents(spark, sf_dir):
             "doc_id", "chunk_no", "start", "chunk_len",
             F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
         )
-        .coalesce(1).sortWithinPartitions("doc_id", "chunk_no")
+        .orderBy("doc_id", "chunk_no")
     )
 
 

@@ -124,7 +124,7 @@ def rel_scalar_subquery(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     avg_bal = cust.agg((dsum("c_acctbal") / F.count("c_acctbal")).alias("avg_bal"))
     return (
-        cust.join(F.broadcast(avg_bal))
+        cust.join(F.broadcast(avg_bal))  # bcast-ok: 1-row aggregate
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .select("c_custkey", "c_acctbal")
         .orderBy("c_custkey")
@@ -288,8 +288,8 @@ def rel_rollup(spark, sf_dir):
     nat = t(spark, sf_dir, "nation")
     reg = t(spark, sf_dir, "region")
     return (
-        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)  # bcast-ok: nation is constant (25 rows)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)  # bcast-ok: region is constant (5 rows)
         .rollup("r_name", "n_name")
         .agg(
             F.count("c_custkey").alias("n_customers"),
@@ -470,7 +470,7 @@ def rel_cross_join_small(spark, sf_dir):
         F.col("r_regionkey").alias("k2"), F.col("r_name").alias("to_region")
     )
     return (
-        r1.crossJoin(F.broadcast(r2))
+        r1.crossJoin(F.broadcast(r2))  # bcast-ok: region is constant (5 rows)
         .filter(F.col("k1") < F.col("k2"))
         .select("from_region", "to_region")
         .orderBy("from_region", "to_region")
@@ -505,8 +505,9 @@ def rel_hybrid_scan_join(spark, sf_dir):
     nat_rows = t(spark, sf_dir, "nation").collect()
     nat = spark.createDataFrame(nat_rows, t(spark, sf_dir, "nation").schema)
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        # customer is SF-proportional: no forced broadcast.
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)  # bcast-ok: nation is constant (25 rows)
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
         .filter(F.col("n_orders") > 10)

@@ -107,7 +107,7 @@ def rel2_having_subquery(spark, sf_dir):
     )
     threshold = cust.agg((dsum("c_acctbal") / 20).alias("thr"))
     return (
-        per_nation.join(F.broadcast(threshold))
+        per_nation.join(F.broadcast(threshold))  # bcast-ok: 1-row aggregate
         .filter(F.col("nation_balance") > F.col("thr"))
         .select("c_nationkey", "nation_balance")
         .orderBy("c_nationkey")
@@ -142,7 +142,8 @@ def rel2_cte_chain(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     return (
         cust_totals.filter(F.col("n_big") >= 2)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        # customer is SF-proportional: no forced broadcast.
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

@@ -125,7 +125,7 @@ def pipe_mixture_weights(spark, sf_dir):
     )
     tot = weighted.agg(dsum("w").alias("total"))
     return (
-        weighted.crossJoin(F.broadcast(tot))
+        weighted.crossJoin(F.broadcast(tot))  # bcast-ok: 1-row total
         .select(
             "source",
             "n_tokens",

@@ -187,7 +187,7 @@ def dedup_semantic_prune(spark, sf_dir):
     # The drop-count side is ≤ k rows by construction — broadcast it so
     # the report merge never shuffles the totals.
     return (
-        totals.join(F.broadcast(dropped), on="cell", how="left")
+        totals.join(F.broadcast(dropped), on="cell", how="left")  # bcast-ok: per-cell counts, k-bounded (k=32)
         .select(
             "cell",
             "n_vecs",

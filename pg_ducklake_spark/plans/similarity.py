@@ -138,7 +138,7 @@ def sim_bruteforce_topk(spark, sf_dir):
         F.col("nrm").alias("q_nrm"),
     )
     scored = (
-        emb.crossJoin(F.broadcast(queries))
+        emb.crossJoin(F.broadcast(queries))  # bcast-ok: query batch capped (operators/pq.py contract)
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -233,7 +233,7 @@ def sim_lsh_bucket_topk(spark, sf_dir):
         "bucket",
     )
     scored = (
-        bucketed.join(F.broadcast(queries), "bucket")
+        bucketed.join(F.broadcast(queries), "bucket")  # bcast-ok: query batch capped
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",

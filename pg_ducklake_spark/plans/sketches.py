@@ -142,7 +142,7 @@ def stats_hll_distinct(spark, sf_dir):
         1 << (_HLL_WBITS + 1)
     )
     return (
-        exact.join(F.broadcast(summed), on="event_type")
+        exact.join(F.broadcast(summed), on="event_type")  # bcast-ok: per-event-type registers, constant domain
         .select(
             "event_type",
             "n_exact",
@@ -273,7 +273,7 @@ def text_cms_heavy_hitters(spark, sf_dir):
         ).alias("cell"),
     ).select("token", "exact_count", "cell.row_id", "cell.bucket")
     return (
-        F.broadcast(probe)
+        F.broadcast(probe)  # bcast-ok: k-bounded probe token list
         .join(cells, on=["row_id", "bucket"])
         .groupBy("token", "exact_count")
         .agg(F.min("c").alias("cms_estimate"))

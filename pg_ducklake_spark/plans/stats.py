@@ -165,13 +165,13 @@ def stats_mad_outliers(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     med = group_median_exact(ev, ["event_type"], "value", out_col="med")
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(  # bcast-ok: per-event-type medians, constant domain
         "ad", F.abs(F.col("value") - F.col("med"))
     )
     mad = group_median_exact(
         dev, ["event_type"], "ad", out_col="mad"
     )
-    flagged = dev.join(F.broadcast(mad), "event_type")
+    flagged = dev.join(F.broadcast(mad), "event_type")  # bcast-ok: per-event-type MADs, constant domain
     is_out = F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
     return (
         flagged.groupBy("event_type", "med", "mad")

@@ -410,7 +410,7 @@ def text_unigram_surprisal(spark, sf_dir):
     total = toks.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
     scored = (
         toks.withColumn("n_tok", F.count(F.lit(1)).over(w))
-        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(total))  # bcast-ok: 1-row total
         .withColumn(
             "s_micro",
             F.expr(
@@ -603,9 +603,12 @@ def text_distinctive_terms(spark, sf_dir):
     term_tot = tf.groupBy("token").agg(F.sum("tf").cast("long").alias("tf_all"))
     all_tot = tf.agg(F.sum("tf").cast("long").alias("tot_tokens"))
     scored = (
-        tf.join(F.broadcast(term_tot), "token")
-        .join(F.broadcast(src_tot), "source")
-        .crossJoin(F.broadcast(all_tot))
+        # term_tot is vocabulary-sized (unbounded at 100 TB): no forced
+        # broadcast — tf is already shuffled on token, so this join
+        # co-locates for free; AQE broadcasts when actually small.
+        tf.join(term_tot, "token")
+        .join(F.broadcast(src_tot), "source")  # bcast-ok: per-source totals, constant domain
+        .crossJoin(F.broadcast(all_tot))  # bcast-ok: 1-row total
         .select(
             "source",
             "token",

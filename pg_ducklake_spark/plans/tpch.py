@@ -85,7 +85,9 @@ def q3_shipping_priority(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is SF-proportional: no forced broadcast — size-based
+        # auto-broadcast at small SF, shuffle/AQE at 100 TB.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
         .agg(dsum(_REV).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -155,13 +157,15 @@ def q5_local_supplier_volume(spark, sf_dir):
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer/supplier are SF-proportional: no forced broadcast —
+        # size-based auto-broadcast at small SF, shuffle/AQE at 100 TB.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)  # bcast-ok: nation is constant (25 rows)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)  # bcast-ok: region is constant (5 rows)
         .groupBy("n_name")
         .agg(dsum(_REV).alias("revenue"))
         .coalesce(1).sortWithinPartitions(F.desc("revenue"), F.asc("n_name"))
@@ -232,11 +236,13 @@ def q7_nation_volume(spark, sf_dir):
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # supplier/customer are SF-proportional: no forced broadcast —
+        # size-based auto-broadcast at small SF, shuffle/AQE at 100 TB.
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))  # bcast-ok: nation is constant (25 rows)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))  # bcast-ok: nation is constant (25 rows)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -281,8 +287,9 @@ def q10_returned_items(spark, sf_dir):
     nat = t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        # customer is SF-proportional: no forced broadcast.
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)  # bcast-ok: nation is constant (25 rows)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(_REV).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
@@ -336,7 +343,8 @@ def q14_promo_effect(spark, sf_dir):
     )
     part = t(spark, sf_dir, "part")
 
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    # part is SF-proportional: no forced broadcast.
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
         (F.lit(100.0)
          * dsum(f"CASE WHEN p_type = 'ECONOMY' THEN {_REV} ELSE 0.0 END")
          / dsum(_REV)).alias("promo_revenue")
@@ -370,7 +378,7 @@ def q15_top_supplier(spark, sf_dir):
     supp = t(spark, sf_dir, "supplier")
     return (
         supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
-        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))  # bcast-ok: 1-row aggregate
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -398,7 +406,9 @@ def q17_small_quantity_revenue(spark, sf_dir):
         (F.lit(0.2) * (F.sum("l_quantity") / F.count("l_quantity"))).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is SF-proportional (the brand filter thins, not bounds it):
+        # no forced broadcast.
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part_avg, li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
@@ -443,10 +453,16 @@ def q18_large_volume_customer(spark, sf_dir):
     # fresh stats picks; the hint encodes the HAVING selectivity the
     # optimizer cannot see statically.
     ordsmall = orders.join(
-        F.broadcast(big), orders.o_orderkey == big.big_orderkey, "left_semi"
-    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        F.broadcast(big), orders.o_orderkey == big.big_orderkey, "left_semi"  # bcast-ok: HAVING-bounded survivor set (~2 per 100k orders)
+    )
+    # customer grows with SF — never the broadcast side. ordsmall is the
+    # HAVING-bounded survivor set, so broadcast IT into the customer
+    # probe: customer is read map-side, no shuffle, bounded broadcast.
+    ordcust = cust.join(
+        F.broadcast(ordsmall), ordsmall.o_custkey == cust.c_custkey  # bcast-ok: HAVING-bounded survivor set
+    )
     return (
-        li.join(F.broadcast(ordsmall), ordsmall.o_orderkey == li.l_orderkey)
+        li.join(F.broadcast(ordcust), ordcust.o_orderkey == li.l_orderkey)  # bcast-ok: HAVING-bounded survivor set
         .groupBy(
             "c_custkey",
             "c_name",

@@ -61,9 +61,10 @@ def q2_min_cost_supplier(spark, sf_dir):
     nat = t(spark, sf_dir, "nation")
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eu = (
-        partsupp.join(F.broadcast(supp), F.col("ps_suppkey") == supp.s_suppkey)
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        # supplier is SF-proportional: no forced broadcast.
+        partsupp.join(supp, F.col("ps_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)  # bcast-ok: nation is constant (25 rows)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)  # bcast-ok: region is constant (5 rows)
         .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
     )
     # Correlated MIN subquery decorrelated to a window — one shuffle on
@@ -75,7 +76,8 @@ def q2_min_cost_supplier(spark, sf_dir):
     )
     part = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     return (
-        best.join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        # part is SF-proportional: no forced broadcast.
+        best.join(part, F.col("ps_partkey") == part.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -112,10 +114,11 @@ def q9_product_profit(spark, sf_dir):
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # part/supplier are SF-proportional: no forced broadcast.
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)  # bcast-ok: nation is constant (25 rows)
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -148,14 +151,15 @@ def q11_important_stock(spark, sf_dir):
     supp = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     supplied = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        # supplier is SF-proportional: no forced broadcast.
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)  # bcast-ok: nation is constant (25 rows)
         .select(F.col("l_partkey").alias("ps_partkey"), F.col("l_extendedprice").alias("val"))
     )
     per_part = supplied.groupBy("ps_partkey").agg(dsum("val").alias("value"))
     threshold = supplied.agg((dsum("val") * F.lit(0.001)).alias("threshold"))
     return (
-        per_part.join(F.broadcast(threshold))
+        per_part.join(F.broadcast(threshold))  # bcast-ok: 1-row aggregate
         .filter(F.col("value") > F.col("threshold"))
         .select("ps_partkey", "value")
         .orderBy(F.desc("value"), "ps_partkey")
@@ -221,7 +225,8 @@ def q20_excess_suppliers(spark, sf_dir):
     )
     part = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     heavy = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is SF-proportional: no forced broadcast.
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         # Integer-valued l_quantity: plain double SUM is exact below 2^53.
         .agg(F.sum("l_quantity").alias("q"))
@@ -232,8 +237,9 @@ def q20_excess_suppliers(spark, sf_dir):
     supp = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
     return (
-        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)  # bcast-ok: nation is constant (25 rows)
+        # heavy is supplier-proportional: no forced broadcast.
+        .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
