@@ -46,9 +46,13 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
             table_name VARCHAR, snapshot_id BIGINT, snapshot_time VARCHAR,
             schema_version BIGINT, operation VARCHAR, author VARCHAR,
             commit_message VARCHAR, commit_extra_info VARCHAR);
+        CREATE TABLE ducklake_schema(
+            schema_id BIGINT, schema_name VARCHAR, path VARCHAR,
+            path_is_relative BOOLEAN);
         CREATE TABLE ducklake_table(
             table_id BIGINT, table_name VARCHAR, path VARCHAR,
-            path_is_relative BOOLEAN, current_snapshot BIGINT);
+            path_is_relative BOOLEAN, current_snapshot BIGINT,
+            schema_id BIGINT);
         CREATE TABLE ducklake_column(
             table_id BIGINT, column_order BIGINT, column_name VARCHAR,
             column_type VARCHAR, nulls_allowed BOOLEAN,
@@ -89,11 +93,22 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
         "INSERT INTO ducklake_metadata VALUES ('data_root', ?), ('format', ?)",
         [lake.path, "pg_ducklake_spark/frozen-v1"],
     )
+    # schema namespaces (ducklake_schema is one of the 28 frozen tables,
+    # src/pgducklake_freeze.cpp:35); 'main' is schema_id 0 at the root.
+    schema_ids = {}
+    for sid, sname in enumerate(lake.list_schemas()):
+        schema_ids[sname] = sid
+        con.execute(
+            "INSERT INTO ducklake_schema VALUES (?, ?, ?, true)",
+            [sid, sname, "" if sname == "main" else sname],
+        )
     for tid, name in enumerate(lake.list_tables(), start=1):
         state = lake._state(name)
+        schema_name, bare = lake._split_name(name)
+        relpath = lake._table_relpath(name)
         con.execute(
-            "INSERT INTO ducklake_table VALUES (?, ?, ?, true, ?)",
-            [tid, name, name, state.snapshot_id],
+            "INSERT INTO ducklake_table VALUES (?, ?, ?, true, ?, ?)",
+            [tid, bare, relpath, state.snapshot_id, schema_ids[schema_name]],
         )
         from pg_ducklake_spark.lake import Lake as _Lake
 
@@ -120,14 +135,14 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
         for fe in state.files.values():
             con.execute(
                 "INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?)",
-                [tid, os.path.join(name, fe.path), fe.rows, fe.bytes,
+                [tid, os.path.join(relpath, fe.path), fe.rows, fe.bytes,
                  fe.begin_snapshot, json.dumps(fe.partition_values),
                  json.dumps(fe.stats)],
             )
         for f, d in state.dvs.items():
             con.execute(
                 "INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?)",
-                [tid, f, os.path.join(name, d["path"]), d["deleted"]],
+                [tid, f, os.path.join(relpath, d["path"]), d["deleted"]],
             )
         # Deleted positions are also embedded verbatim: a frozen file is
         # then self-contained metadata + plain data files, attachable
@@ -141,7 +156,7 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
                 "INSERT INTO ducklake_dv_rows"
                 " SELECT ?, file, row_index FROM read_parquet(?)"
                 " WHERE file IN (SELECT unnest(CAST(? AS VARCHAR[])))",
-                [tid, os.path.join(lake.path, name, p, "*.parquet"),
+                [tid, os.path.join(lake.path, relpath, p, "*.parquet"),
                  files_for_p],
             )
         if state.dvs:
@@ -258,9 +273,20 @@ class FrozenLake:
         meta = dict(con.execute("SELECT key, value FROM ducklake_metadata").fetchall())
         self.data_root = data_root or meta.get("data_root", os.path.dirname(frozen_path))
         self._tables: dict[str, dict] = {}
-        for tid, name in con.execute(
-            "SELECT table_id, table_name FROM ducklake_table"
-        ).fetchall():
+        try:
+            rows = con.execute(
+                "SELECT t.table_id,"
+                " CASE WHEN s.schema_name = 'main' THEN t.table_name"
+                " ELSE s.schema_name || '.' || t.table_name END"
+                " FROM ducklake_table t"
+                " JOIN ducklake_schema s USING (schema_id)"
+            ).fetchall()
+        except (duckdb.BinderException, duckdb.CatalogException):
+            # pre-namespace frozen files: flat table list
+            rows = con.execute(
+                "SELECT table_id, table_name FROM ducklake_table"
+            ).fetchall()
+        for tid, name in rows:
             try:
                 cols = con.execute(
                     "SELECT column_name, column_type, nulls_allowed,"

@@ -263,12 +263,104 @@ class Lake:
                 "require the admin role (reference access_control.sql)"
             )
 
+    # -- schema namespaces (the reference is multi-schema throughout:
+    #    ducklake_schema is a first-class metadata table,
+    #    src/pgducklake_freeze.cpp:35; set_partition takes
+    #    ('schema','t',...), src/pgducklake_partition.cpp:31-95).
+    #    A schema is a subdirectory of the lake root holding table
+    #    directories; the default schema "main" IS the root, so
+    #    unqualified names and "main.t" address the same table.
+
+    _SCHEMA_MARKER = "_dl_schema.json"
+
+    @staticmethod
+    def _split_name(name: str) -> tuple[str, str]:
+        parts = name.split(".")
+        if len(parts) == 1:
+            schema, tbl = "main", parts[0]
+        elif len(parts) == 2:
+            schema, tbl = parts
+        else:
+            raise LakeError(f"invalid table name {name!r} (use [schema.]table)")
+        for part in (schema, tbl):
+            if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", part):
+                raise LakeError(f"invalid identifier {part!r} in {name!r}")
+        return schema, tbl
+
+    def _canon(self, name: str) -> str:
+        schema, tbl = self._split_name(name)
+        return tbl if schema == "main" else f"{schema}.{tbl}"
+
+    def _table_relpath(self, name: str) -> str:
+        schema, tbl = self._split_name(name)
+        return tbl if schema == "main" else os.path.join(schema, tbl)
+
     def _table_dir(self, name: str) -> str:
-        if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", name):
-            raise LakeError(f"invalid table name {name!r}")
-        return os.path.join(self.path, name)
+        return os.path.join(self.path, self._table_relpath(name))
+
+    def _schema_dir(self, schema: str) -> str:
+        if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", schema):
+            raise LakeError(f"invalid schema name {schema!r}")
+        return os.path.join(self.path, schema)
+
+    def schema_exists(self, schema: str) -> bool:
+        if schema == "main":
+            return True
+        return os.path.isfile(
+            os.path.join(self._schema_dir(schema), self._SCHEMA_MARKER)
+        )
+
+    def create_schema(self, schema: str, if_not_exists: bool = False) -> None:
+        """CREATE SCHEMA (reference: multi-schema metadata_sync.sql;
+        ducklake_schema in src/pgducklake_freeze.cpp:35)."""
+        self._check_ddl()
+        if self.schema_exists(schema):
+            if if_not_exists:
+                return
+            raise LakeError(f"schema {schema!r} already exists")
+        d = self._schema_dir(schema)
+        if os.path.isdir(d) and SnapshotLog(d).exists():
+            raise LakeError(f"a table named {schema!r} already exists")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, self._SCHEMA_MARKER), "w") as fh:
+            json.dump({"schema_name": schema}, fh)
+
+    def drop_schema(
+        self, schema: str, cascade: bool = False, if_exists: bool = False
+    ) -> None:
+        self._check_ddl()
+        if schema == "main":
+            raise LakeError("cannot drop the default schema 'main'")
+        if not self.schema_exists(schema):
+            if if_exists:
+                return
+            raise LakeError(f"schema {schema!r} does not exist")
+        tables = self.list_tables(schema=schema)
+        if tables and not cascade:
+            raise LakeError(
+                f"schema {schema!r} is not empty ({len(tables)} tables); "
+                "use cascade=True / DROP SCHEMA ... CASCADE"
+            )
+        for tbl in tables:
+            self.drop_table(f"{schema}.{tbl}")
+        shutil.rmtree(self._schema_dir(schema))
+
+    def list_schemas(self) -> list[str]:
+        out = ["main"]
+        for entry in sorted(os.listdir(self.path)):
+            # skip loose files (e.g. a frozen .ducklake dropped in the
+            # lake dir) and anything that isn't a valid identifier
+            if (
+                not entry.startswith("_")
+                and re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", entry)
+                and os.path.isdir(os.path.join(self.path, entry))
+                and self.schema_exists(entry)
+            ):
+                out.append(entry)
+        return out
 
     def _log(self, name: str) -> SnapshotLog:
+        name = self._canon(name)
         if name not in self._logs:
             self._logs[name] = SnapshotLog(self._table_dir(name))
         log = self._logs[name]
@@ -284,13 +376,24 @@ class Lake:
             raise TableNotFoundError(f"table {name!r} does not exist")
         return log.replay(version)
 
-    def list_tables(self) -> list[str]:
-        out = []
-        for entry in sorted(os.listdir(self.path)):
-            if not entry.startswith("_") and SnapshotLog(
-                os.path.join(self.path, entry)
-            ).exists():
-                out.append(entry)
+    def list_tables(self, schema: str | None = None) -> list[str]:
+        """Tables in one schema (unqualified names), or — with no
+        argument — every table in the lake: main-schema tables
+        unqualified plus ``schema.table`` for the rest."""
+        if schema is not None:
+            if not self.schema_exists(schema):
+                raise LakeError(f"schema {schema!r} does not exist")
+            root = self.path if schema == "main" else self._schema_dir(schema)
+            return [
+                entry
+                for entry in sorted(os.listdir(root))
+                if not entry.startswith("_")
+                and SnapshotLog(os.path.join(root, entry)).exists()
+            ]
+        out = self.list_tables(schema="main")
+        for s in self.list_schemas():
+            if s != "main":
+                out.extend(f"{s}.{t}" for t in self.list_tables(schema=s))
         return out
 
     # --------------------------------------------------------- DDL (A1-A4)
@@ -305,6 +408,9 @@ class Lake:
         if_not_exists: bool = False,
     ) -> None:
         self._check_ddl()
+        schema_name = self._split_name(name)[0]
+        if not self.schema_exists(schema_name):
+            raise LakeError(f"schema {schema_name!r} does not exist")
         log = self._log(name)
         if log.exists():
             if if_not_exists:
@@ -372,17 +478,21 @@ class Lake:
         if not self._log(name).exists():
             raise TableNotFoundError(f"table {name!r} does not exist")
         shutil.rmtree(self._table_dir(name))
-        self._logs.pop(name, None)
+        self._logs.pop(self._canon(name), None)
 
     def rename_table(self, name: str, new_name: str) -> None:
         self._check_ddl()
         if not self._log(name).exists():
             raise TableNotFoundError(f"table {name!r} does not exist")
+        if not self.schema_exists(self._split_name(new_name)[0]):
+            raise LakeError(
+                f"schema {self._split_name(new_name)[0]!r} does not exist"
+            )
         if self._log(new_name).exists():
             raise TableAlreadyExistsError(f"table {new_name!r} already exists")
         os.rename(self._table_dir(name), self._table_dir(new_name))
-        self._logs.pop(name, None)
-        self._logs.pop(new_name, None)
+        self._logs.pop(self._canon(name), None)
+        self._logs.pop(self._canon(new_name), None)
 
     def clone_table(self, name: str, new_name: str) -> None:
         """Zero-copy clone (branch): every immutable artifact — data
@@ -406,6 +516,10 @@ class Lake:
         self._check_ddl()
         if not self._log(name).exists():
             raise TableNotFoundError(f"table {name!r} does not exist")
+        if not self.schema_exists(self._split_name(new_name)[0]):
+            raise LakeError(
+                f"schema {self._split_name(new_name)[0]!r} does not exist"
+            )
         if self._log(new_name).exists():
             raise TableAlreadyExistsError(f"table {new_name!r} already exists")
         src = self._table_dir(name)
@@ -439,7 +553,7 @@ class Lake:
         except Exception:
             shutil.rmtree(dst, ignore_errors=True)
             raise
-        self._logs.pop(new_name, None)
+        self._logs.pop(self._canon(new_name), None)
 
     # -- schema evolution (A4; old snapshots keep old schemas,
     #    time_travel.sql:13-18)
@@ -1090,15 +1204,34 @@ class Lake:
         from pg_ducklake_spark.functions.compat import DUCKDB_COMPAT_MACROS
         from pg_ducklake_spark.views import expand_macros
 
+        qualified: list[tuple[str, str, str]] = []
         for tbl in self.list_tables():
-            self.table(tbl).createOrReplaceTempView(tbl)
+            if "." in tbl:
+                # Spark temp views cannot be schema-qualified: register a
+                # mangled view and textually rebind ``schema.table``
+                # references before planning — the same bind-time rewrite
+                # the reference's regclass hook performs on qualified
+                # ducklake relations (SURVEY.md §2.A A6-A11 glue).
+                schema_name, t2 = tbl.split(".")
+                alias = f"_dlq_{schema_name}__{t2}"
+                self.table(tbl).createOrReplaceTempView(alias)
+                qualified.append((schema_name, t2, alias))
+            else:
+                self.table(tbl).createOrReplaceTempView(tbl)
+
+        def _rewrite_qualified(q: str) -> str:
+            # Applied AFTER table-function binding so quoted names like
+            # time_travel('s.t', v) are resolved by their own path first.
+            for schema_name, t2, alias in qualified:
+                q = re.sub(rf"\b{schema_name}\s*\.\s*{t2}\b", alias, q)
+            return q
         # A16 SQL surface: ``FROM time_travel('t', version|'timestamp')``
         # (reference: src/pgducklake_time_travel.cpp:36-74,
         # test/regression/sql/time_travel.sql:8-34). Spark has no
         # pluggable table-valued functions, so each call site is bound
         # to a temp view of the historical DataFrame before planning —
         # the same bind-time substitution the reference performs.
-        query = self._bind_time_travel_calls(query)
+        query = _rewrite_qualified(self._bind_time_travel_calls(query))
         cat = self._catalog_state()
         macros = dict(DUCKDB_COMPAT_MACROS)
         if cat is not None:
@@ -1106,8 +1239,10 @@ class Lake:
             for vname, vdef in cat.views.items():
                 # View bodies may themselves call time_travel(...)
                 # (views over table functions, time_travel.sql:21-23).
-                body = self._bind_time_travel_calls(
-                    expand_macros(vdef["sql"], macros)
+                body = _rewrite_qualified(
+                    self._bind_time_travel_calls(
+                        expand_macros(vdef["sql"], macros)
+                    )
                 )
                 self.spark.sql(body).select(*vdef["columns"]).createOrReplaceTempView(
                     vname
@@ -1117,7 +1252,7 @@ class Lake:
     _TABLE_FUNC_CALL = re.compile(
         r"\b(?P<fn>time_travel|table_changes|table_insertions|"
         r"table_deletions|snapshots|list_files)"
-        r"\s*\(\s*'(?P<name>\w+)'\s*"
+        r"\s*\(\s*'(?P<name>\w+(?:\.\w+)?)'\s*"
         r"(?P<rest>(?:,\s*(?:\d+|'[^']*'))*)\s*\)",
         re.I,
     )
@@ -1150,7 +1285,7 @@ class Lake:
             else:
                 df = self.list_files(name)
             alias = (
-                f"_dl_{fn}_{name}_"
+                f"_dl_{fn}_{name.replace('.', '__')}_"
                 f"{abs(hash((fn, name, tuple(args)))) % 10**8}"
             )
             df.createOrReplaceTempView(alias)
@@ -1532,8 +1667,9 @@ class Lake:
         """A19 SQL introspection: register ``<t>_snapshots`` and
         ``<t>_files`` temp views so metadata is queryable with plain SQL
         (≙ FROM ducklake.snapshots('t') / list_files)."""
-        self.snapshots(name).createOrReplaceTempView(f"{name}_snapshots")
-        self.list_files(name).createOrReplaceTempView(f"{name}_files")
+        vbase = name.replace(".", "__")  # temp views cannot be qualified
+        self.snapshots(name).createOrReplaceTempView(f"{vbase}_snapshots")
+        self.list_files(name).createOrReplaceTempView(f"{vbase}_files")
 
     def current_snapshot(self, name: str) -> int:
         return self._state(name).snapshot_id

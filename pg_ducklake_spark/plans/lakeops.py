@@ -423,3 +423,57 @@ def lake_incremental_stats(spark, sf_dir):
         .coalesce(1)
         .sortWithinPartitions("source")
     )
+
+
+@query(
+    "lake_schema_namespace",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_positive
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def lake_schema_namespace(spark, sf_dir):
+    """Schema namespaces end-to-end (reference: multi-schema metadata,
+    ducklake_schema in src/pgducklake_freeze.cpp:35; qualified names in
+    test/regression/sql/metadata_sync.sql): CREATE SCHEMA, qualified
+    CREATE TABLE + INSERT through the SQL prompt, then a cross-schema
+    join through lake.sql — the oracle computes the same report from
+    the raw tables. Scale shape: schema routing is pure metadata; the
+    query itself is one dim broadcast + one small groupBy."""
+    from pg_ducklake_spark.sqlexec import execute
+
+    lake = _tmp_lake(spark)
+    execute(lake, "CREATE SCHEMA raw")
+    execute(lake, "CREATE SCHEMA ref")
+    lake.create_table(
+        "raw.customer",
+        "c_custkey bigint, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    lake.insert(
+        "raw.customer",
+        t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+        ),
+    )
+    lake.create_table("ref.nation", "n_nationkey int, n_name string")
+    lake.insert(
+        "ref.nation", t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return lake.sql(
+        """
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_positive
+        FROM raw.customer JOIN ref.nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )

@@ -68,21 +68,21 @@ def split_top_level(s: str, sep: str = ",") -> list[str]:
 
 _CREATE_TABLE = re.compile(
     r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
-    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+(?:\.\w+)?)\s*"
     r"\((?P<cols>.*)\)\s*(?:USING\s+\w+\s*)?$",
     re.I | re.S,
 )
 _CTAS = re.compile(
-    r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+(?P<name>\w+)\s+"
+    r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+(?P<name>\w+(?:\.\w+)?)\s+"
     r"(?:USING\s+\w+\s+)?AS\s+(?P<query>.+)$",
     re.I | re.S,
 )
 _TRUNCATE = re.compile(
-    r"^TRUNCATE\s+(?:TABLE\s+)?(?P<name>\w+)$", re.I
+    r"^TRUNCATE\s+(?:TABLE\s+)?(?P<name>\w+(?:\.\w+)?)$", re.I
 )
 # COPY <table> TO '<path>' [(FORMAT x)] / COPY <table> FROM '<path>' [...]
 _COPY = re.compile(
-    r"^COPY\s+(?P<name>\w+)\s+(?P<dir>TO|FROM)\s+'(?P<path>[^']+)'"
+    r"^COPY\s+(?P<name>\w+(?:\.\w+)?)\s+(?P<dir>TO|FROM)\s+'(?P<path>[^']+)'"
     r"\s*(?:\(\s*(?P<opts>[^)]*)\))?$",
     re.I | re.S,
 )
@@ -93,39 +93,39 @@ _COPY_QUERY = re.compile(
     re.I | re.S,
 )
 _CLONE = re.compile(
-    r"^CREATE\s+TABLE\s+(?P<name>\w+)\s+CLONE\s+(?P<src>\w+)\s*;?\s*$",
+    r"^CREATE\s+TABLE\s+(?P<name>\w+(?:\.\w+)?)\s+CLONE\s+(?P<src>\w+(?:\.\w+)?)\s*;?\s*$",
     re.I | re.S,
 )
 _CREATE_VIEW = re.compile(
-    r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+)\s+AS\s+"
+    r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+(?:\.\w+)?)\s+AS\s+"
     r"(?P<query>.+)$",
     re.I | re.S,
 )
 _CREATE_MACRO = re.compile(
-    r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?MACRO\s+(?P<name>\w+)\s*"
+    r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?MACRO\s+(?P<name>\w+(?:\.\w+)?)\s*"
     r"\((?P<params>[^)]*)\)\s+AS\s+(?P<body>.+)$",
     re.I | re.S,
 )
 _DROP = re.compile(
     r"^DROP\s+(?P<kind>TABLE|VIEW|MACRO)\s+(?P<ifex>IF\s+EXISTS\s+)?"
-    r"(?P<name>\w+)$",
+    r"(?P<name>\w+(?:\.\w+)?)$",
     re.I,
 )
-_ALTER = re.compile(r"^ALTER\s+TABLE\s+(?P<name>\w+)\s+(?P<rest>.+)$", re.I | re.S)
+_ALTER = re.compile(r"^ALTER\s+TABLE\s+(?P<name>\w+(?:\.\w+)?)\s+(?P<rest>.+)$", re.I | re.S)
 _INSERT = re.compile(
-    r"^INSERT\s+INTO\s+(?P<name>\w+)\s*(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"^INSERT\s+INTO\s+(?P<name>\w+(?:\.\w+)?)\s*(?:\((?P<cols>[^)]*)\)\s*)?"
     r"(?P<body>(?:VALUES|SELECT|WITH|TABLE)\s+.+)$",
     re.I | re.S,
 )
 _UPDATE = re.compile(
-    r"^UPDATE\s+(?P<name>\w+)\s+SET\s+(?P<sets>.+?)"
+    r"^UPDATE\s+(?P<name>\w+(?:\.\w+)?)\s+SET\s+(?P<sets>.+?)"
     r"(?:\s+WHERE\s+(?P<where>.+))?$",
     re.I | re.S,
 )
 _DELETE = re.compile(
-    r"^DELETE\s+FROM\s+(?P<name>\w+)(?:\s+WHERE\s+(?P<where>.+))?$", re.I | re.S
+    r"^DELETE\s+FROM\s+(?P<name>\w+(?:\.\w+)?)(?:\s+WHERE\s+(?P<where>.+))?$", re.I | re.S
 )
-_VACUUM = re.compile(r"^VACUUM\s+(?:VERBOSE\s+)?(?P<name>\w+)$", re.I)
+_VACUUM = re.compile(r"^VACUUM\s+(?:VERBOSE\s+)?(?P<name>\w+(?:\.\w+)?)$", re.I)
 _CALL = re.compile(
     r"^CALL\s+(?:ducklake\.)?(?P<proc>\w+)\s*\((?P<args>.*)\)$", re.I | re.S
 )
@@ -212,6 +212,15 @@ def execute(lake: "Lake", sql: str) -> Any:
         return None
 
     if head == "CREATE":
+        m = re.match(
+            r"^CREATE\s+SCHEMA\s+(?P<ifne>IF\s+NOT\s+EXISTS\s+)?"
+            r"(?P<name>\w+)$",
+            stmt,
+            re.I,
+        )
+        if m:
+            lake.create_schema(m.group("name"), if_not_exists=bool(m.group("ifne")))
+            return None
         if _TEMP_TABLE.match(stmt):
             # Parity: the reference rejects TEMP tables on its AM
             # (test/regression/expected/temp_table.out).
@@ -253,6 +262,19 @@ def execute(lake: "Lake", sql: str) -> Any:
         raise LakeError(f"unsupported CREATE statement: {stmt[:80]!r}")
 
     if head == "DROP":
+        m = re.match(
+            r"^DROP\s+SCHEMA\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>\w+)"
+            r"(?P<cascade>\s+CASCADE)?$",
+            stmt,
+            re.I,
+        )
+        if m:
+            lake.drop_schema(
+                m.group("name"),
+                cascade=bool(m.group("cascade")),
+                if_exists=bool(m.group("ifex")),
+            )
+            return None
         m = _DROP.match(stmt)
         if not m:
             raise LakeError(f"unsupported DROP statement: {stmt[:80]!r}")
@@ -510,13 +532,13 @@ def execute(lake: "Lake", sql: str) -> Any:
         return lake.insert(name, df)
 
     if head == "CHECKPOINT":
-        m = re.match(r"^CHECKPOINT(?:\s+(?P<name>\w+))?$", stmt, re.I)
+        m = re.match(r"^CHECKPOINT(?:\s+(?P<name>\w+(?:\.\w+)?))?$", stmt, re.I)
         if not m:
             raise LakeError(f"unsupported CHECKPOINT statement: {stmt[:80]!r}")
         return lake.checkpoint(m.group("name"))
 
     if head == "ANALYZE":
-        m = re.match(r"^ANALYZE\s+(?:TABLE\s+)?(?P<name>\w+)$", stmt, re.I)
+        m = re.match(r"^ANALYZE\s+(?:TABLE\s+)?(?P<name>\w+(?:\.\w+)?)$", stmt, re.I)
         if not m:
             raise LakeError(f"unsupported ANALYZE statement: {stmt[:80]!r}")
         return lake.analyze(m.group("name"))
