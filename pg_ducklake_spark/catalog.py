@@ -76,6 +76,11 @@ def utcnow_iso() -> str:
 # src/pgducklake_direct_insert.cpp:848-888; same tiering here).
 
 
+# TIME exists from Spark 4.0 (behind spark.sql.timeType.enabled);
+# guard so the module still imports on older runtimes.
+_TIME_TYPE = getattr(T, "TimeType", None)
+
+
 def to_json_value(v: Any, dtype: T.DataType) -> Any:
     if v is None:
         return None
@@ -83,6 +88,15 @@ def to_json_value(v: Any, dtype: T.DataType) -> Any:
         return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(dtype, T.DateType):
         return v.isoformat()
+    if _TIME_TYPE is not None and isinstance(dtype, _TIME_TYPE):
+        return v.isoformat()
+    if isinstance(dtype, T.DayTimeIntervalType):
+        # total microseconds (the reference inlines INTERVAL as
+        # '%d months %d days %lld microseconds' text,
+        # src/pgducklake_direct_insert.cpp:848-888; a day-time interval
+        # has no month component, so one integer is lossless)
+        return (v.days * 86_400_000_000 + v.seconds * 1_000_000
+                + v.microseconds)
     if isinstance(dtype, T.BinaryType):
         return bytes(v).hex()
     if isinstance(dtype, T.DecimalType):
@@ -107,6 +121,10 @@ def from_json_value(v: Any, dtype: T.DataType) -> Any:
         return dt.datetime.fromisoformat(v)
     if isinstance(dtype, T.DateType):
         return dt.date.fromisoformat(v)
+    if _TIME_TYPE is not None and isinstance(dtype, _TIME_TYPE):
+        return dt.time.fromisoformat(v)
+    if isinstance(dtype, T.DayTimeIntervalType):
+        return dt.timedelta(microseconds=int(v))
     if isinstance(dtype, T.BinaryType):
         return bytes.fromhex(v)
     if isinstance(dtype, T.DecimalType):

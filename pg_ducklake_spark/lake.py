@@ -89,6 +89,26 @@ _TYPE_SPELLINGS = [
     (re.compile(r"\bFLOAT8\b", re.IGNORECASE), "DOUBLE"),
     (re.compile(r"\bFLOAT4\b", re.IGNORECASE), "FLOAT"),
     (re.compile(r"\bUUID\b", re.IGNORECASE), "STRING"),
+    # types.sql:16-31 tiers. TIMESTAMPTZ → Spark TIMESTAMP (an instant,
+    # session-TZ rendered — PG semantics); TIMETZ has no Spark analog
+    # and maps to the text tier (the reference itself stores non-native
+    # types as text, src/pgducklake_direct_insert.cpp:848-888); bare
+    # INTERVAL → day-time interval (parquet-native in Spark; a
+    # calendar-interval column cannot be stored).
+    (re.compile(r"\bTIMESTAMPTZ\b", re.IGNORECASE), "TIMESTAMP"),
+    (
+        re.compile(r"\bTIMESTAMP\s+WITH\s+TIME\s+ZONE\b", re.IGNORECASE),
+        "TIMESTAMP",
+    ),
+    (re.compile(r"\bTIMETZ\b", re.IGNORECASE), "STRING"),
+    (re.compile(r"\bTIME\s+WITH\s+TIME\s+ZONE\b", re.IGNORECASE), "STRING"),
+    (
+        re.compile(
+            r"\bINTERVAL\b(?!\s+(?:DAY|HOUR|MINUTE|SECOND|YEAR|MONTH))",
+            re.IGNORECASE,
+        ),
+        "INTERVAL DAY TO SECOND",
+    ),
 ]
 
 
@@ -100,17 +120,40 @@ _CHAR_PARAM_RE = re.compile(r"\b(?:VARCHAR|CHAR|CHARACTER)\s*\(\s*\d+\s*\)",
                             re.IGNORECASE)
 
 
+def _fix_interval_types(dtype: T.DataType) -> T.DataType:
+    """Bare ``interval`` parses natively to CalendarIntervalType, which
+    no storage format accepts — remap to the parquet-native day-time
+    interval (types.sql INTERVAL tier)."""
+    if isinstance(dtype, T.CalendarIntervalType):
+        return T.DayTimeIntervalType()
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(_fix_interval_types(dtype.elementType),
+                           dtype.containsNull)
+    if isinstance(dtype, T.MapType):
+        return T.MapType(_fix_interval_types(dtype.keyType),
+                         _fix_interval_types(dtype.valueType),
+                         dtype.valueContainsNull)
+    if isinstance(dtype, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _fix_interval_types(f.dataType),
+                          f.nullable, metadata=f.metadata)
+            for f in dtype.fields
+        ])
+    return dtype
+
+
 def _parse_schema(schema: str | T.StructType) -> T.StructType:
     if isinstance(schema, T.StructType):
         return schema
     schema = _CHAR_PARAM_RE.sub("STRING", schema)
     try:
-        return T.StructType.fromDDL(schema)
+        parsed = T.StructType.fromDDL(schema)
     except Exception:
         normalized = schema
         for pat, repl in _TYPE_SPELLINGS:
             normalized = pat.sub(repl, normalized)
-        return T.StructType.fromDDL(normalized)
+        parsed = T.StructType.fromDDL(normalized)
+    return _fix_interval_types(parsed)
 
 
 def _partition_columns(spec: list[str]) -> list[tuple[str, Column]]:
@@ -235,6 +278,12 @@ class Lake:
         # PG's session user; extra info is opt-in per session.
         self.author: str | None = author or _os_user()
         self.commit_extra_info: str | None = None
+        # TIME columns (types.sql native tier) sit behind a 4.x feature
+        # flag; enable it for lakes attached from plain sessions too.
+        try:
+            spark.conf.set("spark.sql.timeType.enabled", "true")
+        except Exception:
+            pass  # older runtime without the conf — TIME DDL will error
         self._logs: dict[str, SnapshotLog] = {}
         self._txn: dict[str, dict] | None = None
         self._sql_txn: "_Transaction | None" = None  # BEGIN..COMMIT prompt state

@@ -346,3 +346,35 @@ def ts_gap_fill_interpolate(spark, sf_dir):
         )
         .coalesce(1).sortWithinPartitions("user_id", "minute")
     )
+
+
+@query(
+    "ts_user_span_interval",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           max(ts) - min(ts) AS span
+    FROM events
+    GROUP BY user_id
+    ORDER BY span DESC, user_id ASC
+    LIMIT 20
+    """,
+)
+def ts_user_span_interval(spark, sf_dir):
+    """INTERVAL results cross-engine (types.sql INTERVAL tier made
+    useful): per-user activity span as a day-time interval — Spark's
+    timestamp subtraction yields DayTimeIntervalType, DuckDB's an
+    INTERVAL, and both surface as exact timedeltas to the comparator.
+
+    Scale shape: one partial-aggregated groupBy on user_id, then a
+    k-bounded top-20 (TakeOrderedAndProject) — no full sort."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts") - F.min("ts")).alias("span"),
+        )
+        .orderBy(F.desc("span"), F.asc("user_id"))
+        .limit(20)
+    )

@@ -43,6 +43,8 @@ def get_spark(app_name: str = "pg_ducklake_spark", cpus: int | None = None) -> S
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # TIME columns (types.sql native tier) need the 4.x feature flag
+        .config("spark.sql.timeType.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

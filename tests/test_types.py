@@ -191,3 +191,97 @@ def test_csv_ingestion_over_http(spark, lake, tmp_path):
         assert {r.a: r.b for r in lake.table("remote").collect()} == {1: "x", 2: "y"}
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# types.sql:16-31 native tier (TIME / TIMETZ / INTERVAL / UUID) and
+# :77-81 text-inline tier (TIMESTAMP / TIMESTAMPTZ), mapped Spark-first:
+# TIME -> TimeType (4.x, spark.sql.timeType.enabled), INTERVAL ->
+# DayTimeIntervalType (parquet-native), TIMESTAMPTZ -> TimestampType
+# (instant semantics), UUID/TIMETZ -> text tier (no Spark analog; the
+# reference itself stores non-native types as text,
+# src/pgducklake_direct_insert.cpp:848-888).
+# ---------------------------------------------------------------------------
+
+TEMPORAL_DDL = (
+    "t time, ttz timetz, iv interval, u uuid, tstz timestamptz"
+)
+
+TEMPORAL_ROW = {
+    "t": dt.time(12, 30, 0),
+    "ttz": "12:30:00+05:30",
+    "iv": dt.timedelta(days=1, minutes=30),
+    "u": "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11",
+    "tstz": dt.datetime(2024, 6, 15, 12, 30, 0),  # UTC session
+}
+
+
+def _assert_temporal(row):
+    for k, v in TEMPORAL_ROW.items():
+        assert getattr(row, k) == v, f"{k}: {getattr(row, k)!r} != {v!r}"
+
+
+def test_temporal_ddl_spellings(lake):
+    lake.create_table("t", TEMPORAL_DDL)
+    got = dict(lake.table("t").dtypes)
+    assert got["t"].startswith("time")
+    assert got["ttz"] == "string"
+    assert got["iv"].startswith("interval day")
+    assert got["u"] == "string"
+    assert got["tstz"] == "timestamp"
+
+
+def test_temporal_matrix_parquet_roundtrip(spark, lake):
+    lake.create_table("t", TEMPORAL_DDL)
+    df = spark.createDataFrame([TEMPORAL_ROW], lake._state("t").schema)
+    lake.insert("t", df)
+    _assert_temporal(lake.table("t").collect()[0])
+
+
+def test_temporal_matrix_inline_roundtrip(lake):
+    lake.create_table(
+        "t", TEMPORAL_DDL, options={"data_inlining_row_limit": 10}
+    )
+    lake.insert_rows("t", [dict(TEMPORAL_ROW)])
+    assert lake.table_info("t")["inlined_rows"] == 1
+    _assert_temporal(lake.table("t").collect()[0])
+    lake.flush_inlined_data("t")
+    assert lake.table_info("t")["inlined_rows"] == 0
+    _assert_temporal(lake.table("t").collect()[0])
+
+
+def test_temporal_matrix_survives_freeze(spark, lake, tmp_path):
+    from pg_ducklake_spark import Lake
+
+    lake.create_table("t", TEMPORAL_DDL)
+    lake.insert(
+        "t", spark.createDataFrame([TEMPORAL_ROW], lake._state("t").schema)
+    )
+    # plus one inline row so the frozen file carries both storage tiers
+    lake.set_option("data_inlining_row_limit", 10, table="t")
+    lake.insert_rows("t", [dict(TEMPORAL_ROW)])
+    out = str(tmp_path / "m.ducklake")
+    lake.freeze(out)
+    rows = Lake.attach_frozen(spark, out).table("t").collect()
+    assert len(rows) == 2
+    for r in rows:
+        _assert_temporal(r)
+
+
+def test_interval_filter_and_arithmetic(lake, spark):
+    """Interval columns participate in predicates and arithmetic —
+    the tier is usable, not just storable."""
+    lake.create_table("t", "id int, iv interval")
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [(1, dt.timedelta(minutes=5)), (2, dt.timedelta(hours=3))],
+            lake._state("t").schema,
+        ),
+    )
+    got = lake.sql(
+        "SELECT id FROM t WHERE iv > INTERVAL '1' HOUR"
+    ).collect()
+    assert [r.id for r in got] == [2]
+    tot = lake.sql("SELECT sum(iv) AS s FROM t").collect()[0].s
+    assert tot == dt.timedelta(hours=3, minutes=5)
