@@ -64,6 +64,13 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
         CREATE TABLE ducklake_data_file(
             table_id BIGINT, path VARCHAR, rows BIGINT, bytes BIGINT,
             begin_snapshot BIGINT, partition_values VARCHAR, stats VARCHAR);
+        CREATE TABLE ducklake_file_column_stats(
+            table_id BIGINT, data_file_path VARCHAR, column_name VARCHAR,
+            null_count BIGINT, min_value VARCHAR, max_value VARCHAR);
+        CREATE TABLE ducklake_file_partition_value(
+            table_id BIGINT, data_file_path VARCHAR,
+            partition_key_index BIGINT, partition_key VARCHAR,
+            partition_value VARCHAR);
         CREATE TABLE ducklake_delete_file(
             table_id BIGINT, data_file_path VARCHAR, delete_file_path VARCHAR,
             deleted BIGINT);
@@ -133,12 +140,31 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
                 [tid, sid, old, new],
             )
         for fe in state.files.values():
+            fpath = os.path.join(relpath, fe.path)
             con.execute(
                 "INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?)",
-                [tid, os.path.join(relpath, fe.path), fe.rows, fe.bytes,
+                [tid, fpath, fe.rows, fe.bytes,
                  fe.begin_snapshot, json.dumps(fe.partition_values),
                  json.dumps(fe.stats)],
             )
+            # Per-file pruning stats, normalized like the reference
+            # freezes ducklake_file_column_stats and
+            # ducklake_file_partition_value (src/pgducklake_freeze.cpp:42,48)
+            # so an external frozen reader can file-prune. min/max are
+            # JSON-encoded to keep numeric comparisons typed.
+            for cname, cs in fe.stats.items():
+                con.execute(
+                    "INSERT INTO ducklake_file_column_stats"
+                    " VALUES (?, ?, ?, ?, ?, ?)",
+                    [tid, fpath, cname, cs.get("nulls"),
+                     json.dumps(cs.get("min")), json.dumps(cs.get("max"))],
+                )
+            for i, (pk, pv) in enumerate(sorted(fe.partition_values.items())):
+                con.execute(
+                    "INSERT INTO ducklake_file_partition_value"
+                    " VALUES (?, ?, ?, ?, ?)",
+                    [tid, fpath, i, pk, pv],
+                )
         for f, d in state.dvs.items():
             con.execute(
                 "INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?)",
@@ -338,7 +364,30 @@ class FrozenLake:
                 ).fetchall()
             except duckdb.CatalogException:  # pre-mapping frozen files
                 renames = []
-            self._tables[name] = {"cols": cols, "files": files,
+            try:
+                fstats: dict = {}
+                for fp, cname, nulls, mnj, mxj in con.execute(
+                    "SELECT data_file_path, column_name, null_count,"
+                    " min_value, max_value FROM ducklake_file_column_stats"
+                    " WHERE table_id = ?",
+                    [tid],
+                ).fetchall():
+                    fstats.setdefault(fp, {})[cname] = {
+                        "min": json.loads(mnj), "max": json.loads(mxj),
+                        "nulls": nulls,
+                    }
+                fpvals: dict = {}
+                for fp, _i, pk, pv in con.execute(
+                    "SELECT data_file_path, partition_key_index,"
+                    " partition_key, partition_value"
+                    " FROM ducklake_file_partition_value WHERE table_id = ?",
+                    [tid],
+                ).fetchall():
+                    fpvals.setdefault(fp, {})[pk] = pv
+            except duckdb.CatalogException:  # pre-stats frozen files
+                fstats, fpvals = {}, {}
+            self._tables[name] = {"file_stats": fstats, "file_pvals": fpvals,
+                                  "cols": cols, "files": files,
                                   "inline": [json.loads(r[0]) for r in inline],
                                   "dvs": dvs, "dv_rows": dv_rows,
                                   "renames": renames,
@@ -405,12 +454,61 @@ class FrozenLake:
             ]
         )
 
-    def table(self, name: str) -> DataFrame:
+    def prune_files(self, name: str, where: str) -> list[str]:
+        """File paths that may match ``where``, pruned with the frozen
+        ducklake_file_column_stats / ducklake_file_partition_value
+        tables (the reference freezes the same stats so external
+        readers can skip files, src/pgducklake_freeze.cpp:42,48)."""
+        from pg_ducklake_spark.catalog import FileEntry
+        from pg_ducklake_spark.operators.pruning import prune_files as _prune
+
+        if name not in self._tables:
+            raise TableNotFoundError(f"table {name!r} not in frozen lake")
+        info = self._tables[name]
+        renames = info.get("renames") or []
+
+        class _Shim:
+            files = {
+                p: FileEntry(
+                    path=p,
+                    rows=0,
+                    bytes=0,
+                    stats=info.get("file_stats", {}).get(p, {}),
+                    partition_values=info.get("file_pvals", {}).get(p, {}),
+                    begin_snapshot=bs,
+                )
+                for p, bs in info["files"]
+            }
+
+            @staticmethod
+            def physical_name(col: str, file_bs: int) -> str:
+                for _sid, old_n, new_n in reversed(renames):
+                    if _sid > file_bs and col == new_n:
+                        col = old_n
+                return col
+
+        return _prune(_Shim(), where)
+
+    def scan(self, name: str, where: str | None = None) -> DataFrame:
+        """Filtered read with metadata file-skipping, mirroring
+        Lake.scan: only files whose frozen stats may match are planned;
+        the full predicate is always re-applied."""
+        if not where:
+            return self.table(name)
+        keep = set(self.prune_files(name, where))
+        return self.table(name, _rels=keep).filter(where)
+
+    def table(self, name: str, _rels: set | None = None) -> DataFrame:
         from pyspark.sql import functions as F
 
         if name not in self._tables:
             raise TableNotFoundError(f"table {name!r} not in frozen lake")
         info = self._tables[name]
+        if _rels is not None:
+            info = dict(
+                info,
+                files=[(p, bs) for p, bs in info["files"] if p in _rels],
+            )
         schema = self._schema(name)
         # Initial defaults: files older than a defaulted column read the
         # default, not NULL (same per-file-age grouping as Lake).

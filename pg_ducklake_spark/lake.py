@@ -788,6 +788,38 @@ class Lake:
 
     # ---------------------------------------------------------- write path
 
+    @staticmethod
+    def _enforce_not_null(schema: T.StructType, df: DataFrame) -> DataFrame:
+        """Declared NOT NULL columns reject NULLs at write time with a
+        loud per-row error (PG-frontend parity: the reference's insert
+        path enforces the declared constraint; ``nulls_allowed`` is the
+        frozen-export spelling, freeze.py). Enforcement rides inside the
+        write projection via raise_error — zero extra job/pass over the
+        data, so it costs nothing at 100 TB."""
+        checked = [f.name for f in schema.fields if not f.nullable]
+        if not checked:
+            return df
+        cols = []
+        for f in schema.fields:
+            if f.nullable or f.name not in df.columns:
+                cols.append(F.col(f.name))
+                continue
+            cols.append(
+                F.when(
+                    F.col(f.name).isNull(),
+                    F.raise_error(
+                        F.lit(
+                            f"null value in column {f.name!r} violates "
+                            "not-null constraint"
+                        )
+                    ).cast(f.dataType),
+                )
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+            )
+        extra = [F.col(c) for c in df.columns if c not in schema.fieldNames()]
+        return df.select(*cols, *extra)
+
     def _write_data(
         self,
         table_dir: str,
@@ -860,6 +892,7 @@ class Lake:
                     f.name,
                     (F.expr(d) if d is not None else F.lit(None)).cast(f.dataType),
                 )
+        df = self._enforce_not_null(state.schema, df)
         entries = self._write_data(
             self._table_dir(name),
             df,
@@ -907,6 +940,17 @@ class Lake:
         limit = int(self.options(name).get("data_inlining_row_limit", 0) or 0)
         if self._txn is None and 0 < len(rows) <= limit:
             schema = state.schema
+            # NOT NULL enforcement for the inline fast path (PG parity,
+            # same constraint the parquet path checks in-projection).
+            for f in schema.fields:
+                if f.nullable:
+                    continue
+                for r in rows:
+                    if r.get(f.name) is None:
+                        raise LakeError(
+                            f"null value in column {f.name!r} violates "
+                            "not-null constraint"
+                        )
             inline_add = []
             # Random base keeps ids unique under concurrent appends without
             # coordination (sequential ids would collide when two writers
@@ -1536,7 +1580,7 @@ class Lake:
             affected = self._read_files(
                 name, state, schema, rels=sorted(file_counts)
             )
-            rewritten = apply_set(affected)
+            rewritten = self._enforce_not_null(schema, apply_set(affected))
             add = self._write_data(
                 table_dir, rewritten, state.partition_spec, options=self.options(name)
             )
@@ -1574,7 +1618,7 @@ class Lake:
                 ],
                 schema=schema,
             )
-            updated = apply_set(old_df).collect()
+            updated = self._enforce_not_null(schema, apply_set(old_df)).collect()
             for old, new in zip(buf_rows, updated):
                 old_vals = {
                     f.name: to_json_value(old[f.name], f.dataType)

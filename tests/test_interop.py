@@ -499,3 +499,39 @@ def test_committed_marker_drops_stale_checkpoints(spark, lake):
     assert lake.table("ta").count() == 1  # poisoned by the stale ckpt
     log.drop_checkpoints_at_or_after(v)
     assert lake.table("ta").count() == 2  # full replay sees the marker
+
+
+def test_frozen_scan_prunes_files(spark, lake, tmp_path):
+    """The frozen export carries per-file column stats and partition
+    values (ducklake_file_column_stats / ducklake_file_partition_value,
+    src/pgducklake_freeze.cpp:42,48), so a filtered frozen read plans
+    only the files whose min/max may match."""
+    from pyspark.sql import functions as F
+
+    from pg_ducklake_spark.freeze import FrozenLake, freeze_lake
+
+    lake.create_table("t", "a int, s string")
+    for lo in (0, 100, 200):
+        lake.insert(
+            "t",
+            spark.range(lo, lo + 100)
+            .select(
+                F.col("id").cast("int").alias("a"),
+                F.col("id").cast("string").alias("s"),
+            )
+            .coalesce(1),
+        )
+    out = str(tmp_path / "m.ducklake")
+    freeze_lake(lake, out)
+    frozen = FrozenLake(spark, out)
+    assert len(frozen._tables["t"]["files"]) == 3
+    # metadata pruning: only one file may hold a >= 250
+    assert len(frozen.prune_files("t", "a >= 250")) == 1
+    assert len(frozen.prune_files("t", "a = 150")) == 1
+    assert len(frozen.prune_files("t", "a < 1000")) == 3
+    df = frozen.scan("t", "a >= 250")
+    assert df.count() == 50
+    assert len(df.inputFiles()) == 1, "pruned frozen scan still plans all files"
+    # correctness unchanged vs the unpruned read
+    full = frozen.table("t").filter("a >= 250").count()
+    assert full == 50
