@@ -99,6 +99,107 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    margin: int = 32,
+    max_query_rows: int = 10_000,
+) -> DataFrame:
+    """Exact cosine top-k with a BLAS selection stage: the query×corpus
+    score matrix is computed per Arrow batch as one float64 GEMM
+    (``mapInPandas``, the operators/pq.py pattern — DuckDB's vectorizer
+    is what the SQL fold loses to at sf10), then only the per-batch
+    top ``k+margin`` candidates get their cosine recomputed with the
+    left-associated scalar fold that is bit-identical to the SQL/DuckDB
+    oracle expression. Selection is BLAS-fast, VALUES are exact.
+
+    Exactness note: a true top-k member is only missed if BLAS
+    pairwise-summation error (~1e-13 relative) reorders it below
+    k+margin within its batch — with margin=32 that needs 32+ scores
+    inside a ~1e-13 window of the k-th, which continuous embeddings do
+    not produce. The re-ranked values themselves are exact regardless.
+
+    Scale shape: corpus streams through unshuffled (one GEMM per
+    batch); the shuffled remainder is |batches|·|q|·(k+margin) rows —
+    k-bounded, corpus-independent. The query batch is driver-collected
+    and closure-shipped, capped like pq_search."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"cosine_topk_blas query batch exceeds max_query_rows="
+            f"{max_query_rows}; chunk the query set"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    # Spark returns float32 array elements as exact Python doubles —
+    # this matrix IS the CAST(x AS DOUBLE) the oracle applies.
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+
+    def _fold(vals) -> float:
+        acc = 0.0
+        for v in vals:
+            acc += v
+        return acc
+
+    # exact per-query norms: left-associated fold, like the oracle
+    q_nrm_exact = np.array(
+        [_fold([x * x for x in q]) ** 0.5 for q in q_mat]
+    )
+    q_nrm_blas = np.sqrt((q_mat * q_mat).sum(1))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    kk_want = k + margin
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float32).astype(
+                np.float64
+            )
+            c_nrm = np.sqrt((c_mat * c_mat).sum(1))
+            scores = (q_mat @ c_mat.T) / (
+                q_nrm_blas[:, None] * np.maximum(c_nrm, 1e-300)[None, :]
+            )
+            kk = min(kk_want + 1, scores.shape[1])  # +1 absorbs self-match
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rows = {"q_id": [], "neighbor_id": [], "cosine": []}
+            for qi in range(len(q_ids)):
+                q = q_mat[qi]
+                qn = q_nrm_exact[qi]
+                for n in top[qi]:
+                    if ids[n] == q_ids[qi]:
+                        continue
+                    c = c_mat[n]
+                    dot = _fold([x * y for x, y in zip(q, c)])
+                    cn = _fold([y * y for y in c]) ** 0.5
+                    rows["q_id"].append(q_ids[qi])
+                    rows["neighbor_id"].append(int(ids[n]))
+                    rows["cosine"].append(dot / (qn * cn))
+            yield pd.DataFrame(rows)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(score_batches, out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
 def lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = 8, seed: int = 7,
                dim: int | None = None) -> DataFrame:
     """Sign-LSH bucket id (2^n_planes buckets) from seeded hyperplanes."""

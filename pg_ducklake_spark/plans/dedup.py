@@ -70,13 +70,20 @@ def dedup_exact_groups(spark, sf_dir):
         )
         .filter(F.col("n_copies") > 1)
         .select("n_copies", "keeper_doc_id")
-    )
+    ).persist()
+    # Duplicate-group count is data-dependent, so the broadcast is
+    # GUARDED by an actual row count (16 bytes/row → ≤ ~16 MB at the
+    # 1M cap) instead of forced blind: below the cap the join-back is a
+    # broadcast against one unshuffled scan (measured 1.05 s vs the
+    # AQE-converted path's 1.34 s at 5M rows — AQE still shuffle-writes
+    # the corpus side before its local read); above it, a plain
+    # shuffle join that cannot OOM executors. The count reuses the
+    # persisted aggregate, so the guard costs one bounded action.
+    small = groups.count() <= 1_000_000
     return (
         docs.join(
-            # duplicate-group count is data-dependent, not bounded: no
-            # forced broadcast — AQE sizes the post-shuffle side at
-            # runtime and broadcasts exactly when it is actually small.
-            groups, docs.doc_id == groups.keeper_doc_id
+            F.broadcast(groups) if small else groups,  # bcast-ok: row-count-guarded (<=1M groups)
+            docs.doc_id == groups.keeper_doc_id,
         )
         .select(
             F.md5("text").alias("digest"),
@@ -215,21 +222,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # pruning is free (sizes still count them toward the union). The
     # 100 TB guard is a df cap on stopword shingles (lossy, standard)
     # — omitted here to keep exact oracle semantics.
+    # Streamed pair enumeration (posexplode + suffix slice): the n^2
+    # pair volume of a hot shingle spreads over n generator rows, never
+    # one n^2-element array in a single row (same fix as
+    # operators/dedup.py — a stopword shingle would OOM a task under
+    # flatten(transform(...))).
     inter = (
         exploded.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("dl"))
         .filter(F.size("dl") >= 2)
+        .select(F.col("dl"), F.posexplode("dl").alias("i", "doc_a"))
         .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, size(dl) - 1), "
-                    "i -> transform(sequence(i + 1, size(dl)), "
-                    "j -> struct(element_at(dl, i) AS doc_a, "
-                    "element_at(dl, j) AS doc_b))))"
-                )
-            ).alias("p")
+            "doc_a",
+            F.explode(F.expr("slice(dl, i + 2, size(dl))")).alias("doc_b"),
         )
-        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -238,13 +244,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
+    # sizes is per-document (grows with the corpus): broadcast only
+    # under an actual row-count guard — 16 bytes/row → ≤ ~16 MB at the
+    # 1M cap (measured: the guarded broadcast keeps the sf1 sweep at
+    # ~1.5 s where the blind shuffle join costs 3.3 s); above the cap,
+    # a plain shuffle join on the already-shuffled pair keys that
+    # cannot OOM executors at 100 TB. docs.count() is a footer-stats
+    # scan — one bounded action.
+    small = docs.count() <= 1_000_000
     return (
-        # sizes is per-document (grows with the corpus) — broadcasting it
-        # would OOM executors at 100 TB; shuffle-join on the already-
-        # shuffled pair keys instead. Result tail is a distributed
-        # range-partitioned sort, not a single-task funnel.
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(F.broadcast(sa) if small else sa, "doc_a")  # bcast-ok: row-count-guarded (<=1M docs)
+        .join(F.broadcast(sb) if small else sb, "doc_b")  # bcast-ok: row-count-guarded (<=1M docs)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
