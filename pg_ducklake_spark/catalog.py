@@ -205,6 +205,12 @@ class TableState:
     sort_spec: list[dict] = field(default_factory=list)
     options: dict[str, Any] = field(default_factory=dict)
     table_stats: dict | None = None
+    # COMMENT / tags metadata (≙ ducklake_tag / ducklake_column_tag,
+    # src/pgducklake_freeze.cpp:38-39): table-level key->value, and
+    # per-column key->value keyed by the CURRENT column name (re-keyed
+    # on rename replay).
+    tags: dict[str, str] = field(default_factory=dict)
+    column_tags: dict[str, dict] = field(default_factory=dict)
     # catalog-level views / macros (≙ ducklake_view, ducklake_macro*):
     # name -> definition dict; only populated on the lake's catalog log
     views: dict[str, dict] = field(default_factory=dict)
@@ -260,6 +266,8 @@ def state_to_json(state: TableState) -> dict:
         "sort_spec": state.sort_spec,
         "options": state.options,
         "table_stats": state.table_stats,
+        "tags": state.tags,
+        "column_tags": state.column_tags,
         "views": state.views,
         "macros": state.macros,
         "schema_log": [[sid, sj] for sid, sj in state.schema_log],
@@ -296,6 +304,8 @@ def state_from_json(d: dict) -> TableState:
         sort_spec=list(d.get("sort_spec", [])),
         options=dict(d.get("options", {})),
         table_stats=d.get("table_stats"),
+        tags=dict(d.get("tags", {})),
+        column_tags={k: dict(v) for k, v in d.get("column_tags", {}).items()},
         views=dict(d.get("views", {})),
         macros=dict(d.get("macros", {})),
         schema_log=[(sid, sj) for sid, sj in d.get("schema_log", [])],
@@ -401,6 +411,10 @@ class SnapshotLog:
                         rn = {"old": parts[0], "new": parts[1]}
             if rn is not None:
                 state.renames.append([sid, rn["old"], rn["new"]])
+                if rn["old"] in state.column_tags:
+                    state.column_tags[rn["new"]] = state.column_tags.pop(
+                        rn["old"]
+                    )
         for d in snap.get("add", []):
             fe = FileEntry.from_json(d, sid)
             state.files[fe.path] = fe
@@ -430,6 +444,25 @@ class SnapshotLog:
                 state.options.update(val)
             elif key == "table_stats":
                 state.table_stats = val
+            elif key == "tags":
+                for tk, tv in val.items():
+                    if tv is None:
+                        state.tags.pop(tk, None)
+                    else:
+                        state.tags[tk] = tv
+            elif key == "column_tags":
+                for col, ctags in val.items():
+                    if ctags is None:
+                        state.column_tags.pop(col, None)
+                        continue
+                    cur = state.column_tags.setdefault(col, {})
+                    for tk, tv in ctags.items():
+                        if tv is None:
+                            cur.pop(tk, None)
+                        else:
+                            cur[tk] = tv
+                    if not cur:
+                        state.column_tags.pop(col, None)
             elif key == "views":
                 # merge; a None value drops the view (DROP VIEW)
                 for vname, vdef in val.items():

@@ -88,6 +88,10 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
         CREATE TABLE ducklake_table_column_stats(
             table_id BIGINT, column_name VARCHAR, null_count BIGINT,
             ndv BIGINT, min_value VARCHAR, max_value VARCHAR);
+        CREATE TABLE ducklake_tag(
+            table_id BIGINT, key VARCHAR, value VARCHAR);
+        CREATE TABLE ducklake_column_tag(
+            table_id BIGINT, column_name VARCHAR, key VARCHAR, value VARCHAR);
         CREATE TABLE ducklake_view(
             view_id BIGINT, view_name VARCHAR, sql VARCHAR, columns VARCHAR);
         CREATE TABLE ducklake_macro(macro_id BIGINT, macro_name VARCHAR);
@@ -227,6 +231,18 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
                 "INSERT INTO ducklake_inlined_data VALUES (?, ?, ?)",
                 [tid, r["row_id"], json.dumps(vals)],
             )
+        # tags / COMMENT metadata (≙ ducklake_tag / ducklake_column_tag,
+        # src/pgducklake_freeze.cpp:38-39)
+        for tk, tv in sorted(state.tags.items()):
+            con.execute(
+                "INSERT INTO ducklake_tag VALUES (?, ?, ?)", [tid, tk, tv]
+            )
+        for col, ctags in sorted(state.column_tags.items()):
+            for tk, tv in sorted(ctags.items()):
+                con.execute(
+                    "INSERT INTO ducklake_column_tag VALUES (?, ?, ?, ?)",
+                    [tid, col, tk, tv],
+                )
         if state.table_stats:
             ts = state.table_stats
             con.execute(

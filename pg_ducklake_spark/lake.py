@@ -1853,6 +1853,50 @@ class Lake:
         )
         return self.spark.createDataFrame(rows, schema=schema)
 
+    # ------------------------------------- tags / COMMENT metadata
+    # (≙ ducklake_tag / ducklake_column_tag, src/pgducklake_freeze.cpp:38-39.
+    #  The reference's PG frontend marks COMMENT unsupported on its AM —
+    #  docs/README coverage list — so this surface EXCEEDS reference
+    #  parity; the metadata tables themselves are part of the frozen
+    #  contract either way.)
+
+    def set_tag(self, name: str, key: str, value: str | None) -> None:
+        """Set (or clear, with ``value=None``) a table-level tag."""
+        self._check_ddl()
+        self._state(name)  # existence check
+        self._log(name).commit(
+            {"operation": "SET TAG", "set": {"tags": {key: value}},
+             "metrics": {}}
+        )
+
+    def tags(self, name: str) -> dict:
+        return dict(self._state(name).tags)
+
+    def set_column_tag(
+        self, name: str, col: str, key: str, value: str | None
+    ) -> None:
+        self._check_ddl()
+        state = self._state(name)
+        if col not in state.schema.fieldNames():
+            raise LakeError(f"column {col!r} does not exist in {name!r}")
+        self._log(name).commit(
+            {"operation": "SET COLUMN TAG",
+             "set": {"column_tags": {col: {key: value}}}, "metrics": {}}
+        )
+
+    def column_tags(self, name: str) -> dict:
+        return {k: dict(v) for k, v in self._state(name).column_tags.items()}
+
+    def comment_on(self, name: str, comment: str | None) -> None:
+        """COMMENT ON TABLE (stored as the 'comment' tag, the DuckLake
+        convention for comment storage in ducklake_tag)."""
+        self.set_tag(name, "comment", comment)
+
+    def comment_on_column(
+        self, name: str, col: str, comment: str | None
+    ) -> None:
+        self.set_column_tag(name, col, "comment", comment)
+
     # --------------------------------------------- options (A26)
 
     def set_option(self, option: str, value: Any, table: str | None = None) -> None:

@@ -211,6 +211,38 @@ def execute(lake: "Lake", sql: str) -> Any:
         lake.rollback()
         return None
 
+    if head == "COMMENT":
+        m = re.match(
+            r"^COMMENT\s+ON\s+TABLE\s+(?P<name>\w+(?:\.\w+)?)\s+IS\s+"
+            r"(?P<val>NULL|'(?:[^']|'')*')$",
+            stmt,
+            re.I,
+        )
+        if m:
+            val = m.group("val")
+            lake.comment_on(
+                m.group("name"),
+                None if val.upper() == "NULL"
+                else val[1:-1].replace("''", "'"),
+            )
+            return None
+        m = re.match(
+            r"^COMMENT\s+ON\s+COLUMN\s+(?P<tbl>\w+(?:\.\w+)?)\.(?P<col>\w+)"
+            r"\s+IS\s+(?P<val>NULL|'(?:[^']|'')*')$",
+            stmt,
+            re.I,
+        )
+        if m:
+            val = m.group("val")
+            lake.comment_on_column(
+                m.group("tbl"),
+                m.group("col"),
+                None if val.upper() == "NULL"
+                else val[1:-1].replace("''", "'"),
+            )
+            return None
+        raise LakeError(f"unsupported COMMENT statement: {stmt[:80]!r}")
+
     if head == "CREATE":
         m = re.match(
             r"^CREATE\s+SCHEMA\s+(?P<ifne>IF\s+NOT\s+EXISTS\s+)?"
