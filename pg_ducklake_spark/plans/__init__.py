@@ -185,8 +185,13 @@ _SWEEP_FIRST = [
     # and stay under the full judge harness.
     "stats_mad_outliers",
     "sim_codebook_mix",
-    "text_heavy_hitters",
-    "text_type_token_ratio",
+    # Round-7 rotation: the round-6 surfaces — schema namespaces
+    # end-to-end and the INTERVAL-returning type-tier query — take
+    # driver rows (displacing text_heavy_hitters and
+    # text_type_token_ratio, driver-green r5; the text family stays
+    # represented by surprisal/classifier/pii rows).
+    "lake_schema_namespace",
+    "ts_user_span_interval",
     # Round-6 rotation: PII/compliance, funnel analytics, importance
     # sampling, and exact-substring dedup take driver rows; the rows
     # they displace (token counts, fingerprint dups, char-ngram

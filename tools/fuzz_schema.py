@@ -73,7 +73,11 @@ class Mirror:
         return self.state(con)
 
 
-def run(ops: int, seed: int, spark=None, verbose: bool = False) -> list[str]:
+def run(ops: int, seed: int, spark=None, verbose: bool = False,
+        qualified: bool = False) -> list[str]:
+    """``qualified=True`` runs the identical op sequence against a
+    schema-namespaced table (``ns.f``), so every DDL/DML/time-travel/
+    vacuum path is fuzzed through the round-6 namespace routing too."""
     from pg_ducklake_spark import Lake
 
     if spark is None:
@@ -85,8 +89,11 @@ def run(ops: int, seed: int, spark=None, verbose: bool = False) -> list[str]:
     problems: list[str] = []
     try:
         lake = Lake(spark, tmp)
+        T = "ns.f" if qualified else "f"
+        if qualified:
+            lake.create_schema("ns")
         lake.create_table(
-            "f", "id bigint, g string, v bigint",
+            T, "id bigint, g string, v bigint",
             options={"data_inlining_row_limit": 3},
         )
         mirror = Mirror()
@@ -95,25 +102,28 @@ def run(ops: int, seed: int, spark=None, verbose: bool = False) -> list[str]:
                                        ("v", "bigint")]
         next_id = 0
         next_col = 0
+        expected_tags: dict = {}
+        expected_coltags: dict = {}
         # op-log index -> lake snapshot id, only for mirrored ops
         versions: list[tuple[int, int]] = []
 
         def lake_state(version=None):
-            df = lake.table("f", version=version)
+            df = lake.table(T, version=version)
             return list(df.columns), sorted(
                 (tuple(r) for r in df.collect()), key=repr
             )
 
         def record():
-            versions.append((len(mirror.log) - 1, lake.current_snapshot("f")))
+            versions.append((len(mirror.log) - 1, lake.current_snapshot(T)))
 
         for step in range(ops):
             mutable = [c for c in cols if c[0] != "id"]
             op = rng.choices(
                 ["insert", "insert_inline", "add", "add_default", "drop",
-                 "rename", "widen", "update", "delete", "vacuum", "flush"],
+                 "rename", "widen", "update", "delete", "vacuum", "flush",
+                 "comment"],
                 weights=[24, 10, 10, 10, 8 if len(mutable) > 1 else 0,
-                         10, 6, 12, 10, 5, 5],
+                         10, 6, 12, 10, 5, 5, 6],
             )[0]
             if op == "insert":
                 n = rng.randint(2, 8)
@@ -128,7 +138,7 @@ def run(ops: int, seed: int, spark=None, verbose: bool = False) -> list[str]:
                     lits.append("(" + ", ".join(sqls) + ")")
                 next_id += n
                 schema = ", ".join(f"{c} {t}" for c, t in cols)
-                lake.insert("f", spark.createDataFrame(rows, schema))
+                lake.insert(T, spark.createDataFrame(rows, schema))
                 mirror.apply("INSERT INTO f VALUES " + ", ".join(lits))
                 record()
             elif op == "insert_inline":
@@ -140,7 +150,7 @@ def run(ops: int, seed: int, spark=None, verbose: bool = False) -> list[str]:
                     vals[c] = v
                     sqls.append(s)
                 next_id += 1
-                lake.insert_rows("f", [vals])
+                lake.insert_rows(T, [vals])
                 mirror.apply(
                     "INSERT INTO f VALUES (" + ", ".join(sqls) + ")"
                 )
@@ -151,13 +161,13 @@ def run(ops: int, seed: int, spark=None, verbose: bool = False) -> list[str]:
                 next_col += 1
                 if op == "add_default":
                     _, lit = _lit(typ, rng)
-                    lake.add_column("f", name, typ, default=lit)
+                    lake.add_column(T, name, typ, default=lit)
                     mirror.apply(
                         f"ALTER TABLE f ADD COLUMN {name}"
                         f" {_DUCK_TYPES[typ]} DEFAULT {lit}"
                     )
                 else:
-                    lake.add_column("f", name, typ)
+                    lake.add_column(T, name, typ)
                     mirror.apply(
                         f"ALTER TABLE f ADD COLUMN {name} {_DUCK_TYPES[typ]}"
                     )
@@ -165,17 +175,20 @@ def run(ops: int, seed: int, spark=None, verbose: bool = False) -> list[str]:
                 record()
             elif op == "drop":
                 name = rng.choice(mutable)[0]
-                lake.drop_column("f", name)
+                lake.drop_column(T, name)
                 mirror.apply(f"ALTER TABLE f DROP COLUMN {name}")
                 cols = [c for c in cols if c[0] != name]
+                expected_coltags.pop(name, None)
                 record()
             elif op == "rename":
                 old = rng.choice(mutable)[0]
                 new = f"c{next_col}"
                 next_col += 1
-                lake.rename_column("f", old, new)
+                lake.rename_column(T, old, new)
                 mirror.apply(f"ALTER TABLE f RENAME COLUMN {old} TO {new}")
                 cols = [(new, t) if c == old else (c, t) for c, t in cols]
+                if old in expected_coltags:
+                    expected_coltags[new] = expected_coltags.pop(old)
                 record()
             elif op == "widen":
                 ints = [c for c in mutable if c[1] == "int"]
@@ -185,11 +198,11 @@ def run(ops: int, seed: int, spark=None, verbose: bool = False) -> list[str]:
                     # widen path stays reachable later.
                     name = f"c{next_col}"
                     next_col += 1
-                    lake.add_column("f", name, "int")
+                    lake.add_column(T, name, "int")
                     mirror.apply(f"ALTER TABLE f ADD COLUMN {name} INTEGER")
                     cols.append((name, "int"))
                 else:
-                    lake.alter_column_type("f", target[0], "bigint")
+                    lake.alter_column_type(T, target[0], "bigint")
                     mirror.apply(
                         f"ALTER TABLE f ALTER {target[0]} SET DATA TYPE BIGINT"
                     )
@@ -205,23 +218,54 @@ def run(ops: int, seed: int, spark=None, verbose: bool = False) -> list[str]:
                 col = rng.choice(nums)[0]
                 delta = rng.randint(1, 50)
                 pred = f"id % {rng.randint(2, 5)} = 0"
-                lake.update("f", {col: f"{col} + {delta}"}, pred)
+                lake.update(T, {col: f"{col} + {delta}"}, pred)
                 mirror.apply(
                     f"UPDATE f SET {col} = {col} + {delta} WHERE {pred}"
                 )
                 record()
             elif op == "delete":
                 pred = f"id % {rng.randint(3, 7)} = {rng.randint(1, 2)}"
-                lake.delete("f", pred)
+                lake.delete(T, pred)
                 mirror.apply(f"DELETE FROM f WHERE {pred}")
                 record()
+            elif op == "comment":
+                # COMMENT/tag metadata (round-6): tracked locally —
+                # the interplay under test is persistence across the
+                # other ops and re-keying under column rename.
+                if rng.random() < 0.5:
+                    val = rng.choice([None, "t-doc", "owner:x"])
+                    lake.comment_on(T, val)
+                    if val is None:
+                        expected_tags.pop("comment", None)
+                    else:
+                        expected_tags["comment"] = val
+                else:
+                    col = rng.choice(mutable)[0]
+                    val = rng.choice([None, "c-doc"])
+                    lake.comment_on_column(T, col, val)
+                    cur = expected_coltags.setdefault(col, {})
+                    if val is None:
+                        cur.pop("comment", None)
+                    else:
+                        cur["comment"] = val
+                    if not cur:
+                        expected_coltags.pop(col, None)
             elif op == "vacuum":
-                lake.vacuum("f")  # no mirror: must not change contents
+                lake.vacuum(T)  # no mirror: must not change contents
             else:
                 lake.flush_inlined_data()  # ditto
 
             if verbose:
                 print(f'  step {step}: {mirror.log[-1][:400]}' if op not in ('vacuum','flush') else f'  step {step}: {op}')
+            if lake.tags(T) != expected_tags or (
+                lake.column_tags(T) != expected_coltags
+            ):
+                problems.append(
+                    f"step {step} ({op}): tags diverge"
+                    f" lake={lake.tags(T)}/{lake.column_tags(T)}"
+                    f" expected={expected_tags}/{expected_coltags}"
+                )
+                break
             got_cols, got = lake_state()
             want_cols, want = mirror.state()
             if got_cols != want_cols:
@@ -272,12 +316,19 @@ def main() -> int:
     )
     bad = 0
     for s in seeds:
-        problems = run(args.ops, s, verbose=args.verbose)
-        for p in problems:
-            print(f"seed {s} DIVERGED: {p}")
-        bad += len(problems)
-        if not problems:
-            print(f"seed {s}: {args.ops} ops + historical-schema checks agree")
+        # every seed runs twice: flat table, then schema-qualified
+        for qualified in (False, True):
+            problems = run(args.ops, s, verbose=args.verbose,
+                           qualified=qualified)
+            tag = " [ns.f]" if qualified else ""
+            for p in problems:
+                print(f"seed {s}{tag} DIVERGED: {p}")
+            bad += len(problems)
+            if not problems:
+                print(
+                    f"seed {s}{tag}: {args.ops} ops +"
+                    " historical-schema + tag checks agree"
+                )
     return 1 if bad else 0
 
 
