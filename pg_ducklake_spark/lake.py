@@ -2557,6 +2557,25 @@ class Lake:
             .load()
         )
 
+    def stream_insert(
+        self,
+        name: str,
+        sdf: DataFrame,
+        checkpoint_dir: str,
+        query_name: str = "lake_stream_sink",
+        trigger: dict | None = None,
+    ):
+        """Streaming ingest: append a streaming DataFrame into this
+        table, one atomic snapshot per micro-batch, exactly-once across
+        restarts (streaming/sink.py — batch markers ride in
+        commit_extra_info, atomic with the data)."""
+        from pg_ducklake_spark.streaming.sink import stream_insert
+
+        return stream_insert(
+            self, name, sdf, checkpoint_dir,
+            query_name=query_name, trigger=trigger,
+        )
+
     def table_insertions(self, name: str, start, end=None) -> DataFrame:
         from pg_ducklake_spark.changefeed import table_insertions
 
