@@ -60,14 +60,15 @@ def _rho(w: str) -> str:
     "stats_hll_distinct",
     oracle=f"""
     WITH hashed AS (
-      SELECT event_type,
+      SELECT event_type, user_id,
              {sql_h32("CAST(user_id AS VARCHAR)")} AS h
       FROM events
     ),
     regs AS (
       SELECT event_type,
              h % {_HLL_M} AS bucket,
-             MAX({_rho(f"(h // {_HLL_M})")}) AS reg
+             MAX({_rho(f"(h // {_HLL_M})")}) AS reg,
+             COUNT(DISTINCT user_id) AS bucket_users
       FROM hashed
       GROUP BY event_type, h % {_HLL_M}
     ),
@@ -75,15 +76,12 @@ def _rho(w: str) -> str:
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_regs,
              CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_WBITS + 1} - reg)) AS BIGINT)
-               AS s_present
+               AS s_present,
+             CAST(SUM(bucket_users) AS BIGINT) AS n_exact
       FROM regs GROUP BY event_type
-    ),
-    exact AS (
-      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
-      FROM events GROUP BY event_type
     )
-    SELECT e.event_type,
-           e.n_exact,
+    SELECT s.event_type,
+           s.n_exact,
            CAST({_HLL_M} - s.n_regs AS BIGINT) AS empty_registers,
            CAST(s.s_present
                 + ({_HLL_M} - s.n_regs) * {1 << (_HLL_WBITS + 1)} AS BIGINT)
@@ -92,8 +90,8 @@ def _rho(w: str) -> str:
                  * {1 << (_HLL_WBITS + 1)}
                  / CAST(s.s_present + ({_HLL_M} - s.n_regs)
                         * {1 << (_HLL_WBITS + 1)} AS DOUBLE), 4) AS hll_raw
-    FROM exact e JOIN summed s ON e.event_type = s.event_type
-    ORDER BY e.event_type
+    FROM summed s
+    ORDER BY s.event_type
     """,
 )
 def stats_hll_distinct(spark, sf_dir):
@@ -116,36 +114,43 @@ def stats_hll_distinct(spark, sf_dir):
     ev = rebalance(t(spark, sf_dir, "events"))
     hashed = ev.select(
         "event_type",
+        "user_id",
         F.expr(
             "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
         ).alias("h"),
     )
+    # The exact-count audit is FUSED into the register pass: a user
+    # lands in exactly one (type, bucket) — bucket is a pure function
+    # of h(user) — so SUM of per-bucket distinct users IS the per-type
+    # distinct count. One scan, one shuffle, no join (previously a
+    # second scan + countDistinct expand + broadcast join).
     regs = (
         hashed.select(
             "event_type",
+            "user_id",
             (F.col("h") % _HLL_M).alias("bucket"),
             F.expr(_rho(f"(h DIV {_HLL_M})")).alias("rho"),
         )
         .groupBy("event_type", "bucket")
-        .agg(F.max("rho").alias("reg"))
+        .agg(
+            F.max("rho").alias("reg"),
+            F.countDistinct("user_id").alias("bucket_users"),
+        )
     )
     summed = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_regs"),
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - reg)")
         ).alias("s_present"),
-    )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
+        F.sum("bucket_users").alias("n_exact"),
     )
     s_total = F.col("s_present") + (F.lit(_HLL_M) - F.col("n_regs")) * F.lit(
         1 << (_HLL_WBITS + 1)
     )
     return (
-        exact.join(F.broadcast(summed), on="event_type")  # bcast-ok: per-event-type registers, constant domain
-        .select(
+        summed.select(
             "event_type",
-            "n_exact",
+            F.col("n_exact").cast("long").alias("n_exact"),
             (F.lit(_HLL_M) - F.col("n_regs")).cast("long").alias("empty_registers"),
             s_total.cast("long").alias("register_sum"),
             F.round(
