@@ -119,8 +119,9 @@ def dedup_canonical_selection(spark, sf_dir):
             F.col("n_members").cast("long").alias("n_members"),
             (F.col("n_members") - 1).cast("long").alias("n_dropped"),
         )
-        .coalesce(1)
-        .sortWithinPartitions("component")
+        # one row per duplicate component (data-proportional):
+        # distributed range sort, no single-task funnel
+        .orderBy("component")
     )
 
 

@@ -165,6 +165,6 @@ def mm_frame_sample(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_frames"),
             F.max("byte_offset").cast("long").alias("last_offset"),
         )
-        .coalesce(1)
-        .sortWithinPartitions("media_id")
+        # one row per media item (corpus-proportional): distributed sort
+        .orderBy("media_id")
     )

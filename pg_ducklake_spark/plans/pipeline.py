@@ -544,8 +544,9 @@ def pipe_contamination_check(spark, sf_dir):
             .cast("long")
             .alias("worst_train_doc"),
         )
-        .coalesce(1)
-        .sortWithinPartitions("eval_doc")
+        # one row per eval document (eval-set-proportional):
+        # distributed range sort, no single-task funnel
+        .orderBy("eval_doc")
     )
 
 

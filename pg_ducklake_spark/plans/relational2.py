@@ -267,8 +267,8 @@ def rel2_salted_skew_join(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
             dsum("l_extendedprice").alias("total_price"),
         )
-        .coalesce(1)
-        .sortWithinPartitions("s_name")
+        # per-supplier rollup (SF-proportional): distributed sort
+        .orderBy("s_name")
     )
 
 

@@ -52,7 +52,7 @@ def ts_asof_join(spark, sf_dir):
         F.expr("timestampdiff(MICROSECOND, click_ts, ts)").cast("long").alias(
             "gap_micros"
         ),
-    ).coalesce(1).sortWithinPartitions("event_id")
+    ).orderBy("event_id")  # purchase-proportional output: distributed sort
 
 
 @query(
@@ -222,7 +222,8 @@ def ts_gap_fill_locf(spark, sf_dir):
             F.col("v").alias("observed"),
             F.last("v", ignorenulls=True).over(w).alias("filled"),
         )
-        .coalesce(1).sortWithinPartitions("user_id", "minute")
+        # user x minute grid output: distributed range sort, no funnel
+        .orderBy("user_id", "minute")
     )
 
 
@@ -344,7 +345,8 @@ def ts_gap_fill_interpolate(spark, sf_dir):
                 6,
             ).alias("interpolated"),
         )
-        .coalesce(1).sortWithinPartitions("user_id", "minute")
+        # user x minute grid output: distributed range sort, no funnel
+        .orderBy("user_id", "minute")
     )
 
 

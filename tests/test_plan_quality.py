@@ -259,6 +259,13 @@ def test_codebook_mix_no_join_before_aggregate(plans):
         "dedup_substring_windows",
         "pipe_pack_sequences",
         "pipe_chunk_documents",
+        "ts_asof_join",
+        "ts_gap_fill_locf",
+        "ts_gap_fill_interpolate",
+        "dedup_canonical_selection",
+        "mm_frame_sample",
+        "pipe_contamination_check",
+        "rel2_salted_skew_join",
     ],
 )
 def test_corpus_sized_outputs_distribute_the_tail(plans, name):
