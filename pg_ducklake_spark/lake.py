@@ -1295,7 +1295,12 @@ class Lake:
         with persisted lake views registered on top and scalar macros
         textually expanded before planning (views.py)."""
         from pg_ducklake_spark.functions.compat import DUCKDB_COMPAT_MACROS
+        from pg_ducklake_spark.pgsyntax import rewrite as _pg_rewrite
         from pg_ducklake_spark.views import expand_macros
+
+        # PG/DuckDB surface syntax (ARRAY[..], UNNEST, generate_series
+        # in FROM) → Spark SQL, before any other bind-time pass.
+        query = _pg_rewrite(query)
 
         qualified: list[tuple[str, str, str]] = []
         for tbl in self.list_tables():
