@@ -1370,6 +1370,17 @@ class Lake:
             fn = m.group("fn").lower()
             name = m.group("name")
             args = parse_args(m.group("rest"))
+            # reference two-part overloads: f('schema','t', ...) —
+            # collapse when that qualified table exists
+            if (
+                args
+                and isinstance(args[0], str)
+                and re.match(r"^\w+$", args[0])
+                and "." not in name
+                and self._log(f"{name}.{args[0]}").exists()
+            ):
+                name = f"{name}.{args[0]}"
+                args = args[1:]
             if fn == "time_travel":
                 df = self.time_travel(name, args[0])
             elif fn == "table_changes":

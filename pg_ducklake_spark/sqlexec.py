@@ -465,19 +465,36 @@ def execute(lake: "Lake", sql: str) -> Any:
                 kw[km.group(1).lower()] = _literal(km.group(2))
             else:
                 pos.append(_literal(a))
+        def scoped(p):
+            """Reference two-part (schema_name, table_name) overloads
+            (src/pgducklake_partition.cpp:31-95, sql list_files/
+            flush_inlined_data): collapse to 'schema.table' when that
+            table exists; otherwise the args are positional as-is."""
+            if (
+                len(p) >= 2
+                and isinstance(p[0], str)
+                and isinstance(p[1], str)
+            ):
+                try:
+                    if lake._log(f"{p[0]}.{p[1]}").exists():
+                        return [f"{p[0]}.{p[1]}", *p[2:]]
+                except Exception:
+                    pass
+            return p
+
         dispatch = {
             "set_option": lambda: lake.set_option(
                 *pos, **{("table" if k in ("table_name", "regclass") else k): v
                          for k, v in kw.items()}
             ),
-            "flush_inlined_data": lambda: lake.flush_inlined_data(*pos),
+            "flush_inlined_data": lambda: lake.flush_inlined_data(*scoped(pos)),
             "cleanup_old_files": lambda: lake.cleanup_old_files(*pos),
             "expire_snapshots": lambda: lake.expire_snapshots(*pos, **kw),
             "freeze": lambda: lake.freeze(*pos),
             "analyze": lambda: lake.analyze(*pos),
-            "set_partition": lambda: lake.set_partition(*pos),
+            "set_partition": lambda: lake.set_partition(*scoped(pos)),
             "reset_partition": lambda: lake.reset_partition(*pos),
-            "set_sort": lambda: lake.set_sort(*pos),
+            "set_sort": lambda: lake.set_sort(*scoped(pos)),
             "reset_sort": lambda: lake.reset_sort(*pos),
         }
         if proc not in dispatch:

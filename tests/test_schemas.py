@@ -185,3 +185,20 @@ def test_freeze_exports_ducklake_schema(lake, tmp_path, spark):
     assert frozen.table("ext.t").count() == 2
     assert {r["b"] for r in frozen.table("ext.t").collect()} == {"x", "y"}
     assert frozen.table("plain").count() == 1
+
+
+def test_two_part_procedure_overloads(lake):
+    """Reference forms: CALL set_partition('schema','t', ...) and
+    list_files('schema','t') (src/pgducklake_partition.cpp:31-95)."""
+    execute(lake, "CREATE SCHEMA s")
+    execute(lake, "CREATE TABLE s.t (a int, b string)")
+    execute(lake, "CALL ducklake.set_partition('s', 't', 'b')")
+    assert lake.get_partition("s.t") == ["b"]
+    execute(lake, "INSERT INTO s.t VALUES (1, 'x'), (2, 'y')")
+    n = lake.sql("SELECT count(*) AS n FROM list_files('s', 't')").collect()
+    assert n[0]["n"] >= 1
+    execute(lake, "CALL ducklake.flush_inlined_data('s', 't')")  # no-op ok
+    # single-table form still works alongside
+    execute(lake, "CREATE TABLE flat (a int)")
+    execute(lake, "CALL ducklake.set_partition('flat', 'a')")
+    assert lake.get_partition("flat") == ["a"]
