@@ -176,3 +176,53 @@ def test_h32_sql_matches_python_md5(s):
     lit = "'" + s.replace("'", "''") + "'"
     got = duckdb.connect().execute(f"SELECT {sql_h32(lit)}").fetchone()[0]
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# pgsyntax rewriter properties
+# ---------------------------------------------------------------------------
+
+
+_SQL_CHARS = st.characters(
+    min_codepoint=32, max_codepoint=126, blacklist_characters="'\"[]()"
+)
+
+
+@given(st.text(alphabet=_SQL_CHARS, min_size=0, max_size=60))
+def test_pgsyntax_identity_on_plain_sql(s):
+    """SQL containing none of the rewritten forms passes through
+    byte-identical."""
+    from pg_ducklake_spark.pgsyntax import rewrite
+
+    import re as _re
+
+    if _re.search(r"\b(array|unnest|generate_series)\b", s, _re.I):
+        return
+    assert rewrite(s) == s
+
+
+@given(
+    st.lists(st.integers(min_value=-99, max_value=99), min_size=1, max_size=5),
+    st.text(alphabet=_SQL_CHARS, min_size=0, max_size=20),
+)
+def test_pgsyntax_array_literal_and_string_safety(xs, tail):
+    """ARRAY[..] rewrites to array(..) with elements intact; the same
+    spelling INSIDE a string literal is never touched; and the rewrite
+    is idempotent."""
+    from pg_ducklake_spark.pgsyntax import rewrite
+
+    lits = ", ".join(str(x) for x in xs)
+    sql = f"SELECT ARRAY[{lits}], 'ARRAY[{lits}]'"
+    out = rewrite(sql)
+    assert out == f"SELECT array({lits}), 'ARRAY[{lits}]'"
+    assert rewrite(out) == out  # idempotent
+
+
+@given(st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=4))
+def test_pgsyntax_nested_arrays(xs):
+    from pg_ducklake_spark.pgsyntax import rewrite
+
+    inner = ", ".join(f"ARRAY[{x}]" for x in xs)
+    out = rewrite(f"SELECT ARRAY[{inner}]")
+    expected_inner = ", ".join(f"array({x})" for x in xs)
+    assert out == f"SELECT array({expected_inner})"
