@@ -15,7 +15,24 @@ bind-time rewrite layer as the macro expander, zero runtime cost):
   the longest input with NULLs exactly like PG;
 * ``FROM generate_series(a, b[, s]) [AS i]`` → an ``explode(sequence)``
   subquery (PG: the alias names the column; unaliased, the column is
-  ``generate_series`` like DuckDB).
+  ``generate_series`` like DuckDB);
+* ``SELECT DISTINCT ON (keys) list ... ORDER BY o`` (PG's
+  first-row-per-group idiom) → a ``row_number() OVER (PARTITION BY keys
+  ORDER BY o)`` subquery filtered to 1 — one shuffle on the keys, the
+  exact decorrelation a 100 TB plan wants (no self-join);
+* ``QUALIFY pred`` (DuckDB's post-window filter) → the predicate is
+  materialized as a boolean select-list column in a subquery and
+  filtered outside (``SELECT * EXCEPT (__pg_q) ... WHERE __pg_q``);
+  select-list aliases referenced by the predicate resolve via Spark's
+  lateral column aliases;
+* PG regex operators: ``expr ~ pat`` → ``expr RLIKE pat``, ``!~`` →
+  ``NOT RLIKE``; the case-insensitive forms ``~* 'pat'`` / ``!~* 'pat'``
+  (literal pattern only) → ``RLIKE '(?i)pat'``. Binary context is
+  detected from the preceding token so Spark's unary bitwise ``~``
+  (``SELECT ~5``) passes through untouched. NOTE: this is *PostgreSQL*
+  semantics (partial match), matching the reference's PG prompt; DuckDB
+  binds ``~`` to regexp_full_match, so cross-engine shared text should
+  anchor patterns as ``.*pat.*`` where the distinction matters.
 
 All scanning is quote-aware and parenthesis-balanced; anything not
 matching these shapes passes through untouched. The supported subset is
@@ -220,9 +237,226 @@ def _rewrite_projection_unnest(sql: str) -> str:
         pos = list_end
 
 
+_BLOCK_END_KW = re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.I)
+
+
+def _block_end(sql: str, pos: int) -> int:
+    """End of the query block containing ``pos``: the closing paren of
+    the enclosing subquery, a top-level set operator, or end of text."""
+    i, depth = pos, 0
+    while i < len(sql):
+        c = sql[i]
+        if c in "'\"":
+            i = _skip_string(sql, i)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif depth == 0:
+            m = _BLOCK_END_KW.match(sql, i)
+            if m and not (i > 0 and (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                return i
+        i += 1
+    return len(sql)
+
+
+_KW_RE = re.compile(r"\b(ORDER\s+BY|LIMIT|OFFSET|QUALIFY)\b", re.I)
+
+
+def _find_clause(sql: str, start: int, end: int, name: str) -> int | None:
+    """Offset of top-level clause ``name`` within [start, end)."""
+    i, depth = start, 0
+    while i < end:
+        c = sql[i]
+        if c in "'\"":
+            i = _skip_string(sql, i)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0:
+            m = _KW_RE.match(sql, i)
+            if m and not (i > 0 and (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                if m.group(1).upper().split()[0] == name:
+                    return i
+                i = m.end()
+                continue
+        i += 1
+    return None
+
+
+_DISTINCT_ON = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.I)
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """``SELECT DISTINCT ON (K) L FROM R [ORDER BY O] [LIMIT N]`` →
+    row_number window subquery.  PG keeps the first row of each K-group
+    in O order; without an ORDER BY the keeper is arbitrary, so K itself
+    is used for determinism.  Supported subset: no GROUP BY in the block
+    (the inner query selects ``*``)."""
+    while True:
+        m = _search_outside_strings(_DISTINCT_ON, sql)
+        if m is None:
+            return sql
+        open_i = sql.index("(", m.start())
+        close_i = _match_bracket(sql, open_i, "(", ")")
+        keys = sql[open_i + 1 : close_i].strip()
+        list_start = close_i + 1
+        from_i = _select_list_end(sql, list_start)
+        sel_list = sql[list_start:from_i].strip()
+        end = _block_end(sql, from_i)
+        order_i = _find_clause(sql, from_i, end, "ORDER")
+        limit_i = _find_clause(sql, from_i, end, "LIMIT")
+        body_end = min(x for x in (order_i, limit_i, end) if x is not None)
+        body = sql[from_i:body_end].rstrip()  # FROM ... WHERE ...
+        if order_i is not None:
+            ord_end = limit_i if limit_i is not None else end
+            order_list = re.sub(
+                r"^ORDER\s+BY\s*", "", sql[order_i:ord_end].strip(), flags=re.I
+            )
+        else:
+            order_list = keys
+        tail = sql[limit_i:end].strip() if limit_i is not None else ""
+        repl = (
+            f"SELECT {sel_list} FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY {keys} ORDER BY {order_list}) AS __pg_rn "
+            f"{body}) __pg_don WHERE __pg_rn = 1 "
+            f"ORDER BY {order_list}"
+        )
+        if tail:
+            repl += " " + tail
+        sql = sql[: m.start()] + repl + sql[end:]
+
+
+_QUALIFY = re.compile(r"\bQUALIFY\b", re.I)
+_SELECT_KW = re.compile(r"\bSELECT\b", re.I)
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """DuckDB ``QUALIFY pred`` → subquery + WHERE on a materialized
+    boolean column.  The predicate's window functions evaluate in the
+    inner select list (after GROUP BY/HAVING, like QUALIFY); ORDER
+    BY/LIMIT move outside the wrap."""
+    while True:
+        q = _search_outside_strings(_QUALIFY, sql)
+        if q is None:
+            return sql
+        # Block start: the most recent SELECT at the QUALIFY's depth.
+        i, depth = 0, 0
+        sel_at_depth: dict[int, int] = {}
+        while i < q.start():
+            c = sql[i]
+            if c in "'\"":
+                i = _skip_string(sql, i)
+                continue
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            else:
+                m = _SELECT_KW.match(sql, i)
+                if m and not (i > 0 and (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                    sel_at_depth[depth] = i
+                    i = m.end()
+                    continue
+            i += 1
+        sel_i = sel_at_depth.get(depth)
+        if sel_i is None:  # malformed; leave for the analyzer
+            return sql
+        end = _block_end(sql, q.end())
+        order_i = _find_clause(sql, q.end(), end, "ORDER")
+        limit_i = _find_clause(sql, q.end(), end, "LIMIT")
+        pred_end = min(x for x in (order_i, limit_i, end) if x is not None)
+        pred = sql[q.end() : pred_end].strip()
+        tail = sql[pred_end:end].strip()
+        list_start = sel_i + len("SELECT ")
+        from_i = _select_list_end(sql, list_start)
+        inner = (
+            sql[sel_i:from_i].rstrip()
+            + f", ({pred}) AS __pg_q "
+            + sql[from_i : q.start()].rstrip()
+        )
+        repl = f"SELECT * EXCEPT (__pg_q) FROM ({inner}) __pg_qual WHERE __pg_q"
+        if tail:
+            repl += " " + tail
+        sql = sql[:sel_i] + repl + sql[end:]
+
+
+# ``~`` is binary (regex) when the preceding token is an identifier,
+# literal, or closing bracket — not a keyword/operator (Spark's unary
+# bitwise NOT: ``SELECT ~5``).
+_UNARY_CONTEXT_KW = {
+    "select", "where", "and", "or", "not", "when", "then", "else", "on",
+    "by", "having", "case", "in", "like", "ilike", "as", "from", "join",
+    "set", "qualify", "distinct", "all", "between", "return", "returning",
+}
+_PAT_LIT = re.compile(r"\s*'")
+
+
+def _prev_token_is_operand(sql: str, i: int) -> bool:
+    j = i - 1
+    while j >= 0 and sql[j] in " \t\n\r":
+        j -= 1
+    if j < 0:
+        return False
+    c = sql[j]
+    if c in ")]'\"":
+        return True
+    if c.isalnum() or c == "_":
+        k = j
+        while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+            k -= 1
+        word = sql[k + 1 : j + 1].lower()
+        return word not in _UNARY_CONTEXT_KW
+    return False
+
+
+def _rewrite_regex_ops(sql: str) -> str:
+    out, i = [], 0
+    while i < len(sql):
+        c = sql[i]
+        if c in "'\"":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        op = None
+        for cand in ("!~*", "!~", "~*", "~"):
+            if sql.startswith(cand, i):
+                op = cand
+                break
+        if op is None or not _prev_token_is_operand(sql, i):
+            out.append(c)
+            i += 1
+            continue
+        after = i + len(op)
+        neg = "NOT " if op.startswith("!") else ""
+        if op.endswith("*"):
+            lm = _PAT_LIT.match(sql, after)
+            if lm is None:  # non-literal pattern: can't inject (?i)
+                out.append(c)
+                i += 1
+                continue
+            lit_end = _skip_string(sql, lm.end() - 1)
+            pat = sql[lm.end() : lit_end - 1]
+            out.append(f" {neg}RLIKE '(?i){pat}'")
+            i = lit_end
+        else:
+            out.append(f" {neg}RLIKE ")
+            i = after
+    return "".join(out)
+
+
 def rewrite(sql: str) -> str:
     """Apply all PG/DuckDB surface rewrites (idempotent)."""
     sql = _rewrite_array_literals(sql)
     sql = _rewrite_from_tvfs(sql)
     sql = _rewrite_projection_unnest(sql)
+    sql = _rewrite_distinct_on(sql)
+    sql = _rewrite_qualify(sql)
+    sql = _rewrite_regex_ops(sql)
     return sql

@@ -131,6 +131,7 @@ from pg_ducklake_spark.plans import curation  # noqa: E402,F401
 from pg_ducklake_spark.plans import semdedup  # noqa: E402,F401
 from pg_ducklake_spark.plans import sketches  # noqa: E402,F401
 from pg_ducklake_spark.plans import graph  # noqa: E402,F401
+from pg_ducklake_spark.plans import pgsurface  # noqa: E402,F401
 
 # Driver-sweep ordering. The external correctness sweep verifies
 # queries in dict order and has covered the first 50 entries per round;
@@ -177,8 +178,15 @@ _SWEEP_FIRST = [
     "pipe_contamination_check",
     "text_unigram_surprisal",
     "pipe_quality_gate",
-    "pipe_training_order",
-    "mm_frame_sample",
+    # Round-6 fourth rotation: the PG/DuckDB surface family — shared
+    # oracle TEXT through pgsyntax.rewrite (DISTINCT ON, QUALIFY, ~/!~)
+    # — takes driver rows, displacing pipe_training_order,
+    # mm_frame_sample and graph_degree_histogram (driver-green r5;
+    # their families keep rows: pipe ×4, mm_feature_extraction,
+    # graph_triangle_census).
+    "pg_distinct_on_latest",
+    "pg_qualify_top_event",
+    "pg_regex_operators",
     # Round-5 late rotation: the session's new families take driver
     # rows; the displaced rows (duckdb-compat SQL, range join, corr,
     # crossmodal check, bucketed join) are driver-green since round 4
@@ -220,7 +228,6 @@ _SWEEP_FIRST = [
     # (displacing stats_value_moments and events_sessionized_gap,
     # driver-green r2-r4).
     "graph_triangle_census",
-    "graph_degree_histogram",
 ]
 
 

@@ -110,3 +110,82 @@ def test_unnest_from_clause_over_table(lake):
         " (SELECT explode(arr) AS unnest FROM t)"
     ).collect()[0]
     assert got.s == 60
+
+
+def test_rewrite_distinct_on_units():
+    got = rewrite("SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, x DESC")
+    assert "row_number() OVER (PARTITION BY k ORDER BY k, x DESC)" in got
+    assert got.startswith("SELECT k, v FROM (SELECT *,")
+    assert got.rstrip().endswith("WHERE __pg_rn = 1 ORDER BY k, x DESC")
+    # no ORDER BY: the keys order the window (deterministic keeper)
+    got = rewrite("SELECT DISTINCT ON (a, b) a, b, c FROM t WHERE c > 0")
+    assert "PARTITION BY a, b ORDER BY a, b" in got
+    assert "WHERE c > 0" in got
+    # LIMIT survives outside the wrap
+    got = rewrite("SELECT DISTINCT ON (k) k FROM t ORDER BY k LIMIT 7")
+    assert got.rstrip().endswith("LIMIT 7")
+    # inside a subquery
+    got = rewrite("SELECT * FROM (SELECT DISTINCT ON (a) a FROM t) s")
+    assert "__pg_rn" in got and got.startswith("SELECT * FROM (")
+
+
+def test_rewrite_qualify_units():
+    got = rewrite(
+        "SELECT k, v FROM t QUALIFY row_number() OVER (PARTITION BY k"
+        " ORDER BY v) = 1 ORDER BY k"
+    )
+    assert got.startswith("SELECT * EXCEPT (__pg_q) FROM (SELECT k, v, (")
+    assert got.rstrip().endswith("WHERE __pg_q ORDER BY k")
+    # GROUP BY stays inside the wrap, window evaluates post-agg
+    got = rewrite(
+        "SELECT k, sum(v) AS s FROM t GROUP BY k"
+        " QUALIFY row_number() OVER (ORDER BY sum(v) DESC) <= 2"
+    )
+    assert "GROUP BY k) __pg_qual WHERE __pg_q" in got
+    # QUALIFY in a string literal untouched
+    assert rewrite("SELECT 'QUALIFY x' AS s FROM t") == "SELECT 'QUALIFY x' AS s FROM t"
+
+
+def test_rewrite_regex_op_units():
+    assert rewrite("SELECT x ~ 'p' FROM t") == "SELECT x  RLIKE  'p' FROM t"
+    assert rewrite("WHERE a !~ 'p'") == "WHERE a  NOT RLIKE  'p'"
+    assert rewrite("WHERE a ~* '.*P.*'") == "WHERE a  RLIKE '(?i).*P.*'"
+    assert rewrite("WHERE a !~* 'P'") == "WHERE a  NOT RLIKE '(?i)P'"
+    # unary bitwise NOT untouched (keyword / operator context)
+    assert rewrite("SELECT ~5") == "SELECT ~5"
+    assert rewrite("SELECT 1 + ~x FROM t") == "SELECT 1 + ~x FROM t"
+    # operators inside string literals untouched
+    assert rewrite("SELECT 'a ~ b'") == "SELECT 'a ~ b'"
+    # closing paren / literal on the left is an operand
+    assert "RLIKE" in rewrite("WHERE lower(a) ~ 'p'")
+    assert "RLIKE" in rewrite("WHERE 'abc' ~ 'p'")
+    # non-literal pattern after ~* stays (can't inject (?i) textually)
+    assert rewrite("WHERE a ~* b") == "WHERE a ~* b"
+
+
+def test_distinct_on_and_qualify_sql(lake):
+    """PG DISTINCT ON and DuckDB QUALIFY through the live SQL prompt."""
+    lake.create_table("dq", "k int, v string, x int")
+    from pyspark.sql import Row
+
+    lake.insert(
+        "dq",
+        lake.spark.createDataFrame(
+            [Row(k=1, v="a", x=5), Row(k=1, v="b", x=9),
+             Row(k=2, v="c", x=3), Row(k=2, v="d", x=3)],
+            "k int, v string, x int",
+        ),
+    )
+    got = lake.sql(
+        "SELECT DISTINCT ON (k) k, v FROM dq ORDER BY k, x DESC, v"
+    ).collect()
+    assert [(r.k, r.v) for r in got] == [(1, "b"), (2, "c")]
+    got = lake.sql(
+        "SELECT k, v FROM dq QUALIFY row_number() OVER"
+        " (PARTITION BY k ORDER BY x DESC, v) = 1 ORDER BY k"
+    ).collect()
+    assert [(r.k, r.v) for r in got] == [(1, "b"), (2, "c")]
+    got = lake.sql(
+        "SELECT count(*) AS n FROM dq WHERE v ~ '[ab]' AND v !~* 'C.*'"
+    ).collect()[0]
+    assert got.n == 2
