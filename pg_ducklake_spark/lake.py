@@ -109,6 +109,36 @@ _TYPE_SPELLINGS = [
         ),
         "INTERVAL DAY TO SECOND",
     ),
+    # docs/data_types.md full matrix. DOUBLE PRECISION is PG's spelling
+    # of float64; the unsigned tiers widen to the next signed type that
+    # holds their range (the reference's own inlined-PG-column choice,
+    # data_types.md:16-19); UBIGINT (2^64-1 < 10^38) fits DECIMAL(38,0)
+    # exactly where the reference falls back to VARCHAR; HUGEINT /
+    # UHUGEINT exceed DECIMAL(38,0)'s range, so they take the text tier
+    # like the reference's inline path (data_types.md:20-21). JSON →
+    # STRING (the JSON-string function family operates on it; VARIANT
+    # is the typed alternative). TIMESTAMP_S/_MS are exact in
+    # TIMESTAMP_NTZ micros; TIMESTAMP_NS would truncate, so it keeps
+    # full fidelity as text. Geometry names (data_types.md:38-46, DuckDB
+    # spatial) → WKT text tier.
+    (re.compile(r"\bDOUBLE\s+PRECISION\b", re.IGNORECASE), "DOUBLE"),
+    (re.compile(r"\bUTINYINT\b", re.IGNORECASE), "SMALLINT"),
+    (re.compile(r"\bUSMALLINT\b", re.IGNORECASE), "INT"),
+    (re.compile(r"\bUINTEGER\b", re.IGNORECASE), "BIGINT"),
+    (re.compile(r"\bUBIGINT\b", re.IGNORECASE), "DECIMAL(38,0)"),
+    (re.compile(r"\bUHUGEINT\b", re.IGNORECASE), "STRING"),
+    (re.compile(r"\bHUGEINT\b", re.IGNORECASE), "STRING"),
+    (re.compile(r"\bJSON\b", re.IGNORECASE), "STRING"),
+    (re.compile(r"\bTIMESTAMP_NS\b", re.IGNORECASE), "STRING"),
+    (re.compile(r"\bTIMESTAMP_(?:S|MS)\b", re.IGNORECASE), "TIMESTAMP_NTZ"),
+    (
+        re.compile(
+            r"\b(?:MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|"
+            r"GEOMETRYCOLLECTION|LINESTRING|POLYGON|POINT)\b",
+            re.IGNORECASE,
+        ),
+        "STRING",
+    ),
 ]
 
 
@@ -145,6 +175,10 @@ def _fix_interval_types(dtype: T.DataType) -> T.DataType:
 def _parse_schema(schema: str | T.StructType) -> T.StructType:
     if isinstance(schema, T.StructType):
         return schema
+    # PG's long spelling first, so VARCHAR rules see both forms.
+    schema = re.sub(
+        r"\bCHARACTER\s+VARYING\b", "VARCHAR", schema, flags=re.IGNORECASE
+    )
     schema = _CHAR_PARAM_RE.sub("STRING", schema)
     try:
         parsed = T.StructType.fromDDL(schema)
@@ -662,10 +696,17 @@ class Lake:
         )
 
     def drop_column(self, name: str, col_name: str) -> None:
+        # The dropped column's tags go with it (ducklake_column_tag rows
+        # are keyed by column; PG drops dependent comments on DROP
+        # COLUMN) — same snapshot, so the removal is atomic.
+        extra = None
+        if col_name in self._state(name).column_tags:
+            extra = {"set": {"column_tags": {col_name: None}}}
         self._alter_schema(
             name,
             f"DROP COLUMN {col_name}",
             lambda fields: [f for f in fields if f.name != col_name],
+            extra=extra,
         )
 
     def rename_column(self, name: str, old: str, new: str) -> None:

@@ -89,3 +89,18 @@ def test_tags_survive_checkpoint_and_freeze(lake, tmp_path):
         "SELECT column_name, key, value FROM ducklake_column_tag"
     ).fetchall() == [("b", "comment", "col doc")]
     con.close()
+
+
+def test_drop_column_clears_its_tags(lake):
+    """PG drops dependent comments with the column; a re-added column of
+    the same name must start untagged (fuzz_schema seed 11)."""
+    lake.create_table("t", "a int, v string")
+    lake.set_column_tag("t", "v", "comment", "c-doc")
+    lake.set_column_tag("t", "a", "comment", "keep")
+    lake.drop_column("t", "v")
+    assert lake.column_tags("t") == {"a": {"comment": "keep"}}
+    lake.add_column("t", "v", "string")
+    assert "v" not in lake.column_tags("t")
+    # survives replay
+    lake._logs.clear()
+    assert lake.column_tags("t") == {"a": {"comment": "keep"}}

@@ -285,3 +285,46 @@ def test_interval_filter_and_arithmetic(lake, spark):
     assert [r.id for r in got] == [2]
     tot = lake.sql("SELECT sum(iv) AS s FROM t").collect()[0].s
     assert tot == dt.timedelta(hours=3, minutes=5)
+
+
+def test_extended_ddl_spellings(lake):
+    """docs/data_types.md full matrix: PG/DuckDB spellings the Spark DDL
+    parser rejects map to their documented tiers (types.sql:4-31,
+    metadata_sync.sql double precision)."""
+    lake.create_table(
+        "sp",
+        "cv character varying(20), cv2 character varying, dp double precision,"
+        " u1 utinyint, u2 usmallint, u4 uinteger, u8 ubigint,"
+        " h hugeint, uh uhugeint, j json, n numeric(10,2),"
+        " ts_s timestamp_s, ts_ns timestamp_ns, geo point, shape polygon",
+    )
+    got = dict(lake.table("sp").dtypes)
+    assert got["cv"] == "string" and got["cv2"] == "string"
+    assert got["dp"] == "double"
+    assert (got["u1"], got["u2"], got["u4"]) == ("smallint", "int", "bigint")
+    assert got["u8"] == "decimal(38,0)"
+    assert got["h"] == "string" and got["uh"] == "string"
+    assert got["j"] == "string"
+    assert got["n"] == "decimal(10,2)"
+    assert got["ts_s"].startswith("timestamp")
+    assert got["ts_ns"] == "string"
+    assert got["geo"] == "string" and got["shape"] == "string"
+    # round trip one row through the parquet tier
+    from decimal import Decimal
+    from pyspark.sql import Row
+
+    lake.insert(
+        "sp",
+        lake.spark.createDataFrame(
+            [Row(cv="x", cv2="y", dp=1.5, u1=200, u2=40000, u4=3_000_000_000,
+                 u8=Decimal(2**64 - 1), h=str(2**100), uh=str(2**127),
+                 j='{"a": 1}', n=Decimal("12.34"),
+                 ts_s=__import__("datetime").datetime(2024, 1, 2, 3, 4, 5),
+                 ts_ns="2024-01-02 03:04:05.123456789",
+                 geo="POINT(1 2)", shape="POLYGON((0 0,1 0,1 1,0 0))")],
+            lake._state("sp").schema,
+        ),
+    )
+    row = lake.table("sp").collect()[0]
+    assert row.u8 == Decimal(2**64 - 1) and row.h == str(2**100)
+    assert row.geo == "POINT(1 2)"
