@@ -132,6 +132,7 @@ from pg_ducklake_spark.plans import semdedup  # noqa: E402,F401
 from pg_ducklake_spark.plans import sketches  # noqa: E402,F401
 from pg_ducklake_spark.plans import graph  # noqa: E402,F401
 from pg_ducklake_spark.plans import pgsurface  # noqa: E402,F401
+from pg_ducklake_spark.plans import retrieval  # noqa: E402,F401
 
 # Driver-sweep ordering. The external correctness sweep verifies
 # queries in dict order and has covered the first 50 entries per round;
@@ -169,7 +170,6 @@ _SWEEP_FIRST = [
     "mm_feature_extraction",
     "pipe_filter_dedup_stats",
     "ts_gap_fill_locf",
-    "pipe_stratified_sample",
     # Round-5 rotation: the new families take the hard driver rows;
     # the rows they displace (q9/q18, window rank, hybrid scan,
     # retention, histogram) are driver-green since rounds 2-4 and stay
@@ -192,7 +192,6 @@ _SWEEP_FIRST = [
     # crossmodal check, bucketed join) are driver-green since round 4
     # and stay under the full judge harness.
     "stats_mad_outliers",
-    "sim_codebook_mix",
     # Round-7 rotation: the round-6 surfaces — schema namespaces
     # end-to-end and the INTERVAL-returning type-tier query — take
     # driver rows (displacing text_heavy_hitters and
@@ -210,7 +209,6 @@ _SWEEP_FIRST = [
     "text_pii_redact_stats",
     "text_denylist_screen",
     "events_funnel",
-    "events_transition_matrix",
     "pipe_importance_sample",
     "dedup_substring_windows",
     "dedup_canonical_selection",
@@ -228,6 +226,14 @@ _SWEEP_FIRST = [
     # (displacing stats_value_moments and events_sessionized_gap,
     # driver-green r2-r4).
     "graph_triangle_census",
+    # Round-6 fifth rotation: the retrieval/LM family — BM25 top-k,
+    # add-one bigram-LM perplexity, BPE first-merge pair counts —
+    # takes driver rows, displacing pipe_stratified_sample,
+    # events_transition_matrix and sim_codebook_mix (driver-green r5;
+    # their families stay represented: pipe ×4, events_funnel, sim ×6).
+    "text_bm25_topk",
+    "text_bigram_perplexity",
+    "text_bpe_pair_counts",
 ]
 
 
