@@ -98,6 +98,11 @@ HEADLINE = [
     "text_cms_heavy_hitters",
     "graph_triangle_census",
     "graph_degree_histogram",
+    # Round-6 retrieval/LM family: BM25 top-k, bigram-LM perplexity,
+    # BPE first-merge pair counts — benched alongside the text family.
+    "text_bm25_topk",
+    "text_bigram_perplexity",
+    "text_bpe_pair_counts",
 ]
 
 

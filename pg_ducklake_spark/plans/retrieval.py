@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from pg_ducklake_spark.plans import query, rebalance, t
+from pg_ducklake_spark.plans import query, t
+
+# No rebalance() in this module: the tokenize chains here are light
+# (split/explode feeding broadcast-pruned joins or Zipf-collapsed
+# aggregates), so the up-front repartition shuffle costs more than the
+# extra scan parallelism buys (A/B at sf0.1: BM25 1.5 s vs 2.3 s, ppl
+# 1.8 s vs 2.3 s, bpe 0.45 s vs 0.62 s). Production lakes scan many
+# files in parallel without it.
 
 # ----------------------------------------------------------- BM25 top-k
 
@@ -69,7 +76,10 @@ _BM25_IDF = (
             FROM documents) x
       WHERE token <> ''
     ),
-    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    dl AS (SELECT doc_id,
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '')) AS BIGINT) AS dl
+           FROM documents),
     corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                       CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
     queries AS (
@@ -121,7 +131,17 @@ def text_bm25_topk(spark, sf_dir):
     keys are doc_id, and the final top-k is a per-query window over
     (queries × matching docs), never the corpus.
     """
-    docs = rebalance(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # Doc length map-side — size(filter(split)) per row, no explode, no
+    # shuffle. The exploded stream below exists ONLY for the pruned tf
+    # aggregate.
+    dl = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(split(lower(text), ' '), x -> x <> ''))"
+            " AS BIGINT)"
+        ).alias("dl"),
+    )
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
@@ -131,7 +151,6 @@ def text_bm25_topk(spark, sf_dir):
         .groupBy("doc_id", "query_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     corpus = dl.groupBy().agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )
@@ -212,17 +231,16 @@ def text_bigram_perplexity(spark, sf_dir):
     add-one-smoothed bigram LM; the 20 most-perplexing documents (the
     tail a perplexity filter would drop).
 
-    Scale shape: ONE shuffle of the bigram stream serves both count
-    tables (window counts over (w1,w2) and over w1 share the hash
-    partitioning on w1 prefixes only conceptually — Spark plans them as
-    two window stages over the same exchange output); the vocabulary
-    size is a 1-row broadcast scalar. Per-bigram surprisal is frozen to
-    integer micro-nats before the per-doc mean, so aggregation order
-    cannot perturb the result. The final LIMIT 20 is driver-bounded.
+    Scale shape: the per-doc bigram multiset Zipf-collapses into
+    (doc_id, w1, w2, k) with ONE corpus shuffle; the LM count tables
+    (c12, c1) re-aggregate that collapsed table, so they and their
+    joins touch vocabulary-bounded data (≤|vocab|² rows — AQE converts
+    those joins to broadcasts at runtime), never the corpus again. The
+    per-doc sum weights the frozen per-bigram surprisal by k — exact
+    integer math, order-independent. The final LIMIT 20 is
+    driver-bounded.
     """
-    docs = rebalance(
-        t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     toklists = docs.select(
         "doc_id", "source",
         F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
@@ -245,26 +263,32 @@ def text_bigram_perplexity(spark, sf_dir):
         .filter(F.col("token") != "")
         .agg(F.countDistinct("token").alias("v"))
     )
-    w12 = Window.partitionBy("w1", "w2")
-    w1 = Window.partitionBy("w1")
-    scored = (
-        bigrams.withColumn("n12", F.count(F.lit(1)).over(w12))
-        .withColumn("n1", F.count(F.lit(1)).over(w1))
+    dbig = bigrams.groupBy("doc_id", "source", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    c12 = dbig.groupBy("w1", "w2").agg(F.sum("k").alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    scored_lm = (
+        c12.join(c1, "w1")  # vocab-bounded both sides; AQE broadcasts
         .crossJoin(F.broadcast(vocab))  # bcast-ok: 1-row scalar
-        .withColumn(
-            "s_micro",
+        .select(
+            "w1", "w2",
             F.expr(
                 "CAST(ROUND(-ln(CAST(n12 + 1 AS DOUBLE)"
                 " / CAST(n1 + v AS DOUBLE)) * 1000000.0) AS BIGINT)"
-            ),
+            ).alias("s_micro"),
         )
     )
-    per_doc = scored.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.expr(
-            "CAST(ROUND(CAST(SUM(s_micro) AS DOUBLE)"
-            " / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)"
-        ).alias("ppl_micro"),
+    per_doc = (
+        dbig.join(scored_lm, ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.expr(
+                "CAST(ROUND(CAST(SUM(k * s_micro) AS DOUBLE)"
+                " / CAST(SUM(k) AS DOUBLE)) AS BIGINT)"
+            ).alias("ppl_micro"),
+        )
     )
     return (
         per_doc.orderBy(F.desc("ppl_micro"), F.asc("doc_id"))
@@ -307,7 +331,7 @@ def text_bpe_pair_counts(spark, sf_dir):
     the unpartitioned ranking window is over that constant-bounded set,
     never data-proportional state.
     """
-    docs = rebalance(t(spark, sf_dir, "documents").select("text"))
+    docs = t(spark, sf_dir, "documents").select("text")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .filter(F.length("word") >= 2)
