@@ -434,6 +434,17 @@ def _rewrite_regex_ops(sql: str) -> str:
             i += 1
             continue
         after = i + len(op)
+        # A binary regex op needs a RIGHT operand too: a literal,
+        # identifier, or parenthesized expression. A trailing ~ (or one
+        # followed by another operator) is not ours to rewrite —
+        # `SELECT 0~` must pass through byte-identical.
+        k = after
+        while k < len(sql) and sql[k] in " \t\n\r":
+            k += 1
+        if k >= len(sql) or not (sql[k] in "'\"(_" or sql[k].isalnum()):
+            out.append(c)
+            i += 1
+            continue
         neg = "NOT " if op.startswith("!") else ""
         if op.endswith("*"):
             lm = _PAT_LIT.match(sql, after)

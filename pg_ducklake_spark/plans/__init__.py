@@ -177,7 +177,6 @@ _SWEEP_FIRST = [
     "dedup_components",
     "pipe_contamination_check",
     "text_unigram_surprisal",
-    "pipe_quality_gate",
     # Round-6 fourth rotation: the PG/DuckDB surface family — shared
     # oracle TEXT through pgsyntax.rewrite (DISTINCT ON, QUALIFY, ~/!~)
     # — takes driver rows, displacing pipe_training_order,
@@ -234,6 +233,11 @@ _SWEEP_FIRST = [
     "text_bm25_topk",
     "text_bigram_perplexity",
     "text_bpe_pair_counts",
+    # Round-6 sixth rotation: hybrid RRF fusion (lexical Jaccard +
+    # embedding cosine, query-by-example) takes a driver row,
+    # displacing pipe_quality_gate (driver-green r5; pipe keeps
+    # filter_dedup_stats, contamination_check, importance_sample).
+    "sim_rrf_hybrid",
 ]
 
 

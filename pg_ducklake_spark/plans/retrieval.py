@@ -122,49 +122,51 @@ def text_bm25_topk(spark, sf_dir):
     """BM25 top-k retrieval (Okapi k1=1.2, b=0.75) for a literal query
     workload over the whole corpus.
 
-    Scale shape: the token stream is filtered to the query-term set
-    BEFORE any shuffle (the broadcast semi-join prunes at the scan), so
-    the tf aggregate shuffles only matching postings, not the corpus.
-    Doc lengths come from one map-side ``size(filter(split))`` per doc —
-    no second explode. Term stats (df/idf: one row per query term) and
-    the corpus scalar are broadcast; the only data-proportional shuffle
-    keys are doc_id, and the final top-k is a per-query window over
-    (queries × matching docs), never the corpus.
+    Scale shape: ONE corpus scan drives everything data-proportional.
+    The doc length rides THROUGH the explode as a carried column (it is
+    constant per doc, so it joins the tf group keys for free) — no
+    second scan, no dl join. The token stream hits the broadcast
+    query-term join BEFORE any exchange, so the tf aggregate shuffles
+    only matching postings; df is then a window count over the tf table
+    itself (tf has exactly one row per (doc, term), so COUNT over the
+    term partition IS the document frequency) — no second aggregation
+    branch re-deriving tf. The corpus scalar is a separate
+    1-row-broadcast scan without the explode. Final top-k is a
+    per-query window over matching docs, never the corpus.
     """
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    # Doc length map-side — size(filter(split)) per row, no explode, no
-    # shuffle. The exploded stream below exists ONLY for the pruned tf
-    # aggregate.
-    dl = docs.select(
+    base = docs.select(
         "doc_id",
-        F.expr(
-            "CAST(size(filter(split(lower(text), ' '), x -> x <> ''))"
-            " AS BIGINT)"
-        ).alias("dl"),
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
     )
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
-    ).filter(F.col("token") != "")
-    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, term string")
+    corpus = base.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks").cast("long")).alias("total_len"),
+    )
+    toks = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        F.explode("toks").alias("token"),
+    )
+    terms = spark.createDataFrame(
+        sorted({w for _, w in _BM25_QUERIES}, ), "string"
+    ).toDF("term")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, qterm string")
     tf = (
-        toks.join(F.broadcast(queries), toks.token == queries.term)
-        .groupBy("doc_id", "query_id", "term")
+        toks.join(F.broadcast(terms), toks.token == terms.term)  # bcast-ok: literal query-term set (bounded)
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    corpus = dl.groupBy().agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
-    )
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = df.crossJoin(F.broadcast(corpus)).select(  # bcast-ok: 1-row corpus
-        "term", F.expr(_BM25_IDF).alias("idf_micro")
-    )
-    contrib = (
-        tf.join(dl, "doc_id")  # both sides already hashed by doc_id
-        .join(F.broadcast(idf), "term")  # bcast-ok: one row per query term
+    # tf has one row per (doc, term) → window COUNT over term = df.
+    df_w = Window.partitionBy("term")
+    scored_terms = (
+        tf.withColumn("df", F.count(F.lit(1)).over(df_w))
         .crossJoin(F.broadcast(corpus))  # bcast-ok: 1-row corpus
+        .withColumn("idf_micro", F.expr(_BM25_IDF))
+        .join(F.broadcast(queries), F.col("term") == F.col("qterm"))  # bcast-ok: literal query workload (bounded)
         .select("query_id", "doc_id", F.expr(_BM25_CONTRIB).alias("c_micro"))
     )
-    scored = contrib.groupBy("query_id", "doc_id").agg(
+    scored = scored_terms.groupBy("query_id", "doc_id").agg(
         F.sum("c_micro").alias("score_micro")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -232,12 +234,12 @@ def text_bigram_perplexity(spark, sf_dir):
     tail a perplexity filter would drop).
 
     Scale shape: the per-doc bigram multiset Zipf-collapses into
-    (doc_id, w1, w2, k) with ONE corpus shuffle; the LM count tables
-    (c12, c1) re-aggregate that collapsed table, so they and their
-    joins touch vocabulary-bounded data (≤|vocab|² rows — AQE converts
-    those joins to broadcasts at runtime), never the corpus again. The
-    per-doc sum weights the frozen per-bigram surprisal by k — exact
-    integer math, order-independent. The final LIMIT 20 is
+    (doc_id, w1, w2, k) with ONE corpus shuffle — the only corpus-sized
+    exchange. The LM counts are then window sums OVER that collapsed
+    table (n12 over (w1,w2), n1 over w1), so the corpus is never
+    re-scanned or re-exploded, and every later stage touches collapsed
+    data. The per-doc sum weights the frozen per-bigram surprisal by k
+    — exact integer math, order-independent. The final LIMIT 20 is
     driver-bounded.
     """
     docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -266,29 +268,30 @@ def text_bigram_perplexity(spark, sf_dir):
     dbig = bigrams.groupBy("doc_id", "source", "w1", "w2").agg(
         F.count(F.lit(1)).alias("k")
     )
-    c12 = dbig.groupBy("w1", "w2").agg(F.sum("k").alias("n12"))
-    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
-    scored_lm = (
-        c12.join(c1, "w1")  # vocab-bounded both sides; AQE broadcasts
+    # LM counts as WINDOW sums over the collapsed table — no join-back,
+    # so the corpus Generate plans exactly once (Spark does not CSE a
+    # re-used subplan across a self-join; the join formulation re-scans
+    # and re-explodes the corpus for each count table).
+    w12 = Window.partitionBy("w1", "w2")
+    w1w = Window.partitionBy("w1")
+    scored = (
+        dbig.withColumn("n12", F.sum("k").over(w12))
+        .withColumn("n1", F.sum("k").over(w1w))
         .crossJoin(F.broadcast(vocab))  # bcast-ok: 1-row scalar
-        .select(
-            "w1", "w2",
+        .withColumn(
+            "s_micro",
             F.expr(
                 "CAST(ROUND(-ln(CAST(n12 + 1 AS DOUBLE)"
                 " / CAST(n1 + v AS DOUBLE)) * 1000000.0) AS BIGINT)"
-            ).alias("s_micro"),
+            ),
         )
     )
-    per_doc = (
-        dbig.join(scored_lm, ["w1", "w2"])
-        .groupBy("doc_id", "source")
-        .agg(
-            F.sum("k").alias("n_bigrams"),
-            F.expr(
-                "CAST(ROUND(CAST(SUM(k * s_micro) AS DOUBLE)"
-                " / CAST(SUM(k) AS DOUBLE)) AS BIGINT)"
-            ).alias("ppl_micro"),
-        )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.sum("k").alias("n_bigrams"),
+        F.expr(
+            "CAST(ROUND(CAST(SUM(k * s_micro) AS DOUBLE)"
+            " / CAST(SUM(k) AS DOUBLE)) AS BIGINT)"
+        ).alias("ppl_micro"),
     )
     return (
         per_doc.orderBy(F.desc("ppl_micro"), F.asc("doc_id"))
@@ -354,4 +357,216 @@ def text_bpe_pair_counts(spark, sf_dir):
         pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 20)
         .orderBy("rnk")
+    )
+
+
+# ------------------------------------------- hybrid retrieval (RRF)
+
+_RRF_EXAMPLES = [3, 17, 29]
+_RRF_K = 60
+_RRF_LIST = 100
+_RRF_TOPK = 5
+
+_RRF_DIM = 64
+
+
+def _rrf_dot(a: str, b: str, base: int) -> str:
+    """Unrolled element-ordered dot product; ``base`` is the engine's
+    array origin (DuckDB 1, Spark 0). Same order + double adds → the
+    emitted doubles are bit-identical across engines."""
+    return "(" + " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(base, _RRF_DIM + base)
+    ) + ")"
+
+
+_RRF_DOT_D = _rrf_dot("a.embedding", "b.qe", 1)
+_RRF_NA_D = _rrf_dot("a.embedding", "a.embedding", 1)
+_RRF_NB_D = _rrf_dot("b.qe", "b.qe", 1)
+
+# Spark side: fold form — same left-associated element order and double
+# adds as the unrolled oracle (bit-identical values; see the strategy
+# note in plans/similarity.py: the 64-getItem unrolled chain costs
+# ~0.25 s of driver codegen per execution and still runs slower).
+_RRF_FOLD = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE)"
+    " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_RRF_DOT_S = _RRF_FOLD.format(a="emb_a", b="qe")
+_RRF_NA_S = _RRF_FOLD.format(a="emb_a", b="emb_a")
+_RRF_NB_S = _RRF_FOLD.format(a="qe", b="qe")
+
+
+@query(
+    "sim_rrf_hybrid",
+    oracle=f"""
+    WITH ex AS (SELECT * FROM (VALUES {", ".join(f"({e})" for e in _RRF_EXAMPLES)}) e(example_id)),
+    dtoks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '')) AS ts
+      FROM documents
+    ),
+    ex_toks AS (
+      SELECT e.example_id, d.ts AS ex_ts, len(d.ts) AS ex_n
+      FROM ex e JOIN dtoks d ON d.doc_id = e.example_id
+    ),
+    lex AS (
+      SELECT x.example_id, d.doc_id,
+             len(list_filter(d.ts, t -> list_contains(x.ex_ts, t))) AS inter,
+             len(d.ts) + x.ex_n AS sz
+      FROM dtoks d CROSS JOIN ex_toks x
+      WHERE d.doc_id <> x.example_id
+    ),
+    lex_ranked AS (
+      SELECT example_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY example_id
+                                ORDER BY CAST(inter AS DOUBLE)
+                                         / CAST(sz - inter AS DOUBLE) DESC,
+                                         doc_id ASC) AS r_lex
+      FROM lex WHERE inter > 0
+    ),
+    ex_vec AS (
+      SELECT e.example_id, emb.embedding AS qe
+      FROM ex e JOIN embeddings emb ON emb.vec_id = e.example_id
+    ),
+    vec_ranked AS (
+      SELECT example_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY example_id
+                                ORDER BY cos DESC, doc_id ASC) AS r_vec
+      FROM (
+        SELECT b.example_id, a.vec_id AS doc_id,
+               ({_RRF_DOT_D}) / (sqrt({_RRF_NA_D}) * sqrt({_RRF_NB_D})) AS cos
+        FROM embeddings a CROSS JOIN ex_vec b
+        WHERE a.vec_id <> b.example_id
+      ) s
+    ),
+    fused AS (
+      SELECT example_id, doc_id, CAST(SUM(part) AS BIGINT) AS rrf_nano
+      FROM (
+        SELECT example_id, doc_id,
+               CAST(ROUND(1000000000.0 / ({_RRF_K} + r_lex)) AS BIGINT) AS part
+        FROM lex_ranked WHERE r_lex <= {_RRF_LIST}
+        UNION ALL
+        SELECT example_id, doc_id,
+               CAST(ROUND(1000000000.0 / ({_RRF_K} + r_vec)) AS BIGINT) AS part
+        FROM vec_ranked WHERE r_vec <= {_RRF_LIST}
+      ) parts
+      GROUP BY example_id, doc_id
+    )
+    SELECT CAST(example_id AS BIGINT) AS example_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY example_id
+                                   ORDER BY rrf_nano DESC, doc_id ASC) AS BIGINT) AS rnk,
+           doc_id, rrf_nano
+    FROM fused QUALIFY rnk <= {_RRF_TOPK} ORDER BY example_id, rnk
+    """,
+)
+def sim_rrf_hybrid(spark, sf_dir):
+    """Hybrid query-by-example retrieval with reciprocal-rank fusion
+    (RRF, k=60): fuse a lexical ranking (distinct-token Jaccard against
+    the example document) with an embedding ranking (exact cosine
+    against the example vector), each cut to its top-100 list, score =
+    Σ 1/(k + rank) frozen to integer nano-units per list before the
+    sum.
+
+    Scale shape: the example set is literal/bounded, so both candidate
+    generators are broadcast joins against one corpus scan each (no
+    all-pairs); the per-example ranking windows are corpus-proportional
+    in the worst case — the exactness reference. A production fusion at
+    100 TB bounds each list with the pruned generators this library
+    already ships (LSH/IVF for the vector list, posting-list Jaccard
+    with max_df for the lexical list) and fuses the SAME way — the RRF
+    arithmetic and tie-breaking here are the contract.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ex_ids = [F.lit(e) for e in _RRF_EXAMPLES]
+
+    dtoks = docs.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(filter(split(lower(text), ' '), x -> x <> ''))"
+        ).alias("ts"),
+    )
+    ex_toks = dtoks.filter(F.col("doc_id").isin(_RRF_EXAMPLES)).select(
+        F.col("doc_id").alias("example_id"),
+        F.col("ts").alias("ex_ts"),
+        F.size("ts").cast("long").alias("ex_n"),
+    )
+    lex = (
+        dtoks.crossJoin(F.broadcast(ex_toks))  # bcast-ok: literal example set (bounded)
+        .filter(F.col("doc_id") != F.col("example_id"))
+        .select(
+            "example_id", "doc_id",
+            F.expr(
+                "CAST(size(filter(ts, t -> array_contains(ex_ts, t))) AS BIGINT)"
+            ).alias("inter"),
+            (F.size("ts").cast("long") + F.col("ex_n")).alias("sz"),
+        )
+        .filter(F.col("inter") > 0)
+    )
+    w_lex = Window.partitionBy("example_id").orderBy(
+        F.expr("CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE)").desc(),
+        F.asc("doc_id"),
+    )
+    lex_ranked = lex.withColumn("r_lex", F.row_number().over(w_lex)).filter(
+        F.col("r_lex") <= _RRF_LIST
+    ).select("example_id", "doc_id", "r_lex")
+
+    ex_vec = emb.filter(F.col("vec_id").isin(_RRF_EXAMPLES)).select(
+        F.col("vec_id").alias("example_id"), F.col("embedding").alias("qe")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("emb_a")
+    )
+    vec = (
+        cand.crossJoin(F.broadcast(ex_vec))  # bcast-ok: literal example set (bounded)
+        .filter(F.col("doc_id") != F.col("example_id"))
+        .select(
+            "example_id", "doc_id",
+            F.expr(
+                f"({_RRF_DOT_S}) / (sqrt({_RRF_NA_S}) * sqrt({_RRF_NB_S}))"
+            ).alias("cos"),
+        )
+    )
+    w_vec = Window.partitionBy("example_id").orderBy(
+        F.desc("cos"), F.asc("doc_id")
+    )
+    vec_ranked = vec.withColumn("r_vec", F.row_number().over(w_vec)).filter(
+        F.col("r_vec") <= _RRF_LIST
+    ).select("example_id", "doc_id", "r_vec")
+
+    # Fusion as UNION ALL + hash aggregate, not a full-outer join: the
+    # per-list contributions are already frozen integers, so summing
+    # them groups-wise is the same value — and a hash aggregate beats
+    # the sort-merge full-outer (no sort, no coalesce row shape).
+    fused = (
+        lex_ranked.select(
+            "example_id", "doc_id",
+            F.expr(
+                f"CAST(ROUND(1000000000.0 / ({_RRF_K} + r_lex)) AS BIGINT)"
+            ).alias("part"),
+        )
+        .unionAll(
+            vec_ranked.select(
+                "example_id", "doc_id",
+                F.expr(
+                    f"CAST(ROUND(1000000000.0 / ({_RRF_K} + r_vec)) AS BIGINT)"
+                ).alias("part"),
+            )
+        )
+        .groupBy("example_id", "doc_id")
+        .agg(F.sum("part").alias("rrf_nano"))
+    )
+    w_out = Window.partitionBy("example_id").orderBy(
+        F.desc("rrf_nano"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_out).cast("long"))
+        .filter(F.col("rnk") <= _RRF_TOPK)
+        .select(
+            F.col("example_id").cast("long").alias("example_id"),
+            "rnk", "doc_id", "rrf_nano",
+        )
+        .orderBy("example_id", "rnk")
     )

@@ -304,3 +304,27 @@ def test_incremental_stats_merge_is_a_join_on_group_keys(plans):
     """The MV advance merges base and delta aggregates."""
     s = plan_of(plans("lake_incremental_stats"))
     assert "FullOuter" in s or "full_outer" in s.lower()
+
+
+def test_bm25_prunes_tokens_before_shuffle(plans):
+    """BM25's corpus explode must hit the broadcast query-term join
+    BEFORE any exchange — the tf aggregate shuffles only matching
+    postings, never the raw token stream — and doc lengths must come
+    map-side (no second Generate feeding a corpus-wide aggregate)."""
+    s = plan_of(plans("text_bm25_topk"))
+    assert s.count("Generate explode") <= 1, "doc lengths re-explode the corpus"
+    lines = s.splitlines()
+    gen = next(i for i, ln in enumerate(lines) if "Generate explode" in ln)
+    # everything above the Generate down to the first Exchange must
+    # include the BroadcastHashJoin that prunes to query terms
+    above = "\n".join(lines[:gen])
+    assert "BroadcastHashJoin" in above, "token stream shuffles unpruned"
+
+
+def test_bigram_perplexity_single_corpus_shuffle(plans):
+    """The LM count tables must re-aggregate the Zipf-collapsed per-doc
+    bigram table: exactly one aggregate consumes the corpus Generate;
+    c12/c1 hang off its output, not off fresh corpus scans."""
+    s = plan_of(plans("text_bigram_perplexity"))
+    # two Generates total: the bigram transform + the vocab token explode
+    assert s.count("Generate") <= 2, "bigram stream re-exploded per count table"

@@ -198,7 +198,21 @@ def test_pgsyntax_identity_on_plain_sql(s):
 
     if _re.search(r"\b(array|unnest|generate_series)\b", s, _re.I):
         return
+    if "~" in s:  # the PG regex operators rewrite on plain text by design
+        return
     assert rewrite(s) == s
+
+
+@given(st.text(alphabet=_SQL_CHARS, min_size=0, max_size=60))
+def test_pgsyntax_tilde_without_operands_is_identity(s):
+    """A ``~`` with no left operand (unary bitwise NOT) or no right
+    operand (trailing junk) must pass through byte-identical — only a
+    genuine binary ``expr ~ expr`` becomes RLIKE."""
+    from pg_ducklake_spark.pgsyntax import rewrite
+
+    for frag in (f"select ~{s}" if "~" not in s else "select ~1",
+                 "select 0~", "select 0 !~* ", "select a ~"):
+        assert rewrite(frag) == frag
 
 
 @given(

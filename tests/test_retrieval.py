@@ -68,3 +68,24 @@ def test_bpe_pair_counts_match_brute_force(spark, sf_dir):
     expected = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = [(r["pair"], r["n"]) for r in sorted(rows, key=lambda r: r["rnk"])]
     assert got == expected
+
+
+def test_rrf_hybrid_fusion_invariants(spark, sf_dir):
+    from pg_ducklake_spark.plans.retrieval import (
+        _RRF_EXAMPLES, _RRF_K, _RRF_TOPK,
+    )
+
+    rows = QUERIES["sim_rrf_hybrid"](spark, sf_dir).collect()
+    max_single = round(1_000_000_000 / (_RRF_K + 1))
+    by_ex = {}
+    for r in rows:
+        assert r["doc_id"] not in _RRF_EXAMPLES or r["doc_id"] != r["example_id"]
+        # a fused score is at most two first-rank contributions
+        assert 0 < r["rrf_nano"] <= 2 * max_single
+        by_ex.setdefault(r["example_id"], []).append(r)
+    assert set(by_ex) == set(_RRF_EXAMPLES)
+    for ex, rs in by_ex.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, _RRF_TOPK + 1))
+        scores = [r["rrf_nano"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
