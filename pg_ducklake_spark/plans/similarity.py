@@ -638,3 +638,55 @@ def sim_codebook_mix(spark, sf_dir):
         )
         .orderBy("cell")
     )
+
+
+@query(
+    "sim_sq8_topk",
+    oracle=f"""
+    WITH queries AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id >= 20 AND vec_id < 25
+    ),
+    scored AS (
+      SELECT q_id, vec_id AS neighbor_id,
+             {_duck_cosine('q_emb', 'embedding')} AS score
+      FROM queries, embeddings
+      WHERE vec_id <> q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT q_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    ORDER BY q_id, rnk
+    """,
+)
+def sim_sq8_topk(spark, sf_dir):
+    """Scalar-quantization ANN with exact re-rank (operators/sq8.py) —
+    the uniform-grid scale path: 64 floats → 64 bytes, per-query GEMM
+    scoring over the codes, float vectors touched only for the
+    shortlist. Unlike PQ there are no trained codebooks: the quantizer
+    is per-dimension (min, scale) computed exactly with one distributed
+    aggregate.
+
+    With a rerank budget covering the whole corpus, every candidate
+    passes through the exact-cosine re-rank, so the final top-k
+    provably equals exact cosine top-k INDEPENDENT of the grid — the
+    SQL oracle pins the train→encode→GEMM→shortlist→re-rank pipeline
+    end to end. The pruned path's recall is asserted in
+    tests/test_sq8.py."""
+    from pg_ducklake_spark.operators.sq8 import sq8_encode, sq8_search, sq8_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    index = sq8_train(emb)
+    enc = sq8_encode(index, emb)
+    queries = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 25))
+    return (
+        sq8_search(index, enc, queries, topk=10, rerank=1_000_000, corpus=emb)
+        .withColumn("rnk", F.col("rnk").cast("long"))
+        .select("q_id", "neighbor_id", "score", "rnk")
+        .coalesce(1).sortWithinPartitions("q_id", "rnk")
+    )
