@@ -203,7 +203,15 @@ def text_bm25_topk(spark, sf_dir):
     ),
     c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
             FROM bigrams GROUP BY w1, w2),
-    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1 FROM bigrams GROUP BY w1),
+    -- n1 as a window sum over the collapsed table, NOT a join back to
+    -- a second aggregate: with separate c12/c1 CTEs DuckDB's join-order
+    -- optimizer builds c1 x c12 as a literal CROSS_PRODUCT before the
+    -- bigram hash join -- invisible on a toy vocabulary (44 words),
+    -- quadratic blow-up on a realistic one (8000 words: 1.9e9 build
+    -- rows, measured 278 s at just 1000 docs).
+    lm AS (SELECT w1, w2, n12,
+                  CAST(SUM(n12) OVER (PARTITION BY w1) AS BIGINT) AS n1
+           FROM c12),
     vocab AS (
       SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
       FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
@@ -214,8 +222,7 @@ def text_bm25_topk(spark, sf_dir):
       SELECT b.doc_id, b.source,
              CAST(ROUND(-ln(CAST(n12 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE))
                         * 1000000.0) AS BIGINT) AS s_micro
-      FROM bigrams b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
-                     JOIN c1 ON b.w1 = c1.w1
+      FROM bigrams b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
                      CROSS JOIN vocab
     ),
     per_doc AS (

@@ -65,6 +65,14 @@ QUERIES_SF1 = [
     "dedup_semantic_prune",
     "text_quality_classifier",
     "graph_degree_histogram",
+    # Round-6 retrieval/LM family. text_bm25_topk is excluded: its
+    # literal query terms are bare stems and this fixture's vocabulary
+    # is digit-suffixed, so the tf table would be empty and the timing
+    # meaningless (its sf0.1 bench against the real corpus is in
+    # BENCH_r6); perplexity/BPE/RRF are vocabulary-independent.
+    "text_bigram_perplexity",
+    "text_bpe_pair_counts",
+    "sim_rrf_hybrid",
 ]
 # The sf1 perf-weak set (VERDICT r4: all sub-2 s absolute, fixed-cost
 # shaped). sf10 is their "largest measured scale"; the data-bound
@@ -275,6 +283,16 @@ def run_tier(spark, tier: str, names: list[str]) -> dict:
     )
     cidx.encoded.unpersist()
 
+    from pg_ducklake_spark.operators.sq8 import sq8_encode, sq8_search, sq8_train
+
+    sidx = sq8_train(emb)
+    senc = sq8_encode(sidx, emb).persist()
+    senc.count()
+    spark_times["sim_sq8_pruned(rerank=4)"] = _time_spark(
+        lambda: sq8_search(sidx, senc, queries_df, topk=10, rerank=4, corpus=emb)
+    )
+    senc.unpersist()
+
     from pg_ducklake_spark.plans import ORACLES as _O
 
     for pruned, oracle_of in (
@@ -282,6 +300,7 @@ def run_tier(spark, tier: str, names: list[str]) -> dict:
         ("sim_pq_pruned(rerank=4)", "sim_pq_topk"),
         # composed index vs the same exact brute-force oracle timing
         ("sim_ivfpq_pruned(nprobe=4/32,rerank=4)", "sim_ivf_topk"),
+        ("sim_sq8_pruned(rerank=4)", "sim_sq8_topk"),
     ):
         duck_times[pruned] = _time_duck(con, _O[oracle_of])
     con.close()
