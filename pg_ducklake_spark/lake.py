@@ -172,6 +172,52 @@ def _fix_interval_types(dtype: T.DataType) -> T.DataType:
     return dtype
 
 
+def _split_coldefs(ddl: str) -> list[str]:
+    """Split a DDL column list on top-level commas (commas inside
+    ``(...)``, ``[...]`` and ``<...>`` — decimal params, struct/array
+    types — do not split)."""
+    parts, buf, depth = [], [], 0
+    for c in ddl:
+        if c in "([<":
+            depth += 1
+        elif c in ")]>":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    parts.append("".join(buf))
+    return parts
+
+
+_COLDEF_NAME_RE = re.compile(
+    r"(\s*)(`(?:[^`]|``)*`|\"[^\"]*\"|[A-Za-z_][A-Za-z0-9_]*)(\s*:?\s*)(.*)$",
+    re.S,
+)
+
+
+def _normalize_type_spellings(ddl: str) -> str:
+    """Apply the ``_TYPE_SPELLINGS`` fallback substitutions in TYPE
+    position only: each top-level column definition's leading
+    identifier is the column NAME and is left untouched, so a column
+    named ``json`` or ``point`` combined with a non-native type no
+    longer rewrites both tokens (ADVICE r6). Field names inside nested
+    ``struct<...>`` types remain subject to the substitution — quote
+    such names or avoid the reserved spellings there."""
+    parts = []
+    for coldef in _split_coldefs(ddl):
+        m = _COLDEF_NAME_RE.match(coldef)
+        if m:
+            body = m.group(4)
+            for pat, repl in _TYPE_SPELLINGS:
+                body = pat.sub(repl, body)
+            parts.append(m.group(1) + m.group(2) + m.group(3) + body)
+        else:
+            parts.append(coldef)
+    return ",".join(parts)
+
+
 def _parse_schema(schema: str | T.StructType) -> T.StructType:
     if isinstance(schema, T.StructType):
         return schema
@@ -183,10 +229,7 @@ def _parse_schema(schema: str | T.StructType) -> T.StructType:
     try:
         parsed = T.StructType.fromDDL(schema)
     except Exception:
-        normalized = schema
-        for pat, repl in _TYPE_SPELLINGS:
-            normalized = pat.sub(repl, normalized)
-        parsed = T.StructType.fromDDL(normalized)
+        parsed = T.StructType.fromDDL(_normalize_type_spellings(schema))
     return _fix_interval_types(parsed)
 
 

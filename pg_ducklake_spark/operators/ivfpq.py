@@ -143,10 +143,14 @@ def ivfpq_search(
     id_col = index.id_col
     probe_lists = {q: np.array(sorted(cells)) for q, cells in probes.items()}
 
+    # id fields mirror the caller's id column type (see sq8.py — a
+    # hardcoded LongType fails deep in Arrow conversion for non-integer
+    # ids).
+    id_type = index.encoded.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("q_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("q_id", id_type),
+            T.StructField("neighbor_id", id_type),
             T.StructField("score", T.DoubleType()),
         ]
     )

@@ -176,10 +176,14 @@ def pq_search(
     n_keep = topk * (rerank or 1)
     id_col = index.id_col
 
+    # id fields mirror the caller's id column type (see sq8.py — a
+    # hardcoded LongType fails deep in Arrow conversion for non-integer
+    # ids).
+    id_type = encoded.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("q_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("q_id", id_type),
+            T.StructField("neighbor_id", id_type),
             T.StructField("score", T.DoubleType()),
         ]
     )

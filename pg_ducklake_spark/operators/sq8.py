@@ -138,10 +138,14 @@ def sq8_search(
     n_keep = topk * (rerank or 1)
     id_col = index.id_col
 
+    # The id fields mirror the caller's id column type (ADVICE r6: a
+    # hardcoded LongType made non-integer ids fail deep inside Arrow
+    # conversion instead of carrying through like the join logic does).
+    id_type = encoded.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("q_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("q_id", id_type),
+            T.StructField("neighbor_id", id_type),
             T.StructField("score", T.DoubleType()),
         ]
     )

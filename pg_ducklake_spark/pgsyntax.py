@@ -23,8 +23,11 @@ bind-time rewrite layer as the macro expander, zero runtime cost):
 * ``QUALIFY pred`` (DuckDB's post-window filter) → the predicate is
   materialized as a boolean select-list column in a subquery and
   filtered outside (``SELECT * EXCEPT (__pg_q) ... WHERE __pg_q``);
-  select-list aliases referenced by the predicate resolve via Spark's
-  lateral column aliases;
+  select-list aliases referenced by the predicate OUTSIDE window
+  expressions resolve via Spark's lateral column aliases; references
+  INSIDE ``OVER (...)`` are inlined with the alias's defining
+  expression (Spark rejects lateral aliases in window expressions —
+  UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW);
 * PG regex operators: ``expr ~ pat`` → ``expr RLIKE pat``, ``!~`` →
   ``NOT RLIKE``; the case-insensitive forms ``~* 'pat'`` / ``!~* 'pat'``
   (literal pattern only) → ``RLIKE '(?i)pat'``. Binary context is
@@ -65,7 +68,7 @@ def _match_bracket(s: str, i: int, open_ch: str, close_ch: str) -> int:
     depth = 0
     while i < len(s):
         c = s[i]
-        if c in "'\"":
+        if c in "'\"`":
             i = _skip_string(s, i)
             continue
         if c == open_ch:
@@ -88,7 +91,7 @@ def _search_outside_strings(pattern: "re.Pattern", sql: str, pos: int = 0):
     i = pos
     while i < len(sql):
         c = sql[i]
-        if c in "'\"":
+        if c in "'\"`":
             i = _skip_string(sql, i)
             continue
         m = pattern.match(sql, i)
@@ -160,7 +163,7 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     parts, depth, buf, i = [], 0, [], 0
     while i < len(s):
         c = s[i]
-        if c in "'\"":
+        if c in "'\"`":
             j = _skip_string(s, i)
             buf.append(s[i:j])
             i = j
@@ -185,7 +188,7 @@ def _select_list_end(sql: str, start: int) -> int:
     i, depth = start, 0
     while i < len(sql):
         c = sql[i]
-        if c in "'\"":
+        if c in "'\"`":
             i = _skip_string(sql, i)
             continue
         if c in "([":
@@ -246,7 +249,7 @@ def _block_end(sql: str, pos: int) -> int:
     i, depth = pos, 0
     while i < len(sql):
         c = sql[i]
-        if c in "'\"":
+        if c in "'\"`":
             i = _skip_string(sql, i)
             continue
         if c in "([":
@@ -271,7 +274,7 @@ def _find_clause(sql: str, start: int, end: int, name: str) -> int | None:
     i, depth = start, 0
     while i < end:
         c = sql[i]
-        if c in "'\"":
+        if c in "'\"`":
             i = _skip_string(sql, i)
             continue
         if c in "([":
@@ -287,6 +290,16 @@ def _find_clause(sql: str, start: int, end: int, name: str) -> int | None:
                 continue
         i += 1
     return None
+
+
+def _ends_at_set_op(sql: str, end: int) -> bool:
+    """True when a query-block rewrite stops at a top-level UNION /
+    INTERSECT / EXCEPT: the replacement block must then be wrapped in
+    parentheses — splicing it bare would glue the synthesized tail
+    ("... ORDER BY k, v" / "WHERE __pg_q") straight onto the set
+    operator ("vUNION ALL ...") and, even with a space, would hang an
+    ORDER BY inside a set-op branch where it needs parens."""
+    return end < len(sql) and _BLOCK_END_KW.match(sql, end) is not None
 
 
 _DISTINCT_ON = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.I)
@@ -329,18 +342,97 @@ def _rewrite_distinct_on(sql: str) -> str:
         )
         if tail:
             repl += " " + tail
+        if _ends_at_set_op(sql, end):
+            repl = "(" + repl + ") "
         sql = sql[: m.start()] + repl + sql[end:]
 
 
 _QUALIFY = re.compile(r"\bQUALIFY\b", re.I)
 _SELECT_KW = re.compile(r"\bSELECT\b", re.I)
+_AS_ALIAS = re.compile(r"^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", re.I | re.S)
+_OVER_KW = re.compile(r"\bOVER\s*\(", re.I)
+
+
+def _select_list_aliases(sel_list: str) -> dict[str, str]:
+    """``expr AS name`` entries of a select list (AS-form only — bare
+    aliases are left to the analyzer)."""
+    out: dict[str, str] = {}
+    for item in _split_top_level(sel_list):
+        m = _AS_ALIAS.match(item.strip())
+        if m:
+            out[m.group(2).lower()] = m.group(1).strip()
+    return out
+
+
+def _subst_aliases_in_windows(pred: str, aliases: dict[str, str]) -> str:
+    """Replace select-list alias references INSIDE ``OVER (...)`` spans
+    of a QUALIFY predicate with their defining expressions.
+
+    Spark rejects lateral column aliases inside window expressions
+    (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW), so the common
+    DuckDB idiom ``QUALIFY row_number() OVER (ORDER BY alias)`` would
+    fail at analysis without this. Substitution is limited to the OVER
+    spans: outside them Spark's lateral alias resolution applies and
+    correctly prefers a base column over the alias on a name clash —
+    inside them the alias reference could only ever fail, so inlining
+    the definition is a strict improvement. (If an alias shadows a base
+    column, the substituted expression wins inside the window — a
+    documented divergence of this textual layer.)"""
+    if not aliases:
+        return pred
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(a) for a in aliases) + r")\b", re.I
+    )
+
+    def sub_span(span: str) -> str:
+        # word-level replace outside quoted strings
+        out, i = [], 0
+        while i < len(span):
+            c = span[i]
+            if c in "'\"`":
+                j = _skip_string(span, i)
+                out.append(span[i:j])
+                i = j
+                continue
+            m = pat.match(span, i)
+            if m:
+                out.append("(" + aliases[m.group(1).lower()] + ")")
+                i = m.end()
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    out, i = [], 0
+    while i < len(pred):
+        c = pred[i]
+        if c in "'\"`":
+            j = _skip_string(pred, i)
+            out.append(pred[i:j])
+            i = j
+            continue
+        m = _OVER_KW.match(pred, i)
+        if m and not (i > 0 and (pred[i - 1].isalnum() or pred[i - 1] == "_")):
+            open_i = pred.index("(", m.start())
+            close_i = _match_bracket(pred, open_i, "(", ")")
+            out.append(pred[i : open_i + 1])
+            out.append(sub_span(pred[open_i + 1 : close_i]))
+            out.append(")")
+            i = close_i + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _rewrite_qualify(sql: str) -> str:
     """DuckDB ``QUALIFY pred`` → subquery + WHERE on a materialized
     boolean column.  The predicate's window functions evaluate in the
     inner select list (after GROUP BY/HAVING, like QUALIFY); ORDER
-    BY/LIMIT move outside the wrap."""
+    BY/LIMIT move outside the wrap.  Select-list aliases referenced
+    inside the predicate's OVER clauses are inlined (Spark's lateral
+    column aliases don't reach into window expressions); references
+    outside OVER clauses resolve via lateral column aliases."""
     while True:
         q = _search_outside_strings(_QUALIFY, sql)
         if q is None:
@@ -350,7 +442,7 @@ def _rewrite_qualify(sql: str) -> str:
         sel_at_depth: dict[int, int] = {}
         while i < q.start():
             c = sql[i]
-            if c in "'\"":
+            if c in "'\"`":
                 i = _skip_string(sql, i)
                 continue
             if c in "([":
@@ -375,6 +467,9 @@ def _rewrite_qualify(sql: str) -> str:
         tail = sql[pred_end:end].strip()
         list_start = sel_i + len("SELECT ")
         from_i = _select_list_end(sql, list_start)
+        pred = _subst_aliases_in_windows(
+            pred, _select_list_aliases(sql[list_start:from_i])
+        )
         inner = (
             sql[sel_i:from_i].rstrip()
             + f", ({pred}) AS __pg_q "
@@ -383,6 +478,8 @@ def _rewrite_qualify(sql: str) -> str:
         repl = f"SELECT * EXCEPT (__pg_q) FROM ({inner}) __pg_qual WHERE __pg_q"
         if tail:
             repl += " " + tail
+        if _ends_at_set_op(sql, end):
+            repl = "(" + repl + ") "
         sql = sql[:sel_i] + repl + sql[end:]
 
 
@@ -404,7 +501,7 @@ def _prev_token_is_operand(sql: str, i: int) -> bool:
     if j < 0:
         return False
     c = sql[j]
-    if c in ")]'\"":
+    if c in ")]'\"`":
         return True
     if c.isalnum() or c == "_":
         k = j
@@ -419,7 +516,7 @@ def _rewrite_regex_ops(sql: str) -> str:
     out, i = [], 0
     while i < len(sql):
         c = sql[i]
-        if c in "'\"":
+        if c in "'\"`":
             j = _skip_string(sql, i)
             out.append(sql[i:j])
             i = j

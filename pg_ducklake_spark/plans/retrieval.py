@@ -129,12 +129,19 @@ def text_bm25_topk(spark, sf_dir):
     constant per doc, so it joins the tf group keys for free) — no
     second scan, no dl join. The token stream hits the broadcast
     query-term join BEFORE any exchange, so the tf aggregate shuffles
-    only matching postings; df is then a window count over the tf table
-    itself (tf has exactly one row per (doc, term), so COUNT over the
-    term partition IS the document frequency) — no second aggregation
-    branch re-deriving tf. The corpus scalar is a separate
-    1-row-broadcast scan without the explode. Final top-k is a
-    per-query window over matching docs, never the corpus.
+    only matching postings. Document frequency is a partial-aggregated
+    ``groupBy("term").count()`` over the persisted tf table (tf has
+    exactly one row per (doc, term)) broadcast back — NEVER a window
+    over the term partition, which would funnel every posting of a hot
+    query term ("table"-like, df ≈ corpus) through one task at 100 TB.
+    The df table is ≤ |query terms| rows, so the broadcast is bounded
+    by construction. The corpus scalar is a separate 1-row-broadcast
+    scan without the explode. Final top-k is a per-query row_number
+    window that Spark's InferWindowGroupLimit rewrites into a two-phase
+    group limit (Partial WindowGroupLimit BEFORE the exchange bounds
+    every map task's output to k rows per query), so a hot query never
+    funnels its full matching-doc set through one task — plan-asserted
+    in test_plan_quality.py.
     """
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.select(
@@ -158,11 +165,13 @@ def text_bm25_topk(spark, sf_dir):
         toks.join(F.broadcast(terms), toks.token == terms.term)  # bcast-ok: literal query-term set (bounded)
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    # tf has one row per (doc, term) → window COUNT over term = df.
-    df_w = Window.partitionBy("term")
+    ).persist()  # reused by the df aggregate and the scoring join
+    # tf has one row per (doc, term) → COUNT per term = df. Partial
+    # aggregation combines map-side, so a hot term never concentrates
+    # its postings in one task; the result is ≤ |query terms| rows.
+    dftab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored_terms = (
-        tf.withColumn("df", F.count(F.lit(1)).over(df_w))
+        tf.join(F.broadcast(dftab), "term")  # bcast-ok: ≤ |query terms| rows by construction
         .crossJoin(F.broadcast(corpus))  # bcast-ok: 1-row corpus
         .withColumn("idf_micro", F.expr(_BM25_IDF))
         .join(F.broadcast(queries), F.col("term") == F.col("qterm"))  # bcast-ok: literal query workload (bounded)
@@ -171,6 +180,10 @@ def text_bm25_topk(spark, sf_dir):
     scored = scored_terms.groupBy("query_id", "doc_id").agg(
         F.sum("c_micro").alias("score_micro")
     )
+    # row_number ≤ k over the query partition: InferWindowGroupLimit
+    # turns this into Partial WindowGroupLimit (map-side, ≤ k rows per
+    # query per task) + Final after the exchange — engine-level
+    # two-phase top-k, no corpus-sized window partition.
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_micro"), F.asc("doc_id")
     )
@@ -243,13 +256,21 @@ def text_bigram_perplexity(spark, sf_dir):
     tail a perplexity filter would drop).
 
     Scale shape: the per-doc bigram multiset Zipf-collapses into
-    (doc_id, w1, w2, k) with ONE corpus shuffle — the only corpus-sized
-    exchange. The LM counts are then window sums OVER that collapsed
-    table (n12 over (w1,w2), n1 over w1), so the corpus is never
-    re-scanned or re-exploded, and every later stage touches collapsed
-    data. The per-doc sum weights the frozen per-bigram surprisal by k
-    — exact integer math, order-independent. The final LIMIT 20 is
-    driver-bounded.
+    (doc_id, w1, w2, k) with ONE corpus shuffle, and that collapsed
+    table is PERSISTED so the corpus is never re-scanned or re-exploded
+    (Spark does not CSE a re-used subplan). The LM counts are ordinary
+    partial-aggregated groupBys over the cached table — c12 per bigram
+    type, then n1 per w1 re-aggregated from c12 (vocab-bounded) — NEVER
+    window sums: a window over the w1 partition funnels every
+    (doc, "the", w2) row of a Zipf-head word through one task, which is
+    corpus-proportional on exactly the rows that dominate natural
+    language. The lm table (one row per distinct corpus bigram,
+    Zipf-sublinear in corpus size) joins back under a row-count guard —
+    broadcast when small, else a shuffle join on (w1, w2) whose skew
+    AQE splits (a hot bigram type is a splittable join key, unlike a
+    window partition). The per-doc sum weights the frozen per-bigram
+    surprisal by k — exact integer math, order-independent. The final
+    LIMIT 20 is driver-bounded.
     """
     docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     toklists = docs.select(
@@ -276,16 +297,30 @@ def text_bigram_perplexity(spark, sf_dir):
     )
     dbig = bigrams.groupBy("doc_id", "source", "w1", "w2").agg(
         F.count(F.lit(1)).alias("k")
-    )
-    # LM counts as WINDOW sums over the collapsed table — no join-back,
-    # so the corpus Generate plans exactly once (Spark does not CSE a
-    # re-used subplan across a self-join; the join formulation re-scans
-    # and re-explodes the corpus for each count table).
-    w12 = Window.partitionBy("w1", "w2")
-    w1w = Window.partitionBy("w1")
+    ).persist()  # one corpus explode+shuffle, reused by c12 and the score join
+    # LM counts as partial-aggregated groupBys over the CACHED collapsed
+    # table (the persist is what keeps the corpus Generate planning
+    # exactly once — Spark does not CSE a re-used subplan across a
+    # self-join). Both aggregates combine map-side, so Zipf-head words
+    # never concentrate in one task the way a w1-partition window does.
+    c12 = dbig.groupBy("w1", "w2").agg(F.sum("k").alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    # c12 rows: distinct corpus bigrams; c1 rows: vocab. Join on w1 is
+    # between two aggregated tables — max partition is one word's
+    # continuation set (vocab-bounded), never corpus-bounded.
+    lm = c12.join(c1, "w1").persist()
+    # lm is data-sized (distinct bigram types, Zipf-sublinear):
+    # broadcast only under an actual row-count guard — ~48 bytes/row →
+    # ≤ ~48 MB at the 1M cap; above it, a plain shuffle join on
+    # (w1, w2) whose hot keys AQE's skew-join splits (join skew is
+    # splittable; window-partition skew is not). lm.count() reuses the
+    # persisted dbig, so the guard costs one bounded action.
+    lm_small = lm.count() <= 1_000_000
     scored = (
-        dbig.withColumn("n12", F.sum("k").over(w12))
-        .withColumn("n1", F.sum("k").over(w1w))
+        dbig.join(
+            F.broadcast(lm) if lm_small else lm,  # bcast-ok: row-count-guarded (<=1M bigram types)
+            ["w1", "w2"],
+        )
         .crossJoin(F.broadcast(vocab))  # bcast-ok: 1-row scalar
         .withColumn(
             "s_micro",

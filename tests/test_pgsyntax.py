@@ -189,3 +189,78 @@ def test_distinct_on_and_qualify_sql(lake):
         "SELECT count(*) AS n FROM dq WHERE v ~ '[ab]' AND v !~* 'C.*'"
     ).collect()[0]
     assert got.n == 2
+
+
+def test_rewrite_set_op_branches_parenthesized():
+    """ADVICE r6 (medium): when DISTINCT ON / QUALIFY sits in a set-op
+    branch, the rewritten block must be parenthesized — the old splice
+    glued the synthesized tail straight onto UNION ('...k, vUNION ALL')
+    and hung an ORDER BY inside an unparenthesized branch."""
+    got = rewrite(
+        "SELECT DISTINCT ON (k) k FROM t ORDER BY k, v UNION ALL SELECT 1"
+    )
+    assert "vUNION" not in got and "__pg_rnUNION" not in got
+    assert got.lstrip().startswith("(")
+    assert ") UNION ALL SELECT 1" in got
+    got = rewrite(
+        "SELECT k FROM t QUALIFY row_number() OVER (ORDER BY k) = 1"
+        " UNION ALL SELECT 1"
+    )
+    assert "__pg_qUNION" not in got
+    assert ") UNION ALL SELECT 1" in got
+    # non-branch rewrites keep their unwrapped shape
+    got = rewrite("SELECT DISTINCT ON (k) k FROM t")
+    assert not got.lstrip().startswith("(")
+
+
+def test_rewrite_backtick_identifiers_untouched():
+    """ADVICE r6: backtick-quoted identifiers are quoted spans — a `~`
+    or keyword inside one must not be rewritten."""
+    assert rewrite("SELECT `a~b` FROM t") == "SELECT `a~b` FROM t"
+    assert rewrite("SELECT `x ~* y`, a ~ 'p' FROM t") == (
+        "SELECT `x ~* y`, a  RLIKE  'p' FROM t"
+    )
+    assert rewrite("SELECT `ARRAY[`, ARRAY[1] FROM t") == (
+        "SELECT `ARRAY[`, array(1) FROM t"
+    )
+
+
+def test_qualify_alias_inlined_in_window():
+    """ADVICE r6: Spark rejects lateral column aliases inside window
+    expressions, so ``QUALIFY ... OVER (ORDER BY alias)`` inlines the
+    alias's defining expression; references outside OVER are left to
+    lateral alias resolution."""
+    got = rewrite(
+        "SELECT v * 2 AS dbl FROM t"
+        " QUALIFY row_number() OVER (ORDER BY dbl DESC) <= 2"
+    )
+    assert "OVER (ORDER BY (v * 2) DESC)" in got
+    # outside the OVER span the alias reference is untouched
+    got = rewrite(
+        "SELECT v * 2 AS dbl FROM t"
+        " QUALIFY dbl > 3 AND row_number() OVER (ORDER BY dbl) = 1"
+    )
+    assert "dbl > 3" in got and "OVER (ORDER BY (v * 2))" in got
+
+
+def test_set_op_branch_and_alias_window_sql(lake):
+    """The two ADVICE rewrites end-to-end through the SQL prompt."""
+    lake.create_table("so", "k int, v int")
+    from pyspark.sql import Row
+
+    lake.insert(
+        "so",
+        lake.spark.createDataFrame(
+            [Row(k=1, v=10), Row(k=1, v=20), Row(k=2, v=5)], "k int, v int"
+        ),
+    )
+    got = lake.sql(
+        "SELECT DISTINCT ON (k) k, v FROM so ORDER BY k, v DESC"
+        " UNION ALL SELECT 9, 9"
+    ).collect()
+    assert sorted((r.k, r.v) for r in got) == [(1, 20), (2, 5), (9, 9)]
+    got = lake.sql(
+        "SELECT k, v * 2 AS dbl FROM so"
+        " QUALIFY row_number() OVER (ORDER BY dbl DESC) = 1"
+    ).collect()
+    assert [(r.k, r.dbl) for r in got] == [(1, 40)]

@@ -310,9 +310,12 @@ def test_bm25_prunes_tokens_before_shuffle(plans):
     """BM25's corpus explode must hit the broadcast query-term join
     BEFORE any exchange — the tf aggregate shuffles only matching
     postings, never the raw token stream — and doc lengths must come
-    map-side (no second Generate feeding a corpus-wide aggregate)."""
+    map-side. The cached tf table is referenced twice (df aggregate +
+    scoring join), so count DISTINCT Generate expressions, not plan
+    lines (InMemoryRelation reprints its build plan per reference)."""
     s = plan_of(plans("text_bm25_topk"))
-    assert s.count("Generate explode") <= 1, "doc lengths re-explode the corpus"
+    gens = {re.sub(r"#\d+", "#", m) for m in re.findall(r"Generate explode\([^)]*\)", s)}
+    assert len(gens) <= 1, "doc lengths re-explode the corpus"
     lines = s.splitlines()
     gen = next(i for i, ln in enumerate(lines) if "Generate explode" in ln)
     # everything above the Generate down to the first Exchange must
@@ -321,10 +324,39 @@ def test_bm25_prunes_tokens_before_shuffle(plans):
     assert "BroadcastHashJoin" in above, "token stream shuffles unpruned"
 
 
+def test_bm25_no_corpus_keyed_window(plans):
+    """The round-6 verdict flag: df must NOT be a window over the term
+    partition (a hot query term funnels corpus-proportional postings
+    through one task). After the fix, the only Window partitions by
+    query_id, and InferWindowGroupLimit must have inserted the Partial
+    (map-side, ≤ k rows per task) group limit so even that window never
+    sees one query's full matching-doc set in one task."""
+    s = plan_of(plans("text_bm25_topk"))
+    for part in re.findall(r"windowspecdefinition\(([^)]*)\)", s):
+        first = part.split(",")[0].strip()
+        assert first.startswith("query_id"), f"corpus-keyed window on {first}"
+    assert "WindowGroupLimit" in s and "Partial" in s, (
+        "top-k window lost the engine two-phase group limit"
+    )
+
+
 def test_bigram_perplexity_single_corpus_shuffle(plans):
     """The LM count tables must re-aggregate the Zipf-collapsed per-doc
-    bigram table: exactly one aggregate consumes the corpus Generate;
-    c12/c1 hang off its output, not off fresh corpus scans."""
+    bigram table (persisted): one distinct bigram Generate + the vocab
+    token explode. InMemoryRelation reprints its build plan per cache
+    reference, so count distinct Generate expressions."""
     s = plan_of(plans("text_bigram_perplexity"))
-    # two Generates total: the bigram transform + the vocab token explode
-    assert s.count("Generate") <= 2, "bigram stream re-exploded per count table"
+    gens = {re.sub(r"#\d+", "#", m) for m in re.findall(r"Generate explode\((\w+)", s)}
+    assert len(gens) <= 2, "bigram stream re-exploded per count table"
+    assert "InMemoryRelation" in s, "collapsed bigram table not persisted"
+
+
+def test_bigram_perplexity_no_zipf_window(plans):
+    """The round-6 verdict flag: LM counts must NOT be window sums over
+    w1 / (w1, w2) partitions — a Zipf-head w1 ('the') pulls every
+    (doc, 'the', w2) row into one task. After the fix the plan has NO
+    Window at all (counts are partial-aggregated groupBys joined back);
+    the lm join-back is broadcast under the row-count guard or a
+    shuffle join whose skew AQE can split."""
+    s = plan_of(plans("text_bigram_perplexity"))
+    assert "windowspecdefinition" not in s, "LM counts regressed to windows"

@@ -83,3 +83,20 @@ def test_query_batch_cap_fails_loudly(emb, index):
     enc = sq8_encode(index, emb)
     with pytest.raises(ValueError, match="max_query_rows"):
         sq8_search(index, enc, emb, topk=5, max_query_rows=3)
+
+
+def test_string_ids_carry_through(spark, emb):
+    """ADVICE r6: the mapInPandas output schema must mirror the id
+    column's type — string ids used to hit a hardcoded LongType and die
+    inside Arrow conversion."""
+    s_emb = emb.select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    idx = sq8_train(s_emb)
+    enc = sq8_encode(idx, s_emb)
+    qs = s_emb.filter(F.col("vec_id").isin("v0", "v1"))
+    got = sq8_search(idx, enc, qs, topk=3).collect()
+    assert got and all(isinstance(r.q_id, str) for r in got)
+    assert all(isinstance(r.neighbor_id, str) for r in got)
+    assert {r.q_id for r in got} == {"v0", "v1"}

@@ -328,3 +328,19 @@ def test_extended_ddl_spellings(lake):
     row = lake.table("sp").collect()[0]
     assert row.u8 == Decimal(2**64 - 1) and row.h == str(2**100)
     assert row.geo == "POINT(1 2)"
+
+
+def test_reserved_spelling_as_column_name(lake):
+    """ADVICE r6: the fallback spellings must apply in TYPE position
+    only — a column NAMED json/point/hugeint keeps its name even when
+    another column forces the fallback parse path."""
+    lake.create_table(
+        "rsv",
+        "point json, json hugeint, polygon double precision, interval json",
+    )
+    got = dict(lake.table("rsv").dtypes)
+    assert set(got) == {"point", "json", "polygon", "interval"}
+    assert got["point"] == "string"    # json tier
+    assert got["json"] == "string"     # hugeint tier
+    assert got["polygon"] == "double"
+    assert got["interval"] == "string"

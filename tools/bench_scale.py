@@ -47,8 +47,8 @@ WARMUP = 3
 ITERS = 3
 
 TIERS = {
-    "sf1": (50_000, 20_000),
-    "sf10": (500_000, 200_000),
+    "sf1": (50_000, 20_000, 1_000_000),
+    "sf10": (500_000, 200_000, 10_000_000),
 }
 
 QUERIES_SF1 = [
@@ -65,14 +65,18 @@ QUERIES_SF1 = [
     "dedup_semantic_prune",
     "text_quality_classifier",
     "graph_degree_histogram",
-    # Round-6 retrieval/LM family. text_bm25_topk is excluded: its
-    # literal query terms are bare stems and this fixture's vocabulary
-    # is digit-suffixed, so the tf table would be empty and the timing
-    # meaningless (its sf0.1 bench against the real corpus is in
-    # BENCH_r6); perplexity/BPE/RRF are vocabulary-independent.
+    # Round-6/7 retrieval/LM family. The fixture vocabulary includes
+    # the bare stems (v2) so text_bm25_topk's literal query terms hit
+    # real Zipf-shaped postings; perplexity/BPE/RRF are
+    # vocabulary-independent.
     "text_bigram_perplexity",
+    "text_bm25_topk",
     "text_bpe_pair_counts",
     "sim_rrf_hybrid",
+    # Sketch family over the generated events table (r7: the one
+    # headline family without a measured scale slope until now).
+    "stats_hll_distinct",
+    "text_cms_heavy_hitters",
 ]
 # The sf1 perf-weak set (VERDICT r4: all sub-2 s absolute, fixed-cost
 # shaped). sf10 is their "largest measured scale"; the data-bound
@@ -98,7 +102,10 @@ _STEMS = (
     "shuffle stage plan codegen arrow parquet delta snapshot commit vacuum "
     "freeze bucket skew salt probe build broadcast exchange limit offset"
 ).split()
-_VOCAB = [f"{s}{i}" for s in _STEMS for i in range(200)]
+# v2: the bare stems are IN the vocabulary (weight ~= one suffix slot
+# each) so text_bm25_topk's literal query terms ("table", "scan", ...)
+# hit real postings with Zipf-plausible document frequencies.
+_VOCAB = list(_STEMS) + [f"{s}{i}" for s in _STEMS for i in range(200)]
 
 
 def _gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
@@ -168,8 +175,40 @@ def _gen_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
     )
 
 
-def ensure_fixture(doc_rows: int, emb_rows: int) -> str:
-    cache = f"/tmp/spark_graft_sf1_{SEED}_{doc_rows}_{emb_rows}"
+def _gen_events(rng: np.random.Generator, n: int) -> pa.Table:
+    """Same schema as the driver's events fixture (event_id, ts,
+    user_id, event_type, value, props). user_id is Zipf-shaped (a few
+    heavy users, a long tail) so the HLL register pass sees realistic
+    per-bucket collision structure; 8 event types mirror the driver
+    fixture's low-cardinality grouping key."""
+    types = np.array(
+        ["click", "view", "purchase", "login", "logout", "search",
+         "scroll", "share"]
+    )
+    # Bounded Zipf over ~n/10 distinct users.
+    n_users = max(1000, n // 10)
+    raw = rng.zipf(1.3, size=n)
+    user_id = (raw % n_users).astype(np.int64)
+    ts0 = np.int64(1_700_000_000_000_000)  # fixed epoch, no wall clock
+    ts = ts0 + rng.integers(0, 90 * 86400 * 1_000_000, size=n)
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(user_id, pa.int64()),
+            "event_type": pa.array(
+                types[rng.integers(0, len(types), size=n)].tolist(),
+                pa.string(),
+            ),
+            "value": pa.array(rng.random(size=n), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+
+
+def ensure_fixture(doc_rows: int, emb_rows: int, event_rows: int) -> str:
+    # v2: bare stems in the vocabulary + events table.
+    cache = f"/tmp/spark_graft_scale_v2_{SEED}_{doc_rows}_{emb_rows}_{event_rows}"
     if os.path.isdir(cache) and os.path.exists(os.path.join(cache, "_DONE")):
         return cache
     os.makedirs(cache, exist_ok=True)
@@ -185,6 +224,11 @@ def ensure_fixture(doc_rows: int, emb_rows: int) -> str:
         _gen_embeddings(rng, emb_rows),
         os.path.join(cache, "embeddings.parquet"),
         row_group_size=max(10_000, emb_rows // 32),
+    )
+    pq.write_table(
+        _gen_events(rng, event_rows),
+        os.path.join(cache, "events.parquet"),
+        row_group_size=max(50_000, event_rows // 32),
     )
     open(os.path.join(cache, "_DONE"), "w").close()
     return cache
@@ -224,11 +268,11 @@ def _time_duck(con, sql: str) -> float:
 def run_tier(spark, tier: str, names: list[str]) -> dict:
     from pg_ducklake_spark.plans import ORACLES, QUERIES
 
-    doc_rows, emb_rows = TIERS[tier]
-    sf_dir = ensure_fixture(doc_rows, emb_rows)
+    doc_rows, emb_rows, event_rows = TIERS[tier]
+    sf_dir = ensure_fixture(doc_rows, emb_rows, event_rows)
 
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM"
             f" read_parquet('{sf_dir}/{t}.parquet')"
@@ -313,6 +357,7 @@ def run_tier(spark, tier: str, names: list[str]) -> dict:
     return {
         "doc_rows": doc_rows,
         "emb_rows": emb_rows,
+        "event_rows": event_rows,
         "warmup_iters": WARMUP,
         "timed_iters": ITERS,
         "spark": spark_times,
