@@ -3,12 +3,17 @@
 ``freeze_lake`` exports the whole catalog into a single standalone
 DuckDB database file shaped like the reference's frozen ``.ducklake``
 (reference: src/pgducklake_freeze.cpp:81-115 copies the ducklake_*
-metadata tables into a DuckDB file any client can attach). We write the
-same core tables — ducklake_metadata, ducklake_snapshot,
-ducklake_table, ducklake_column, ducklake_data_file,
-ducklake_partition_info, ducklake_sort_info — with data-file paths kept
-relative to a recorded data root, so the frozen file is portable and
-the data stays where it is.
+metadata tables into a DuckDB file any client can attach). We write
+every table name of the reference's 28-entry metadata_tables list
+(src/pgducklake_freeze.cpp:32-61) — including the change-set history
+(ducklake_snapshot_changes), schema-version log, column-mapping
+registry, per-file variant stats, the partition/sort expression side
+tables, and the two in-flight tables the reference freezes EMPTY
+(ducklake_files_scheduled_for_deletion, ducklake_inlined_data_tables)
+— with data-file paths kept relative to a recorded data root, so the
+frozen file is portable and the data stays where it is. Two extra
+tables (ducklake_dv_rows, ducklake_inlined_data) carry the embedded
+delete positions and inline rows our static-hosting round trip needs.
 
 ``FrozenLake`` is the read-only consumer (frozen FDW analog,
 src/pgducklake_fdw.cpp:14-16): it reads table + file lists straight
@@ -20,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import urllib.request
 import uuid
@@ -98,6 +104,27 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
         CREATE TABLE ducklake_macro_impl(macro_id BIGINT, body VARCHAR);
         CREATE TABLE ducklake_macro_parameters(
             macro_id BIGINT, parameter_index BIGINT, parameter_name VARCHAR);
+        CREATE TABLE ducklake_snapshot_changes(
+            snapshot_id BIGINT, changes_made VARCHAR, author VARCHAR,
+            commit_message VARCHAR, commit_extra_info VARCHAR);
+        CREATE TABLE ducklake_schema_versions(
+            begin_snapshot BIGINT, schema_version BIGINT, table_id BIGINT);
+        CREATE TABLE ducklake_column_mapping(
+            mapping_id BIGINT, table_id BIGINT, type VARCHAR);
+        CREATE TABLE ducklake_file_variant_stats(
+            table_id BIGINT, data_file_path VARCHAR, column_name VARCHAR,
+            stats VARCHAR);
+        CREATE TABLE ducklake_files_scheduled_for_deletion(
+            table_id BIGINT, path VARCHAR, path_is_relative BOOLEAN,
+            schedule_start VARCHAR);
+        CREATE TABLE ducklake_inlined_data_tables(
+            table_id BIGINT, table_name VARCHAR, schema_id BIGINT);
+        CREATE TABLE ducklake_partition_column(
+            partition_id BIGINT, table_id BIGINT, partition_key_index BIGINT,
+            column_id BIGINT);
+        CREATE TABLE ducklake_sort_expression(
+            sort_id BIGINT, table_id BIGINT, sort_key_index BIGINT,
+            expression VARCHAR, sort_direction VARCHAR, null_order VARCHAR);
         """
     )
     con.execute(
@@ -132,11 +159,45 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
                  defaults.get(f.name, (0, None))[0],
                  meta.get("initial_default"), meta.get("default_value")],
             )
+        prev_schema_version = None
         for s in state.history:
             con.execute(
                 "INSERT INTO ducklake_snapshot VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
                 [name, s.snapshot_id, s.timestamp, s.schema_version, s.operation,
                  s.author, s.commit_message, s.commit_extra_info],
+            )
+            # ≙ ducklake_snapshot_changes (upstream shape: snapshot_id,
+            # changes_made, author, commit_message, commit_extra_info —
+            # src/pgducklake_metadata_manager.cpp:734-737). changes_made
+            # is "<operation>:<table_id>" plus the snapshot's metrics as
+            # k=v pairs, so a raw-duckdb client can replay the change-set
+            # history of a DML sequence without the Spark runtime.
+            metrics = ",".join(
+                f"{k}={v}" for k, v in sorted((s.metrics or {}).items())
+            )
+            changes = f"{s.operation}:{tid}" + (f"({metrics})" if metrics else "")
+            con.execute(
+                "INSERT INTO ducklake_snapshot_changes VALUES (?, ?, ?, ?, ?)",
+                [s.snapshot_id, changes, s.author, s.commit_message,
+                 s.commit_extra_info],
+            )
+            # ≙ ducklake_schema_versions: one row per snapshot that
+            # changed the schema version (begin_snapshot keyed, like
+            # upstream; table_id qualifies it since our versions are
+            # per-table).
+            if s.schema_version != prev_schema_version:
+                con.execute(
+                    "INSERT INTO ducklake_schema_versions VALUES (?, ?, ?)",
+                    [s.snapshot_id, s.schema_version, tid],
+                )
+                prev_schema_version = s.schema_version
+        if state.renames:
+            # ≙ ducklake_column_mapping: registry row tying this table's
+            # name-mapping entries to a mapping mode (upstream keeps the
+            # per-column rows in ducklake_name_mapping, as we do).
+            con.execute(
+                "INSERT INTO ducklake_column_mapping VALUES (?, ?, ?)",
+                [tid, tid, "map_by_name"],
             )
         for sid, old, new in state.renames:
             con.execute(
@@ -169,6 +230,16 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
                     " VALUES (?, ?, ?, ?, ?)",
                     [tid, fpath, i, pk, pv],
                 )
+            # ≙ ducklake_file_variant_stats: per-file stats rows for
+            # VARIANT-typed columns (the no-inline tier stores shredded
+            # stats only when the writer produced them).
+            for f in state.schema.fields:
+                if f.dataType.simpleString() == "variant" and f.name in fe.stats:
+                    con.execute(
+                        "INSERT INTO ducklake_file_variant_stats"
+                        " VALUES (?, ?, ?, ?)",
+                        [tid, fpath, f.name, json.dumps(fe.stats[f.name])],
+                    )
         for f, d in state.dvs.items():
             con.execute(
                 "INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?)",
@@ -204,20 +275,42 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
                     f"freeze: embedded {embedded} deleted positions for "
                     f"table {name!r} but the snapshot records {expected}"
                 )
+        col_order = {f.name: i for i, f in enumerate(state.schema.fields)}
         for i, expr in enumerate(state.partition_spec):
             con.execute(
                 "INSERT INTO ducklake_partition_info VALUES (?, ?, ?)",
                 [tid, i, expr],
+            )
+            # ≙ ducklake_partition_column (pg_ducklake--0.1.0.sql:226
+            # joins partition_info → partition_column → column): one
+            # live spec per table, so partition_id = table_id;
+            # column_id resolves the base column of identity and
+            # year/month/day/hour transforms, NULL for other exprs.
+            m = re.match(r"^(?:year|month|day|hour)\((\w+)\)$", expr)
+            base = m.group(1) if m else expr
+            con.execute(
+                "INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?)",
+                [tid, tid, i, col_order.get(base)],
             )
         for i, s in enumerate(state.sort_spec):
             con.execute(
                 "INSERT INTO ducklake_sort_info VALUES (?, ?, ?, ?, ?)",
                 [tid, i, s["expression"], s["direction"], s["null_order"]],
             )
-        # Frozen lakes empty the in-flight tables (reference empties
-        # files_scheduled_for_deletion + inlined_data_tables,
-        # src/pgducklake_freeze.cpp:100-105) — but inlined *rows* must
-        # survive the round trip, so they are exported as JSON rows.
+            # ≙ ducklake_sort_expression (pg_ducklake--0.1.0.sql:267
+            # joins sort_info → sort_expression): sort_id = table_id.
+            con.execute(
+                "INSERT INTO ducklake_sort_expression"
+                " VALUES (?, ?, ?, ?, ?, ?)",
+                [tid, tid, i, s["expression"], s["direction"],
+                 s["null_order"]],
+            )
+        # Frozen lakes empty the in-flight tables — the reference
+        # creates ducklake_files_scheduled_for_deletion and
+        # ducklake_inlined_data_tables but leaves them EMPTY
+        # (src/pgducklake_freeze.cpp:100-105); both exist above with
+        # zero rows. Inlined *rows* must still survive the round trip,
+        # so they are exported as JSON rows in ducklake_inlined_data.
         for r in state.inline_rows:
             # Materialize renames at freeze time: inline values are
             # keyed by their insert-time names; re-key them to the

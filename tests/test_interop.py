@@ -535,3 +535,87 @@ def test_frozen_scan_prunes_files(spark, lake, tmp_path):
     # correctness unchanged vs the unpruned read
     full = frozen.table("t").filter("a >= 250").count()
     assert full == 50
+
+
+def test_frozen_full_28_table_layout(spark, lake, tmp_path):
+    """r7: the frozen file carries EVERY name of the reference's
+    28-entry metadata_tables list (src/pgducklake_freeze.cpp:32-61),
+    with the two in-flight tables frozen empty like the reference, and
+    the change-set history of a DML sequence reconstructable from
+    ducklake_snapshot_changes by a raw DuckDB client."""
+    lake.create_table("ft", "k int, v string")
+    lake.set_partition("ft", "k")
+    lake.set_sort("ft", "v DESC")
+    lake.insert(
+        "ft",
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+        ),
+    )
+    lake.update("ft", {"v": "'B'"}, "k = 2")
+    lake.delete("ft", "k = 3")
+    lake.rename_column("ft", "v", "val")
+    out = str(tmp_path / "full.ducklake")
+    lake.freeze(out)
+    con = duckdb.connect(out, read_only=True)
+    tables = {r[0] for r in con.execute("SHOW TABLES").fetchall()}
+    reference_28 = {
+        "ducklake_metadata", "ducklake_snapshot", "ducklake_snapshot_changes",
+        "ducklake_schema", "ducklake_table", "ducklake_view", "ducklake_tag",
+        "ducklake_column_tag", "ducklake_data_file",
+        "ducklake_file_column_stats", "ducklake_delete_file",
+        "ducklake_column", "ducklake_table_stats",
+        "ducklake_table_column_stats", "ducklake_partition_info",
+        "ducklake_partition_column", "ducklake_file_partition_value",
+        "ducklake_files_scheduled_for_deletion",
+        "ducklake_inlined_data_tables", "ducklake_column_mapping",
+        "ducklake_name_mapping", "ducklake_schema_versions",
+        "ducklake_macro", "ducklake_macro_impl", "ducklake_macro_parameters",
+        "ducklake_sort_info", "ducklake_sort_expression",
+        "ducklake_file_variant_stats",
+    }
+    assert len(reference_28) == 28
+    assert reference_28 <= tables, sorted(reference_28 - tables)
+    # in-flight tables frozen EMPTY (pgducklake_freeze.cpp:100-105)
+    for t in ("ducklake_files_scheduled_for_deletion",
+              "ducklake_inlined_data_tables"):
+        assert con.execute(f"SELECT count(*) FROM {t}").fetchone()[0] == 0
+    # the DML sequence replays from ducklake_snapshot_changes alone
+    ops = [
+        r[0].split(":")[0]
+        for r in con.execute(
+            "SELECT changes_made FROM ducklake_snapshot_changes"
+            " ORDER BY snapshot_id"
+        ).fetchall()
+    ]
+    hist_ops = [r.operation for r in lake.snapshots("ft").orderBy("snapshot_id").collect()]
+    assert ops == hist_ops and len(ops) >= 5
+    # metrics ride along in changes_made: the insert row records rows=3
+    ins = con.execute(
+        "SELECT changes_made FROM ducklake_snapshot_changes"
+        " WHERE changes_made ILIKE 'insert%'"
+    ).fetchall()
+    assert any("num_inserted=3" in r[0] for r in ins)
+    # partition/sort expression side tables join like the reference's
+    # SQL views (pg_ducklake--0.1.0.sql:226,267)
+    pc = con.execute(
+        "SELECT pc.column_id FROM ducklake_partition_info pi"
+        " JOIN ducklake_partition_column pc ON pi.table_id = pc.table_id"
+        " AND pi.partition_key_index = pc.partition_key_index"
+    ).fetchall()
+    assert pc == [(0,)]  # identity partition on column order 0 (k)
+    se = con.execute(
+        "SELECT expression, sort_direction FROM ducklake_sort_expression"
+    ).fetchall()
+    assert se and se[0][1].upper().startswith("DESC")
+    # schema-version log: the rename bumped the version
+    sv = con.execute(
+        "SELECT count(DISTINCT schema_version) FROM ducklake_schema_versions"
+    ).fetchone()[0]
+    assert sv >= 2
+    # column-mapping registry row for the renamed table
+    cm = con.execute(
+        "SELECT type FROM ducklake_column_mapping"
+    ).fetchall()
+    assert cm == [("map_by_name",)]
+    con.close()

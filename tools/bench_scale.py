@@ -89,6 +89,15 @@ QUERIES_SF10 = [
     "sim_bruteforce_topk",
     "sim_lsh_bucket_topk",
     "sim_codebook_mix",
+    # r7: the families that are fixed-cost-shaped at sf1 (sub-2 s
+    # absolute Spark times against sub-0.3 s DuckDB) get their slope
+    # measured here — 500k docs / 10M events is where data cost should
+    # overtake the per-query job overhead.
+    "text_bm25_topk",
+    "text_bigram_perplexity",
+    "text_bpe_pair_counts",
+    "stats_hll_distinct",
+    "text_cms_heavy_hitters",
 ]
 
 # A realistically-sized vocabulary matters: with a tiny one, word
