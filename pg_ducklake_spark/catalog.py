@@ -151,15 +151,26 @@ class FileEntry:
     stats: dict[str, dict[str, Any]] = field(default_factory=dict)
     partition_values: dict[str, str] = field(default_factory=dict)
     begin_snapshot: int = 0
+    # rowid lineage (upstream DuckLake's ducklake_data_file.row_id_start;
+    # the reference lists rowid as unsupported,
+    # docs/ducklake_feature_coverage.md:54): the table-scoped row id of
+    # this file's first row — rowid = row_id_start + row_index. NOT
+    # logged by writers: replay assigns it deterministically from the
+    # per-table counter (so old logs gain it for free); checkpoints
+    # persist it so bounded replay stays consistent.
+    row_id_start: int | None = None
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "path": self.path,
             "rows": self.rows,
             "bytes": self.bytes,
             "stats": self.stats,
             "partition_values": self.partition_values,
         }
+        if self.row_id_start is not None:
+            out["row_id_start"] = self.row_id_start
+        return out
 
     @staticmethod
     def from_json(d: dict, begin_snapshot: int) -> "FileEntry":
@@ -170,6 +181,7 @@ class FileEntry:
             stats=d.get("stats", {}),
             partition_values=d.get("partition_values", {}),
             begin_snapshot=begin_snapshot,
+            row_id_start=d.get("row_id_start"),
         )
 
 
@@ -314,6 +326,14 @@ def state_from_json(d: dict) -> TableState:
     )
     if state.schema_log:
         state.schema = T.StructType.fromJson(state.schema_log[-1][1])
+    # Checkpoints written before rowid lineage lack row_id_start:
+    # assign in file order (the checkpoint list preserves insertion
+    # order, which is replay order) so the invariant "every FileEntry
+    # has a row_id_start" holds everywhere downstream.
+    for fe in state.files.values():
+        if fe.row_id_start is None:
+            fe.row_id_start = state.next_row_id
+        state.next_row_id = max(state.next_row_id, fe.row_id_start + fe.rows)
     return state
 
 
@@ -417,6 +437,15 @@ class SnapshotLog:
                     )
         for d in snap.get("add", []):
             fe = FileEntry.from_json(d, sid)
+            # rowid assignment: files and inline rows draw from the same
+            # per-table counter, in replay order — deterministic across
+            # restarts because the log (and each snapshot's add list) is
+            # ordered. A rewritten file (vacuum/CoW) gets fresh ids.
+            if fe.row_id_start is None:
+                fe.row_id_start = state.next_row_id
+            state.next_row_id = max(
+                state.next_row_id, fe.row_id_start + fe.rows
+            )
             state.files[fe.path] = fe
         for path in snap.get("remove", []):
             state.files.pop(path, None)

@@ -1334,21 +1334,63 @@ class Lake:
             return self._log(name).version_at_timestamp(ts)
         return None
 
+    def _attach_rowid(
+        self, name: str, state: TableState, df: DataFrame
+    ) -> DataFrame:
+        """Append the ``rowid`` lineage column to a ``keep_meta`` scan:
+        rowid = file.row_id_start + row_index (upstream DuckLake
+        semantics; the reference lists rowid unsupported,
+        docs/ducklake_feature_coverage.md:54). The (file → start) map is
+        metadata-sized (one row per live data file), so the broadcast
+        join costs what the planner's own file listing already costs."""
+        table_dir = self._table_dir(name)
+        starts = [
+            (f"file:{table_dir}/{rel}", fe.row_id_start)
+            for rel, fe in state.files.items()
+        ]
+        sdf = self.spark.createDataFrame(
+            starts, "_dl_fp string, _dl_start long"
+        )
+        return (
+            df.join(F.broadcast(sdf), "_dl_fp", "left")  # bcast-ok: one row per data file (metadata-sized)
+            .withColumn("rowid", F.col("_dl_start") + F.col("_dl_ri"))
+            .drop("_dl_fp", "_dl_ri", "_dl_start")
+        )
+
     def table(
         self,
         name: str,
         version: int | None = None,
         timestamp: dt.datetime | str | None = None,
+        with_rowid: bool = False,
     ) -> DataFrame:
         """Current (or time-travel) view: live parquet files ∪ inline
         buffer, under the *historical* schema for old versions
-        (time_travel.sql:13-18)."""
+        (time_travel.sql:13-18). ``with_rowid=True`` appends the
+        ``rowid`` virtual row-lineage column — stable across snapshots
+        that do not rewrite the row's file (vacuum/CoW rewrites and
+        inline flushes re-id the moved rows, documented divergence from
+        upstream DuckLake's compaction-stable rowids)."""
         v = self._resolve_version(name, version, timestamp)
         state = self._state(name, v)
         schema = state.schema_at(state.snapshot_id)
-        df = self._files_df(name, state, schema)
-        inline = self._inline_df(state, schema)
-        return df.unionByName(inline) if inline is not None else df
+        if not with_rowid:
+            df = self._files_df(name, state, schema)
+            inline = self._inline_df(state, schema)
+            return df.unionByName(inline) if inline is not None else df
+        if "rowid" in {f.name for f in schema.fields}:
+            raise LakeError(
+                "with_rowid=True clashes with an existing 'rowid' column"
+            )
+        df = self._attach_rowid(
+            name, state, self._read_files(name, state, schema, keep_meta=True)
+        )
+        inline = self._inline_df(state, schema, with_row_id=True)
+        if inline is not None:
+            df = df.unionByName(
+                inline.withColumnRenamed("_dl_row_id", "rowid")
+            )
+        return df
 
     def time_travel(self, name: str, version_or_ts) -> DataFrame:
         """A16: ``time_travel(tbl, version | timestamp)``."""
@@ -1356,22 +1398,44 @@ class Lake:
             return self.table(name, version=version_or_ts)
         return self.table(name, timestamp=version_or_ts)
 
-    def scan(self, name: str, where: str | None = None, **tt) -> DataFrame:
+    def scan(
+        self, name: str, where: str | None = None, with_rowid: bool = False,
+        **tt,
+    ) -> DataFrame:
         """Filtered read with metadata file skipping (min/max stats +
         partition values — the reference's file_column_stats pruning,
-        SURVEY.md §4.2) before Spark's own parquet pushdown."""
+        SURVEY.md §4.2) before Spark's own parquet pushdown.
+        ``with_rowid=True`` appends the ``rowid`` lineage column (see
+        ``table``)."""
         v = self._resolve_version(name, tt.get("version"), tt.get("timestamp"))
         state = self._state(name, v)
         schema = state.schema_at(state.snapshot_id)
         if where is None:
-            return self.table(name, **tt)
+            return self.table(name, with_rowid=with_rowid, **tt)
         from pg_ducklake_spark.operators.pruning import prune_files
 
         keep = prune_files(state, where)
-        df = self._read_files(name, state, schema, rels=sorted(keep))
-        inline = self._inline_df(state, schema)
-        if inline is not None:
-            df = df.unionByName(inline)
+        if with_rowid:
+            if "rowid" in {f.name for f in schema.fields}:
+                raise LakeError(
+                    "with_rowid=True clashes with an existing 'rowid' column"
+                )
+            df = self._attach_rowid(
+                name, state,
+                self._read_files(
+                    name, state, schema, rels=sorted(keep), keep_meta=True
+                ),
+            )
+            inline = self._inline_df(state, schema, with_row_id=True)
+            if inline is not None:
+                df = df.unionByName(
+                    inline.withColumnRenamed("_dl_row_id", "rowid")
+                )
+        else:
+            df = self._read_files(name, state, schema, rels=sorted(keep))
+            inline = self._inline_df(state, schema)
+            if inline is not None:
+                df = df.unionByName(inline)
         return df.filter(F.expr(where))
 
     def sql(self, query: str) -> DataFrame:

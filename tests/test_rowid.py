@@ -1,0 +1,115 @@
+"""rowid virtual row-lineage column (r7): upstream DuckLake semantics
+(rowid = data_file.row_id_start + row_index; the reference itself lists
+rowid unsupported, docs/ducklake_feature_coverage.md:54). Covered:
+uniqueness, stability across non-rewriting snapshots and restarts,
+inline-row ids from the shared counter, DV subtraction, and a
+change-feed join that resolves deleted rows by rowid."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_ducklake_spark import Lake
+from pg_ducklake_spark.errors import LakeError
+
+
+def _rows(df):
+    return {(r.rowid, r.k, r.v) for r in df.collect()}
+
+
+def test_rowid_unique_and_stable_across_appends(spark, lake):
+    lake.create_table("t", "k int, v string")
+    lake.insert(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    )
+    first = _rows(lake.table("t", with_rowid=True))
+    assert len({rid for rid, *_ in first}) == 2
+    lake.insert(
+        "t", spark.createDataFrame([(3, "c"), (4, "d")], "k int, v string")
+    )
+    after = _rows(lake.table("t", with_rowid=True))
+    # appends never re-id existing rows
+    assert first <= after
+    assert len({rid for rid, *_ in after}) == 4
+
+
+def test_rowid_stable_across_restart(spark, lake):
+    lake.create_table("t", "k int, v string")
+    for batch in ([(1, "a")], [(2, "b"), (3, "c")]):
+        lake.insert(
+            "t", spark.createDataFrame(batch, "k int, v string")
+        )
+    before = _rows(lake.table("t", with_rowid=True))
+    reopened = Lake(spark, lake.path)
+    assert _rows(reopened.table("t", with_rowid=True)) == before
+
+
+def test_rowid_covers_inline_rows_without_collision(spark, lake):
+    lake.create_table(
+        "t", "k int, v string", options={"data_inlining_row_limit": 10}
+    )
+    lake.insert_rows("t", [{"k": 1, "v": "inline1"}, {"k": 2, "v": "inline2"}])
+    lake.flush_inlined_data("t")
+    lake.insert_rows("t", [{"k": 3, "v": "inline3"}])
+    got = _rows(lake.table("t", with_rowid=True))
+    assert len(got) == 3
+    assert len({rid for rid, *_ in got}) == 3  # file ∪ inline ids disjoint
+
+
+def test_rowid_skips_deleted_positions(spark, lake):
+    lake.create_table("t", "k int, v string")
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k int, v string"
+        ),
+    )
+    v1 = {r.k: r.rowid for r in lake.table("t", with_rowid=True).collect()}
+    lake.delete("t", "k IN (2, 5)")
+    v2 = {r.k: r.rowid for r in lake.table("t", with_rowid=True).collect()}
+    # survivors keep their ids (DV mode does not rewrite the file)
+    assert v2 == {k: rid for k, rid in v1.items() if k not in (2, 5)}
+
+
+def test_rowid_change_feed_join(spark, lake):
+    """The lineage use-case: resolve the change feed's deleted rows back
+    to their pre-delete rowids by joining on the key."""
+    lake.create_table("t", "k int, v string")
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "k int, v string"
+        ),
+    )
+    v_before = lake.current_snapshot("t")
+    pre = lake.table("t", with_rowid=True, version=v_before)
+    lake.delete("t", "k >= 6")
+    feed = lake.table_changes("t", v_before)
+    deleted = feed.filter(F.col("_change_type").like("delete%")).select("k")
+    gone = pre.join(deleted, "k").select("rowid", "k").collect()
+    assert sorted(r.k for r in gone) == [6, 7]
+    # and the same rowids are absent from the current view
+    now_ids = {r.rowid for r in lake.table("t", with_rowid=True).collect()}
+    assert not ({r.rowid for r in gone} & now_ids)
+
+
+def test_rowid_name_clash_rejected(spark, lake):
+    lake.create_table("t", "rowid int, v string")
+    with pytest.raises(LakeError):
+        lake.table("t", with_rowid=True)
+
+
+def test_scan_with_rowid_prunes_and_filters(spark, lake):
+    lake.create_table("t", "k int, v string")
+    for lo in (0, 100):
+        lake.insert(
+            "t",
+            spark.createDataFrame(
+                [(lo + i, f"v{lo+i}") for i in range(5)], "k int, v string"
+            ),
+        )
+    got = lake.scan("t", "k >= 100", with_rowid=True).collect()
+    assert sorted(r.k for r in got) == [100, 101, 102, 103, 104]
+    all_ids = {r.k: r.rowid for r in lake.table("t", with_rowid=True).collect()}
+    assert {r.k: r.rowid for r in got} == {
+        k: rid for k, rid in all_ids.items() if k >= 100
+    }
