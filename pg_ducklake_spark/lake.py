@@ -1002,6 +1002,124 @@ class Lake:
         )
         return n
 
+    # Widening-only parquet→table reads Spark's vectorized reader
+    # performs (anything else must go through a rewriting INSERT).
+    _ADD_FILE_UPCASTS = {
+        "int": {"tinyint", "smallint", "int"},
+        "bigint": {"tinyint", "smallint", "int", "bigint"},
+        "smallint": {"tinyint", "smallint"},
+        "double": {"float", "double"},
+    }
+
+    def add_data_files(
+        self, name: str, paths: list[str], message: str | None = None
+    ) -> int:
+        """Register existing parquet files into ``name`` WITHOUT
+        rewriting their data (≙ upstream DuckLake's
+        ``ducklake_add_data_files``; the reference does not expose it
+        either — docs/ducklake_feature_coverage.md:97 — documented
+        divergence in PARITY.md).
+
+        Per file, the parquet footer is validated against the table
+        schema (exact column-name cover; types equal or vectorized-
+        reader-widenable; footer null counts must not violate NOT
+        NULL), then the file is hard-linked (copy fallback across
+        filesystems) into a fresh commit directory under the table
+        root — so the relative-path layout, vacuum, freeze and FDW
+        logic all hold — and footer stats are collected exactly like a
+        written commit. ONE snapshot registers every file; rows become
+        visible atomically and gain rowids like any insert."""
+        self._check_writable()
+        self._check_message(name, message)
+        state = self._state(name)
+        if not paths:
+            return 0
+        import pyarrow.parquet as pq
+
+        expect = {f.name: f for f in state.schema.fields}
+        for p in paths:
+            if not os.path.isfile(p):
+                raise LakeError(f"add_data_files: {p!r} is not a file")
+            try:
+                pf = pq.ParquetFile(p)
+            except Exception as exc:
+                raise LakeError(f"add_data_files: {p!r}: {exc}") from exc
+            file_schema = self.spark.read.parquet(p).schema
+            got = {f.name: f for f in file_schema.fields}
+            if set(got) != set(expect):
+                raise LakeError(
+                    f"add_data_files: {p!r} columns {sorted(got)} != "
+                    f"table columns {sorted(expect)}"
+                )
+            for cname, tf_ in expect.items():
+                want = tf_.dataType.simpleString()
+                have = got[cname].dataType.simpleString()
+                if have != want and have not in self._ADD_FILE_UPCASTS.get(
+                    want, set()
+                ):
+                    raise LakeError(
+                        f"add_data_files: {p!r} column {cname!r} type "
+                        f"{have} is not readable as table type {want}"
+                    )
+                if not tf_.nullable:
+                    md = pf.metadata
+                    nulls = 0
+                    for rg in range(md.num_row_groups):
+                        g = md.row_group(rg)
+                        for ci in range(g.num_columns):
+                            col = g.column(ci)
+                            if col.path_in_schema == cname:
+                                st = col.statistics
+                                if st is None or st.null_count is None:
+                                    raise LakeError(
+                                        f"add_data_files: {p!r} lacks null "
+                                        f"stats for NOT NULL column {cname!r}"
+                                    )
+                                nulls += st.null_count
+                    if nulls:
+                        raise LakeError(
+                            f"add_data_files: {p!r} has {nulls} NULLs in "
+                            f"NOT NULL column {cname!r}"
+                        )
+        table_dir = self._table_dir(name)
+        commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+        dest_dir = os.path.join(table_dir, commit_rel)
+        os.makedirs(dest_dir, exist_ok=True)
+        for i, p in enumerate(paths):
+            dest = os.path.join(dest_dir, f"{i:04d}-{os.path.basename(p)}")
+            try:
+                os.link(p, dest)  # no data movement on the same fs
+            except OSError:
+                shutil.copy2(p, dest)
+
+        def spark_count(path: str) -> int:
+            return self.spark.read.parquet(path).count()
+
+        entries = [
+            e
+            for e in collect_file_entries(
+                table_dir, commit_rel, 0, fallback_counter=spark_count
+            )
+            if e.rows > 0
+        ]
+        n = sum(e.rows for e in entries)
+        if self._txn is not None:
+            staged = self._txn.setdefault(
+                name, {"add": [], "metrics": {"num_inserted": 0}}
+            )
+            staged["add"].extend(e.to_json() for e in entries)
+            staged["metrics"]["num_inserted"] += n
+            return n
+        self._log(name).commit(
+            {
+                "operation": "ADD_DATA_FILES",
+                "add": [e.to_json() for e in entries],
+                "metrics": {"num_inserted": n, "num_files": len(entries)},
+                "commit_message": message,
+            }
+        )
+        return n
+
     def insert_rows(self, name: str, rows: list[dict], message: str | None = None) -> int:
         """Small-batch insert; goes to the inline buffer when under
         ``data_inlining_row_limit`` (the reference's direct-insert fast
@@ -2063,8 +2181,35 @@ class Lake:
 
     # --------------------------------------------- options (A26)
 
-    def set_option(self, option: str, value: Any, table: str | None = None) -> None:
+    def set_option(
+        self,
+        option: str,
+        value: Any,
+        table: str | None = None,
+        schema: str | None = None,
+    ) -> None:
+        """Set an option at lake, schema, or table scope. Precedence at
+        read time is global < schema < table (``schema=`` is the layer
+        the reference notes as absent,
+        docs/ducklake_feature_coverage.md:78)."""
         self._check_ddl()
+        if table is not None and schema is not None:
+            raise LakeError("pass either table or schema scope, not both")
+        if schema is not None:
+            if not self.schema_exists(schema):
+                raise LakeError(f"schema {schema!r} does not exist")
+            slog = SnapshotLog(self._schema_options_dir(schema))
+            if not slog.exists():
+                slog.commit(
+                    {"operation": "CREATE OPTIONS",
+                     "schema": T.StructType([]).jsonValue(),
+                     "schema_version": 1, "metrics": {}}
+                )
+            slog.commit(
+                {"operation": "SET OPTION",
+                 "set": {"options": {option: value}}, "metrics": {}}
+            )
+            return
         if table is None:
             # lake-level options live in a zero-data options table dir
             table = "_lake_options"
@@ -2085,13 +2230,24 @@ class Lake:
              "metrics": {}}
         )
 
+    def _schema_options_dir(self, schema: str) -> str:
+        # options logs are underscore-prefixed so list_tables skips them
+        return os.path.join(self.path, f"_schema_options__{schema}")
+
     def options(self, table: str | None = None) -> dict[str, Any]:
+        """Effective options: defaults < lake scope < schema scope (the
+        table's namespace) < table scope."""
         out = dict(DEFAULT_OPTIONS)
         opt_log = SnapshotLog(os.path.join(self.path, "_lake_options"))
         if opt_log.exists():
             out.update(opt_log.replay().options)
-        if table is not None and self._log(table).exists():
-            out.update(self._state(table).options)
+        if table is not None:
+            schema_name = table.split(".", 1)[0] if "." in table else "main"
+            slog = SnapshotLog(self._schema_options_dir(schema_name))
+            if slog.exists():
+                out.update(slog.replay().options)
+            if self._log(table).exists():
+                out.update(self._state(table).options)
         return out
 
     # ------------------------------- views & macros (≙ ducklake_view/macro)

@@ -477,3 +477,76 @@ def lake_schema_namespace(spark, sf_dir):
         ORDER BY n_name
         """
     )
+
+
+@query(
+    "lake_add_data_files",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lake_add_data_files(spark, sf_dir):
+    """Register an EXISTING parquet file into a table without rewriting
+    its data (≙ upstream DuckLake's ducklake_add_data_files; neither
+    the reference nor upstream-pg exposes it,
+    docs/ducklake_feature_coverage.md:97 — PARITY.md divergence), then
+    aggregate the assembled table. Scale shape: registration is pure
+    metadata (footer reads + hard links — no data pass); the aggregate
+    is one map-side-combined shuffle over a low-cardinality key."""
+    import os
+
+    lake = _tmp_lake(spark)
+    lake.create_table(
+        "docs", "doc_id bigint, text string, lang string,"
+        " source string, n_chars bigint"
+    )
+    lake.add_data_files(
+        "docs", [os.path.join(sf_dir, "documents.parquet")]
+    )
+    return (
+        lake.table("docs")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "lake_rowid_lineage",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_custkey <= 600 AND c_acctbal < 0
+    ORDER BY c_custkey
+    """,
+)
+def lake_rowid_lineage(spark, sf_dir):
+    """rowid row lineage through a DML step (upstream DuckLake rowid
+    semantics; unsupported in the reference,
+    docs/ducklake_feature_coverage.md:54): scan with rowid before a
+    DELETE, anti-join the surviving rowids, and return the business
+    columns of exactly the rows the DELETE removed. Scale shape: the
+    rowid column is file.row_id_start + parquet row_index (metadata-
+    sized broadcast of one row per file); the anti-join keys on a
+    bigint."""
+    lake = _tmp_lake(spark)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    lake.create_table("c", "c_custkey bigint, c_acctbal double")
+    lake.insert("c", cust.filter(F.col("c_custkey") <= 600))
+    v_before = lake.current_snapshot("c")
+    lake.delete("c", "c_acctbal < 0")
+    pre = lake.table("c", with_rowid=True, version=v_before)
+    post_ids = lake.table("c", with_rowid=True).select("rowid")
+    return (
+        pre.join(post_ids, "rowid", "left_anti")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )

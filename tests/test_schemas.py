@@ -202,3 +202,38 @@ def test_two_part_procedure_overloads(lake):
     execute(lake, "CREATE TABLE flat (a int)")
     execute(lake, "CALL ducklake.set_partition('flat', 'a')")
     assert lake.get_partition("flat") == ["a"]
+
+
+def test_schema_scoped_options_precedence(spark, lake):
+    """r7: set_option(schema=) sits between lake and table scope —
+    the one settings layer the reference notes as absent
+    (docs/ducklake_feature_coverage.md:78)."""
+    import pytest
+
+    from pg_ducklake_spark.errors import LakeError
+
+    lake.create_schema("analytics")
+    lake.create_table("analytics.t", "a int")
+    lake.create_table("plain", "a int")
+    lake.set_option("parquet_compression", "zstd")  # lake scope
+    assert lake.options("plain")["parquet_compression"] == "zstd"
+    assert lake.options("analytics.t")["parquet_compression"] == "zstd"
+    lake.set_option("parquet_compression", "gzip", schema="analytics")
+    assert lake.options("analytics.t")["parquet_compression"] == "gzip"
+    assert lake.options("plain")["parquet_compression"] == "zstd"
+    lake.set_option("parquet_compression", "snappy", table="analytics.t")
+    assert lake.options("analytics.t")["parquet_compression"] == "snappy"
+    # schema scope persists across a reopen (it is a snapshot log)
+    from pg_ducklake_spark import Lake
+
+    re2 = Lake(spark, lake.path)
+    lake2_opts = re2.options("analytics.t")
+    assert lake2_opts["parquet_compression"] == "snappy"
+    lake.create_table("analytics.u", "a int")
+    assert re2.options("analytics.u")["parquet_compression"] == "gzip"
+    with pytest.raises(LakeError):
+        lake.set_option("x", 1, table="plain", schema="analytics")
+    with pytest.raises(LakeError):
+        lake.set_option("x", 1, schema="nope")
+    # schema-options logs never surface as tables
+    assert all(not t.startswith("_") for t in lake.list_tables())
