@@ -69,7 +69,8 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
             new_name VARCHAR);
         CREATE TABLE ducklake_data_file(
             table_id BIGINT, path VARCHAR, rows BIGINT, bytes BIGINT,
-            begin_snapshot BIGINT, partition_values VARCHAR, stats VARCHAR);
+            begin_snapshot BIGINT, partition_values VARCHAR, stats VARCHAR,
+            row_id_start BIGINT);
         CREATE TABLE ducklake_file_column_stats(
             table_id BIGINT, data_file_path VARCHAR, column_name VARCHAR,
             null_count BIGINT, min_value VARCHAR, max_value VARCHAR);
@@ -206,11 +207,14 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
             )
         for fe in state.files.values():
             fpath = os.path.join(relpath, fe.path)
+            # row_id_start rides along (upstream DuckLake keeps rowid
+            # lineage in ducklake_data_file), so a frozen reader can
+            # reconstruct rowid = row_id_start + row_index.
             con.execute(
-                "INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?)",
+                "INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
                 [tid, fpath, fe.rows, fe.bytes,
                  fe.begin_snapshot, json.dumps(fe.partition_values),
-                 json.dumps(fe.stats)],
+                 json.dumps(fe.stats), fe.row_id_start],
             )
             # Per-file pruning stats, normalized like the reference
             # freezes ducklake_file_column_stats and
@@ -443,9 +447,18 @@ class FrozenLake:
                 "SELECT path, begin_snapshot FROM ducklake_data_file"
                 " WHERE table_id = ?", [tid]
             ).fetchall()
+            try:
+                rid_starts = dict(
+                    con.execute(
+                        "SELECT path, row_id_start FROM ducklake_data_file"
+                        " WHERE table_id = ?", [tid]
+                    ).fetchall()
+                )
+            except duckdb.BinderException:  # pre-rowid frozen files
+                rid_starts = {}
             inline = con.execute(
-                "SELECT values_json FROM ducklake_inlined_data WHERE table_id = ?"
-                " ORDER BY row_id",
+                "SELECT values_json, row_id FROM ducklake_inlined_data"
+                " WHERE table_id = ? ORDER BY row_id",
                 [tid],
             ).fetchall()
             try:
@@ -497,7 +510,9 @@ class FrozenLake:
                 fstats, fpvals = {}, {}
             self._tables[name] = {"file_stats": fstats, "file_pvals": fpvals,
                                   "cols": cols, "files": files,
+                                  "rid_starts": rid_starts,
                                   "inline": [json.loads(r[0]) for r in inline],
+                                  "inline_rids": [r[1] for r in inline],
                                   "dvs": dvs, "dv_rows": dv_rows,
                                   "renames": renames,
                                   "name": name}
@@ -598,21 +613,35 @@ class FrozenLake:
 
         return _prune(_Shim(), where)
 
-    def scan(self, name: str, where: str | None = None) -> DataFrame:
+    def scan(
+        self, name: str, where: str | None = None, with_rowid: bool = False
+    ) -> DataFrame:
         """Filtered read with metadata file-skipping, mirroring
         Lake.scan: only files whose frozen stats may match are planned;
         the full predicate is always re-applied."""
         if not where:
-            return self.table(name)
+            return self.table(name, with_rowid=with_rowid)
         keep = set(self.prune_files(name, where))
-        return self.table(name, _rels=keep).filter(where)
+        return self.table(name, _rels=keep, with_rowid=with_rowid).filter(where)
 
-    def table(self, name: str, _rels: set | None = None) -> DataFrame:
+    def table(
+        self, name: str, _rels: set | None = None, with_rowid: bool = False
+    ) -> DataFrame:
         from pyspark.sql import functions as F
 
         if name not in self._tables:
             raise TableNotFoundError(f"table {name!r} not in frozen lake")
         info = self._tables[name]
+        if with_rowid:
+            if info["files"] and not info.get("rid_starts"):
+                raise LakeError(
+                    "frozen file predates rowid lineage (no row_id_start in "
+                    "ducklake_data_file); re-freeze the source lake"
+                )
+            if any(c == "rowid" for c, *_ in info["cols"]):
+                raise LakeError(
+                    "with_rowid=True clashes with an existing 'rowid' column"
+                )
         if _rels is not None:
             info = dict(
                 info,
@@ -651,12 +680,13 @@ class FrozenLake:
             phys = tuple(physical_name(c, file_bs) for c in current_names)
             groups.setdefault((missing, phys), []).append(path)
         has_dvs = bool(info.get("dvs"))
+        need_meta = has_dvs or with_rowid
         parts = []
         for (missing, phys), group_paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
             paths = [os.path.join(self.data_root, p) for p in group_paths]
             if phys == current_names:
                 g = self.spark.read.schema(schema).parquet(*paths)
-                if has_dvs:
+                if need_meta:
                     # _metadata must be captured per scan, pre-union
                     g = g.select(
                         "*",
@@ -691,7 +721,7 @@ class FrozenLake:
                     )
                     for p, f in aliases
                 ]
-                if has_dvs:
+                if need_meta:
                     proj += [
                         F.col("_metadata.file_path").alias("_fp"),
                         F.col("_metadata.row_index").alias("_ri"),
@@ -710,6 +740,10 @@ class FrozenLake:
                 df = df.unionByName(p)
         else:
             df = self.spark.createDataFrame([], schema)
+            if need_meta:
+                df = df.withColumn(
+                    "_fp", F.lit(None).cast("string")
+                ).withColumn("_ri", F.lit(None).cast("long"))
         if info.get("dvs"):
             from pyspark.sql import functions as F
             from pyspark.sql import types as T2
@@ -750,9 +784,24 @@ class FrozenLake:
                 ).alias("_fp"),
                 F.col("row_index").alias("_ri"),
             )
-            df = df.join(F.broadcast(dv), ["_fp", "_ri"], "left_anti").drop(  # bcast-ok: per-file delete vector, bounded by max file rows
-                "_fp", "_ri"
+            df = df.join(F.broadcast(dv), ["_fp", "_ri"], "left_anti")  # bcast-ok: per-file delete vector, bounded by max file rows
+        if with_rowid:
+            # rowid = frozen row_id_start + parquet row_index (the same
+            # metadata-sized broadcast map Lake._attach_rowid uses).
+            starts = [
+                (f"file:{self.data_root}/{p}", info["rid_starts"].get(p))
+                for p, _bs in info["files"]
+            ]
+            sdf = self.spark.createDataFrame(
+                starts, "_fp string, _dl_start long"
             )
+            df = (
+                df.join(F.broadcast(sdf), "_fp", "left")  # bcast-ok: one row per data file (metadata-sized)
+                .withColumn("rowid", F.col("_dl_start") + F.col("_ri"))
+                .drop("_dl_start")
+            )
+        if need_meta:
+            df = df.drop("_fp", "_ri")
         if info["inline"]:
             from pg_ducklake_spark.catalog import from_json_value
 
@@ -761,9 +810,20 @@ class FrozenLake:
                     from_json_value(vals.get(f.name), f.dataType)
                     for f in schema.fields
                 )
-                for vals in info["inline"]
+                + ((rid,) if with_rowid else ())
+                for vals, rid in zip(info["inline"], info["inline_rids"])
             ]
-            df = df.unionByName(self.spark.createDataFrame(data, schema=schema))
+            inline_schema = schema
+            if with_rowid:
+                from pyspark.sql import types as T3
+
+                inline_schema = T3.StructType(
+                    list(schema.fields)
+                    + [T3.StructField("rowid", T3.LongType())]
+                )
+            df = df.unionByName(
+                self.spark.createDataFrame(data, schema=inline_schema)
+            )
         return df
 
     def sql(self, query: str) -> DataFrame:

@@ -306,22 +306,24 @@ def test_incremental_stats_merge_is_a_join_on_group_keys(plans):
     assert "FullOuter" in s or "full_outer" in s.lower()
 
 
-def test_bm25_prunes_tokens_before_shuffle(plans):
-    """BM25's corpus explode must hit the broadcast query-term join
-    BEFORE any exchange — the tf aggregate shuffles only matching
-    postings, never the raw token stream — and doc lengths must come
-    map-side. The cached tf table is referenced twice (df aggregate +
+def test_bm25_prunes_tokens_before_explode(plans):
+    """BM25's query-term pruning must happen INSIDE the token array,
+    before the Generate — the explode emits only matching postings, so
+    nothing downstream (aggregate or exchange) ever sees the raw token
+    stream (r7: measured 2.2× over the broadcast-semi-join form at
+    sf10). The cached tf table is referenced twice (df aggregate +
     scoring join), so count DISTINCT Generate expressions, not plan
     lines (InMemoryRelation reprints its build plan per reference)."""
     s = plan_of(plans("text_bm25_topk"))
-    gens = {re.sub(r"#\d+", "#", m) for m in re.findall(r"Generate explode\([^)]*\)", s)}
+    gens = {
+        re.sub(r"#\d+", "#", m)
+        for m in re.findall(r"Generate explode\(\w+", s)
+    }
     assert len(gens) <= 1, "doc lengths re-explode the corpus"
-    lines = s.splitlines()
-    gen = next(i for i, ln in enumerate(lines) if "Generate explode" in ln)
-    # everything above the Generate down to the first Exchange must
-    # include the BroadcastHashJoin that prunes to query terms
-    above = "\n".join(lines[:gen])
-    assert "BroadcastHashJoin" in above, "token stream shuffles unpruned"
+    gen_lines = [ln for ln in s.splitlines() if "Generate explode" in ln]
+    assert gen_lines and all(
+        "explode(filter(" in ln for ln in gen_lines
+    ), "token stream explodes before query-term pruning"
 
 
 def test_bm25_no_corpus_keyed_window(plans):

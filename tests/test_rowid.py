@@ -113,3 +113,27 @@ def test_scan_with_rowid_prunes_and_filters(spark, lake):
     assert {r.k: r.rowid for r in got} == {
         k: rid for k, rid in all_ids.items() if k >= 100
     }
+
+
+def test_rowid_through_freeze(spark, lake, tmp_path):
+    """A frozen lake reconstructs the same rowids from the exported
+    row_id_start column (upstream keeps it in ducklake_data_file)."""
+    lake.create_table(
+        "t", "k int, v string", options={"data_inlining_row_limit": 2}
+    )
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "k int, v string"
+        ),
+    )
+    lake.insert_rows("t", [{"k": 99, "v": "inline"}])
+    lake.delete("t", "k = 3")
+    live = {(r.k, r.rowid) for r in lake.table("t", with_rowid=True).collect()}
+    out = str(tmp_path / "r.ducklake")
+    lake.freeze(out)
+    frozen = Lake.attach_frozen(spark, out)
+    got = {(r.k, r.rowid) for r in frozen.table("t", with_rowid=True).collect()}
+    assert got == live
+    # and the plain read is unchanged
+    assert frozen.table("t").count() == 6

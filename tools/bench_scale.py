@@ -418,6 +418,49 @@ def run_exact_kernel(spark) -> dict:
             .count()
         )
 
+    def spark_kernel_arrow(df, min_copies):
+        # r7 stretch (VERDICT r6 #7): hash the text column inside an
+        # Arrow-batched mapInPandas (pandas' vectorized 64-bit string
+        # hash, two independent keys -> 128 bits), so the per-row hash
+        # cost moves out of the JVM expression interpreter — the
+        # BLAS-kernel pattern. The trade: every text byte crosses the
+        # Arrow boundary once.
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("h1", T.LongType()),
+                T.StructField("h2", T.LongType()),
+                T.StructField("doc_id", T.LongType()),
+            ]
+        )
+
+        def hash_batches(batches):
+            for pdf in batches:
+                h1 = pd.util.hash_pandas_object(
+                    pdf["text"], index=False, hash_key="0123456789123456"
+                )
+                h2 = pd.util.hash_pandas_object(
+                    pdf["text"], index=False, hash_key="6543210987654321"
+                )
+                yield pd.DataFrame(
+                    {
+                        "h1": h1.astype("int64"),
+                        "h2": h2.astype("int64"),
+                        "doc_id": pdf["doc_id"],
+                    }
+                )
+
+        return (
+            df.mapInPandas(hash_batches, schema)
+            .groupBy("h1", "h2")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id"))
+            .filter(F.col("n") > min_copies)
+            .groupBy()
+            .count()
+        )
+
     def spark_kernel_xx(df, min_copies):
         # The production plan (plans/dedup.py dedup_exact_groups):
         # group on a 128-bit seeded-xxhash64 pair — engine-native,
@@ -449,13 +492,16 @@ def run_exact_kernel(spark) -> dict:
     ):
         s_md5 = _time_spark(lambda: spark_kernel_md5(sdf, mc))
         s_xx = _time_spark(lambda: spark_kernel_xx(sdf, mc))
+        s_ar = _time_spark(lambda: spark_kernel_arrow(sdf, mc))
         d = _time_duck(con, dsql)
         out[label] = {
             "spark_md5": s_md5,
             "spark_xx128": s_xx,
+            "spark_arrow": s_ar,
             "duck": d,
             "ratio_md5": round(s_md5 / d, 2),
             "ratio_xx128": round(s_xx / d, 2),
+            "ratio_arrow": round(s_ar / d, 2),
         }
     con.close()
     return out
