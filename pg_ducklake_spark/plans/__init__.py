@@ -100,11 +100,23 @@ def rebalance(df: DataFrame, partitions: int | None = None) -> DataFrame:
     one core while the rest idle. Round-robin-shuffling the *raw* rows
     first is cheap (pre-explode, pre-transform) and buys full
     parallelism for the chain. On a production lake the writer emits
-    many properly-sized files and scans are already parallel; this is
-    the single-file analog of that layout.
+    many properly-sized files and scans are already parallel — and in
+    that case (r7) the repartition is SKIPPED: when the scan already
+    plans at least half the cluster's parallelism in input splits, the
+    round-robin shuffle is a pure data-proportional cost that buys
+    nothing (measured: it was ~0.7 s of stats_hll_distinct's time on a
+    32-row-group 10M-row file). The partition probe is metadata-only
+    (file-split planning, no job).
     """
     sc = df.sparkSession.sparkContext
-    return df.repartition(partitions or sc.defaultParallelism)
+    target = partitions or sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # non-scan inputs: keep the old unconditional path
+        cur = 1
+    if cur * 2 >= target:
+        return df
+    return df.repartition(target)
 
 
 # Import for registration side effects (order = display order).

@@ -122,8 +122,14 @@ def stats_hll_distinct(spark, sf_dir):
     # The exact-count audit is FUSED into the register pass: a user
     # lands in exactly one (type, bucket) — bucket is a pure function
     # of h(user) — so SUM of per-bucket distinct users IS the per-type
-    # distinct count. One scan, one shuffle, no join (previously a
-    # second scan + countDistinct expand + broadcast join).
+    # distinct count. One scan, no join (previously a second scan +
+    # countDistinct expand + broadcast join). r7: the distinct is an
+    # EXPLICIT two-phase aggregate — dedup on (type, bucket, user)
+    # first (map-side combined; rho is a pure function of the user
+    # hash, so max(rho) over duplicate events is exact), then the
+    # register rollup with count(*) as the audit — instead of mixing
+    # countDistinct with max(rho) in one agg, which plans an Expand
+    # that duplicates every input row 2× before the partial aggregate.
     regs = (
         hashed.select(
             "event_type",
@@ -131,10 +137,12 @@ def stats_hll_distinct(spark, sf_dir):
             (F.col("h") % _HLL_M).alias("bucket"),
             F.expr(_rho(f"(h DIV {_HLL_M})")).alias("rho"),
         )
+        .groupBy("event_type", "bucket", "user_id")
+        .agg(F.max("rho").alias("rho"))
         .groupBy("event_type", "bucket")
         .agg(
             F.max("rho").alias("reg"),
-            F.countDistinct("user_id").alias("bucket_users"),
+            F.count(F.lit(1)).alias("bucket_users"),
         )
     )
     summed = regs.groupBy("event_type").agg(
