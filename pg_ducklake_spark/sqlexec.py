@@ -496,6 +496,16 @@ def execute(lake: "Lake", sql: str) -> Any:
             "reset_partition": lambda: lake.reset_partition(*pos),
             "set_sort": lambda: lake.set_sort(*scoped(pos)),
             "reset_sort": lambda: lake.reset_sort(*pos),
+            # r7: register pre-written parquet without rewrite
+            # (upstream DuckLake's ducklake_add_data_files; absent in
+            # the reference — PARITY.md divergence). Signature:
+            # CALL add_data_files('t', 'path1' [, 'path2' ...]).
+            "add_data_files": lambda: lake.add_data_files(
+                pos[0], [str(p) for p in pos[1:]], **kw
+            ),
+            "ducklake_add_data_files": lambda: lake.add_data_files(
+                pos[0], [str(p) for p in pos[1:]], **kw
+            ),
         }
         if proc not in dispatch:
             raise LakeError(f"unknown procedure {proc!r}")

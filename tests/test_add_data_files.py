@@ -117,3 +117,12 @@ def test_registered_files_survive_freeze_and_vacuum(spark, lake, tmp_path, ext):
     assert frozen.table("t").count() == 4
     lake.vacuum("t")
     assert sorted(r.k for r in lake.table("t").collect()) == [1, 2, 3, 9]
+
+
+def test_call_add_data_files_sql(spark, lake, ext):
+    """CALL add_data_files through the SQL prompt routes to the Lake
+    API and reports the registered row count."""
+    lake.create_table("t", "k bigint, v string")
+    n = lake.execute(f"CALL add_data_files('t', '{ext}')")
+    assert n == 3
+    assert lake.execute("SELECT count(*) AS n FROM t").collect()[0].n == 3
