@@ -126,3 +126,27 @@ def test_call_add_data_files_sql(spark, lake, ext):
     n = lake.execute(f"CALL add_data_files('t', '{ext}')")
     assert n == 3
     assert lake.execute("SELECT count(*) AS n FROM t").collect()[0].n == 3
+
+
+def test_add_data_files_in_transaction(spark, lake, ext, tmp_path):
+    """Registration stages like any insert inside a transaction: one
+    snapshot on commit, nothing visible before, nothing on rollback."""
+    ext2 = _write(
+        tmp_path, "ext3.parquet",
+        pa.table({"k": pa.array([10], pa.int64()),
+                  "v": pa.array(["t"], pa.string())}),
+    )
+    lake.create_table("t", "k bigint, v string")
+    v0 = lake.current_snapshot("t")
+    with lake.transaction():
+        lake.add_data_files("t", [ext])
+        lake.add_data_files("t", [ext2])
+    assert lake.table("t").count() == 4
+    assert lake.current_snapshot("t") == v0 + 1  # one snapshot for both
+    try:
+        with lake.transaction():
+            lake.add_data_files("t", [ext2])
+            raise RuntimeError("abort")
+    except RuntimeError:
+        pass
+    assert lake.table("t").count() == 4  # rollback left nothing

@@ -137,3 +137,21 @@ def test_rowid_through_freeze(spark, lake, tmp_path):
     assert got == live
     # and the plain read is unchanged
     assert frozen.table("t").count() == 6
+
+
+def test_rowid_survives_schema_evolution(spark, lake):
+    """Renames and added columns are metadata-only: rowids of existing
+    rows do not move."""
+    lake.create_table("t", "k int, v string")
+    lake.insert(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    )
+    before = {r.k: r.rowid for r in lake.table("t", with_rowid=True).collect()}
+    lake.rename_column("t", "v", "val")
+    lake.add_column("t", "extra", "int")
+    after = {r.k: r.rowid for r in lake.table("t", with_rowid=True).collect()}
+    assert after == before
+    # a historical read reproduces the same ids too
+    v1 = {r.k: r.rowid
+          for r in lake.table("t", with_rowid=True, version=2).collect()}
+    assert v1 == before
