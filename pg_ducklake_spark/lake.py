@@ -1488,7 +1488,11 @@ class Lake:
         ``rowid`` virtual row-lineage column — stable across snapshots
         that do not rewrite the row's file (vacuum/CoW rewrites and
         inline flushes re-id the moved rows, documented divergence from
-        upstream DuckLake's compaction-stable rowids)."""
+        upstream DuckLake's compaction-stable rowids). One more edge:
+        ids assigned AFTER a same-table snapshot that is pending in a
+        multi-table transaction shift when that transaction resolves
+        (replay assigns ids in commit order, and a resolved snapshot
+        re-enters the order); ids are stable from resolution onward."""
         v = self._resolve_version(name, version, timestamp)
         state = self._state(name, v)
         schema = state.schema_at(state.snapshot_id)
