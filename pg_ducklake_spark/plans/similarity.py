@@ -606,23 +606,73 @@ def sim_codebook_mix(spark, sf_dir):
     pipeline runs before choosing mixture weights.
 
     Scale shape: the codebook is a compile-time literal (k x dim), so
-    assignment is pure map-side expression work inside one scan — no
-    broadcast, no shuffle until the 8-group aggregate (map-side
-    combined). At 100 TB this is a single pass; the trained-centroid
-    variant of the same layout is operators/ivf.ivf_build (broadcast
-    centroids), whose assignment invariant is oracle-pinned by
-    sim_ivf_topk. avg_cos uses the exact fixed-point mean
-    (functions/exact.py) so the value is summation-order-independent."""
+    assignment is pure map-side work inside one scan — no broadcast, no
+    shuffle until the 8-group aggregate (map-side combined). At 100 TB
+    this is a single pass; the trained-centroid variant of the same
+    layout is operators/ivf.ivf_build (broadcast centroids), whose
+    assignment invariant is oracle-pinned by sim_ivf_topk. avg_cos uses
+    the exact fixed-point mean (functions/exact.py) so the value is
+    summation-order-independent.
+
+    r7 kernel: the per-row k×dim scoring runs as an Arrow-batched
+    mapInPandas with SEQUENTIAL per-dimension accumulation
+    (``acc = acc + emb[:, i] * code[i]`` — one IEEE multiply + one add
+    per element per step, the exact rounding sequence of the SQL
+    left-fold and of DuckDB's flat ``t1 + t2 + …`` sum), so the result
+    stays bit-identical to the oracle while the interpreted
+    HOF-expression ladder (8 cells × 64 dims of lambda evaluation per
+    row — measured 2.5 s at 200k rows) drops to vectorized numpy
+    (~0.5 s). Same trade as the BLAS brute-force kernel, minus BLAS:
+    GEMM's pairwise summation would NOT match the fold, sequential
+    accumulation does."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     from pg_ducklake_spark.functions import davg
 
-    emb = rebalance(t(spark, sf_dir, "embeddings")).withColumn(
-        "nrm", F.sqrt(F.expr(_FOLD_DOT.format(a="embedding", b="embedding")))
+    emb = rebalance(t(spark, sf_dir, "embeddings"))
+    code = np.array(_CODEBOOK, dtype=np.float64)  # (k, dim)
+    norms = np.array(_CODE_NORMS, dtype=np.float64)
+    out_schema = T.StructType(
+        [
+            T.StructField("label", emb.schema["label"].dataType),
+            T.StructField("cell", T.LongType()),
+            T.StructField("best_sim", T.DoubleType()),
+        ]
     )
-    best = F.expr(_spark_cell_struct())
-    assigned = emb.select(
-        "label",
-        (-best["negcell"]).cast("long").alias("cell"),
-        best["sim"].alias("best_sim"),
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # float32 -> float64 widening is exact (= CAST(x AS DOUBLE))
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float32
+                           ).astype(np.float64)
+            n = mat.shape[0]
+            sims = np.empty((code.shape[0], n), dtype=np.float64)
+            nrm = np.zeros(n, dtype=np.float64)
+            for i in range(mat.shape[1]):  # exact left-fold |x|^2
+                nrm = nrm + mat[:, i] * mat[:, i]
+            nrm = np.sqrt(nrm)
+            for j in range(code.shape[0]):
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(mat.shape[1]):  # exact left-fold dot
+                    acc = acc + mat[:, i] * code[j, i]
+                sims[j] = acc / (nrm * norms[j])
+            # first max along cells = smallest cell on ties (the
+            # struct(sim, negcell) array_max rule)
+            cell = np.argmax(sims, axis=0)
+            yield pd.DataFrame(
+                {
+                    "label": pdf["label"],
+                    "cell": cell.astype("int64"),
+                    "best_sim": sims[cell, np.arange(n)],
+                }
+            )
+
+    assigned = emb.select("label", "embedding").mapInPandas(
+        assign_batches, out_schema
     )
     total = Window.partitionBy()
     return (
