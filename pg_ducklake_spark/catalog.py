@@ -402,6 +402,18 @@ class SnapshotLog:
         txn = snap.get("txn_pending")
         if txn is not None and not os.path.exists(self._txn_marker(txn)):
             state.snapshot_id = sid
+            # Reserve the pending snapshot's persisted rowid ranges even
+            # while its effects are invisible: a later writer stamps its
+            # row_id_start from this replayed state, and without the
+            # reservation it would overlap the pending ranges the moment
+            # the marker lands. An aborted txn leaves a gap — rowids are
+            # stable, not dense.
+            for d in snap.get("add", []):
+                rs = d.get("row_id_start")
+                if rs is not None:
+                    state.next_row_id = max(
+                        state.next_row_id, rs + d.get("rows", 0)
+                    )
             if os.path.exists(self._txn_abort_marker(txn)):
                 # Phase 1 failed (or the marker window lapsed): the txn
                 # is permanently aborted — skip with no deferral and no
@@ -758,6 +770,26 @@ class SnapshotLog:
 
     # -- commit -------------------------------------------------------------
 
+    def _stamp_row_ids(self, snapshot: dict) -> None:
+        """Persist rowid lineage at commit time (ADVICE r7): each add
+        entry gets its ``row_id_start`` stamped from the replayed state
+        — where upstream DuckLake stores it in ``ducklake_data_file`` —
+        so full-log replay, checkpoint replay, and pending-txn
+        resolution all agree on ids. ``_apply``'s replay-order
+        assignment remains the back-compat fallback for pre-r8 logs.
+        Called once per commit attempt: a retry after a concurrent
+        append re-stamps against the advanced log (the ``os.link``
+        collision is what detects the race), and unresolved pending
+        snapshots' persisted ranges are reserved by ``_apply``, so a
+        racing two-phase transaction cannot overlap either."""
+        try:
+            nxt = self.replay().next_row_id
+        except SnapshotNotFoundError:
+            nxt = 0
+        for d in snapshot["add"]:
+            d["row_id_start"] = nxt
+            nxt += d.get("rows", 0)
+
     def commit(
         self,
         snapshot: dict,
@@ -790,6 +822,8 @@ class SnapshotLog:
             ):
                 validate(self.replay())  # raises on true conflict
                 base_version = latest
+            if snapshot.get("add"):
+                self._stamp_row_ids(snapshot)
             next_id = latest + 1
             snapshot["snapshot_id"] = next_id
             snapshot["timestamp"] = utcnow_iso()

@@ -987,10 +987,12 @@ class Lake:
         n = sum(e.rows for e in entries)
         if self._txn is not None:
             staged = self._txn.setdefault(
-                name, {"add": [], "metrics": {"num_inserted": 0}}
+                name, {"add": [], "metrics": {"num_inserted": 0}, "ops": []}
             )
             staged["add"].extend(e.to_json() for e in entries)
             staged["metrics"]["num_inserted"] += n
+            if "INSERT" not in staged["ops"]:
+                staged["ops"].append("INSERT")
             return n
         self._log(name).commit(
             {
@@ -1062,25 +1064,47 @@ class Lake:
                         f"{have} is not readable as table type {want}"
                     )
                 if not tf_.nullable:
+                    # Footer null stats live on LEAF columns: a nested
+                    # NOT NULL column (struct/array) has dotted leaf
+                    # paths like ``c.list.element``. A top-level NULL
+                    # forces a null at EVERY descendant leaf, so
+                    # leaf nulls == 0 soundly proves the constraint;
+                    # a positive leaf count is only a MAYBE (inner
+                    # element nulls also count) and is resolved with a
+                    # column-pruned scan of that one column.
                     md = pf.metadata
-                    nulls = 0
+                    nulls, matched, stats_ok = 0, False, True
                     for rg in range(md.num_row_groups):
                         g = md.row_group(rg)
                         for ci in range(g.num_columns):
                             col = g.column(ci)
-                            if col.path_in_schema == cname:
+                            path = col.path_in_schema
+                            if path == cname or path.startswith(
+                                cname + "."
+                            ):
+                                matched = True
                                 st = col.statistics
                                 if st is None or st.null_count is None:
-                                    raise LakeError(
-                                        f"add_data_files: {p!r} lacks null "
-                                        f"stats for NOT NULL column {cname!r}"
-                                    )
-                                nulls += st.null_count
-                    if nulls:
+                                    stats_ok = False
+                                else:
+                                    nulls += st.null_count
+                    if not matched:
                         raise LakeError(
-                            f"add_data_files: {p!r} has {nulls} NULLs in "
-                            f"NOT NULL column {cname!r}"
+                            f"add_data_files: {p!r} has no footer leaf "
+                            f"for NOT NULL column {cname!r}"
                         )
+                    if nulls or not stats_ok:
+                        top_nulls = (
+                            self.spark.read.parquet(p)
+                            .where(F.col(cname).isNull())
+                            .limit(1)
+                            .count()
+                        )
+                        if top_nulls:
+                            raise LakeError(
+                                f"add_data_files: {p!r} has NULLs in "
+                                f"NOT NULL column {cname!r}"
+                            )
         table_dir = self._table_dir(name)
         commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
         dest_dir = os.path.join(table_dir, commit_rel)
@@ -1105,10 +1129,12 @@ class Lake:
         n = sum(e.rows for e in entries)
         if self._txn is not None:
             staged = self._txn.setdefault(
-                name, {"add": [], "metrics": {"num_inserted": 0}}
+                name, {"add": [], "metrics": {"num_inserted": 0}, "ops": []}
             )
             staged["add"].extend(e.to_json() for e in entries)
             staged["metrics"]["num_inserted"] += n
+            if "ADD_DATA_FILES" not in staged["ops"]:
+                staged["ops"].append("ADD_DATA_FILES")
             return n
         self._log(name).commit(
             {
@@ -2940,6 +2966,16 @@ class Lake:
         return FrozenLake(spark, frozen_path)
 
 
+def _staged_operation(payload: dict) -> str:
+    """Operation name for a staged-in-transaction commit: a pure
+    registration stays ``ADD_DATA_FILES``, a mix is tagged
+    ``INSERT+ADD_DATA_FILES`` so the change feed / snapshot history
+    can distinguish file registration from rewrite inserts (ADVICE
+    r7: staged add_data_files entries were misreported as INSERT)."""
+    ops = payload.get("ops") or ["INSERT"]
+    return "+".join(sorted(ops, reverse=True))  # INSERT before ADD_…
+
+
 class _Transaction:
     def __init__(self, lake: Lake):
         self.lake = lake
@@ -2960,7 +2996,7 @@ class _Transaction:
             for name, payload in staged.items():
                 self.lake._log(name).commit(
                     {
-                        "operation": "INSERT",
+                        "operation": _staged_operation(payload),
                         "add": payload["add"],
                         "metrics": payload["metrics"],
                     }
@@ -3002,7 +3038,7 @@ class _Transaction:
             for name, payload in staged.items():
                 versions[name] = self.lake._log(name).commit(
                     {
-                        "operation": "INSERT",
+                        "operation": _staged_operation(payload),
                         "add": payload["add"],
                         "metrics": payload["metrics"],
                         "txn_pending": txn_id,

@@ -396,9 +396,16 @@ def _subst_aliases_in_windows(pred: str, aliases: dict[str, str]) -> str:
                 continue
             m = pat.match(span, i)
             if m:
-                out.append("(" + aliases[m.group(1).lower()] + ")")
-                i = m.end()
-                continue
+                # Skip qualified references: ``t.price`` names a base
+                # column on relation ``t`` (substituting the alias body
+                # would produce ``t.(expr)`` — a parse error), and
+                # ``price.field`` uses the token as a qualifier.
+                prev_dot = i > 0 and span[i - 1] == "."
+                next_dot = m.end() < len(span) and span[m.end()] == "."
+                if not prev_dot and not next_dot:
+                    out.append("(" + aliases[m.group(1).lower()] + ")")
+                    i = m.end()
+                    continue
             out.append(c)
             i += 1
         return "".join(out)

@@ -34,14 +34,44 @@ TABLES = (
 )
 
 
+_PERSIST_SCOPES: dict[str, list[DataFrame]] = {}
+
+
+def scoped_persist(df: DataFrame, scope: str) -> DataFrame:
+    """``persist()`` with a bounded lifetime (ADVICE r7: plan-internal
+    persists accumulated executor cache across repeated plan builds).
+
+    Caches register under the owning query's name; rebuilding that
+    query unpersists the previous build's caches first, so one session
+    holds at most ONE live cache set per query. Unpersisting a frame an
+    old plan still references is safe — Spark recomputes it lazily."""
+    _PERSIST_SCOPES.setdefault(scope, []).append(df.persist())
+    return df
+
+
+def release_persist_scope(scope: str) -> None:
+    for old in _PERSIST_SCOPES.pop(scope, []):
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped
+
+
 def query(name: str, oracle: str | None = None):
     """Register a query plan and (optionally) its DuckDB oracle SQL."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_persist_scope(name)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from pg_ducklake_spark.plans import query, t
+from pg_ducklake_spark.plans import query, scoped_persist, t
 
 # No rebalance() in this module: the tokenize chains here are light
 # (split/explode feeding broadcast-pruned joins or Zipf-collapsed
@@ -170,10 +170,11 @@ def text_bm25_topk(spark, sf_dir):
         F.explode(F.expr(f"filter(toks, x -> {match})")).alias("term"),
     )
     queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, qterm string")
-    tf = (
+    tf = scoped_persist(  # reused by the df aggregate and the scoring join
         toks.groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    ).persist()  # reused by the df aggregate and the scoring join
+        .agg(F.count(F.lit(1)).alias("tf")),
+        "text_bm25_topk",
+    )
     # tf has one row per (doc, term) → COUNT per term = df. Partial
     # aggregation combines map-side, so a hot term never concentrates
     # its postings in one task; the result is ≤ |query terms| rows.
@@ -303,9 +304,12 @@ def text_bigram_perplexity(spark, sf_dir):
         .filter(F.col("token") != "")
         .agg(F.countDistinct("token").alias("v"))
     )
-    dbig = bigrams.groupBy("doc_id", "source", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("k")
-    ).persist()  # one corpus explode+shuffle, reused by c12 and the score join
+    dbig = scoped_persist(  # one corpus explode+shuffle, reused by c12 and the score join
+        bigrams.groupBy("doc_id", "source", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("k")
+        ),
+        "text_bigram_perplexity",
+    )
     # LM counts as partial-aggregated groupBys over the CACHED collapsed
     # table (the persist is what keeps the corpus Generate planning
     # exactly once — Spark does not CSE a re-used subplan across a
@@ -316,19 +320,25 @@ def text_bigram_perplexity(spark, sf_dir):
     # c12 rows: distinct corpus bigrams; c1 rows: vocab. Join on w1 is
     # between two aggregated tables — max partition is one word's
     # continuation set (vocab-bounded), never corpus-bounded.
-    lm = c12.join(c1, "w1").persist()
-    # lm is data-sized (distinct bigram types, Zipf-sublinear):
-    # broadcast only under an actual row-count guard — ~48 bytes/row →
-    # ≤ ~48 MB at the 1M cap; above it, a plain shuffle join on
-    # (w1, w2) whose hot keys AQE's skew-join splits (join skew is
-    # splittable; window-partition skew is not). lm.count() reuses the
-    # persisted dbig, so the guard costs one bounded action.
-    lm_small = lm.count() <= 1_000_000
+    lm = c12.join(c1, "w1")
+    # lm is data-sized (distinct bigram types, Zipf-sublinear), so the
+    # broadcast decision needs its runtime size. With AQE on (the
+    # production/session default) the plain join IS that guard: lm is a
+    # post-shuffle stage, so AQE sees its actual bytes and converts to
+    # broadcast below the threshold — no driver-side job during plan
+    # construction (ADVICE r7: the eager lm.count() guard), and above
+    # it the shuffle join's hot bigram keys are AQE-skew-splittable.
+    # Only the AQE-off tuning path (bench.py at sub-second scale) keeps
+    # the explicit row-count guard — there lm.count() reuses the
+    # persisted dbig, so it costs one bounded action.
+    if spark.conf.get("spark.sql.adaptive.enabled", "true") == "true":
+        lm_join = lm
+    else:
+        lm = scoped_persist(lm, "text_bigram_perplexity")
+        lm_small = lm.count() <= 1_000_000
+        lm_join = F.broadcast(lm) if lm_small else lm  # bcast-ok: row-count-guarded (<=1M bigram types)
     scored = (
-        dbig.join(
-            F.broadcast(lm) if lm_small else lm,  # bcast-ok: row-count-guarded (<=1M bigram types)
-            ["w1", "w2"],
-        )
+        dbig.join(lm_join, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))  # bcast-ok: 1-row scalar
         .withColumn(
             "s_micro",

@@ -150,3 +150,56 @@ def test_add_data_files_in_transaction(spark, lake, ext, tmp_path):
     except RuntimeError:
         pass
     assert lake.table("t").count() == 4  # rollback left nothing
+
+
+def test_txn_operation_name_distinguishes_registration(
+    spark, lake, ext, tmp_path
+):
+    """ADVICE r7: a staged registration commit must not be misreported
+    as INSERT in the snapshot history — pure-registration transactions
+    commit as ADD_DATA_FILES, mixed ones as INSERT+ADD_DATA_FILES."""
+    lake.create_table("t", "k bigint, v string")
+    with lake.transaction():
+        lake.add_data_files("t", [ext])
+    ops = {r.snapshot_id: r.operation for r in lake.snapshots("t").collect()}
+    assert ops[lake.current_snapshot("t")] == "ADD_DATA_FILES"
+    with lake.transaction():
+        lake.insert(
+            "t", spark.createDataFrame([(9, "z")], "k bigint, v string")
+        )
+        ext2 = _write(
+            tmp_path, "ext4.parquet",
+            pa.table({"k": pa.array([11], pa.int64()),
+                      "v": pa.array(["u"], pa.string())}),
+        )
+        lake.add_data_files("t", [ext2])
+    ops = {r.snapshot_id: r.operation for r in lake.snapshots("t").collect()}
+    assert ops[lake.current_snapshot("t")] == "INSERT+ADD_DATA_FILES"
+    assert lake.table("t").count() == 5
+
+
+def test_nested_not_null_validated(spark, lake, tmp_path):
+    """ADVICE r7: NOT NULL validation must reach nested columns —
+    footer leaves are dotted paths (``a.list.element``), so the old
+    top-level-only match silently passed files with NULL structs."""
+    nested_null = _write(
+        tmp_path, "nn.parquet",
+        pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "a": pa.array([[1, 2], None], pa.list_(pa.int64())),
+        }),
+    )
+    nested_ok = _write(
+        tmp_path, "nok.parquet",
+        pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            # inner element null but the array itself is never NULL —
+            # must be ACCEPTED (leaf stats are a maybe, resolved by a
+            # column-pruned scan)
+            "a": pa.array([[1, None], [3]], pa.list_(pa.int64())),
+        }),
+    )
+    lake.create_table("t", "k bigint, a array<bigint> NOT NULL")
+    with pytest.raises(LakeError, match="NOT NULL"):
+        lake.add_data_files("t", [nested_null])
+    assert lake.add_data_files("t", [nested_ok]) == 2

@@ -243,6 +243,31 @@ def test_qualify_alias_inlined_in_window():
     assert "dbl > 3" in got and "OVER (ORDER BY (v * 2))" in got
 
 
+def test_qualify_alias_inline_skips_qualified_refs():
+    """ADVICE r7 (medium): a qualified reference ``t.price`` inside
+    OVER(...) names the BASE column on relation ``t`` — inlining the
+    select-list alias there produced ``t.(price * 0.9)``, a parse
+    error. Qualified tokens (preceded or followed by '.') are skipped;
+    bare alias tokens still inline."""
+    got = rewrite(
+        "SELECT price * 0.9 AS price FROM t"
+        " QUALIFY row_number() OVER (ORDER BY t.price) = 1"
+    )
+    assert "OVER (ORDER BY t.price)" in got and "t.(" not in got
+    # bare reference in the same query still inlines
+    got = rewrite(
+        "SELECT price * 0.9 AS price FROM t"
+        " QUALIFY row_number() OVER (ORDER BY price, t.price) = 1"
+    )
+    assert "OVER (ORDER BY (price * 0.9), t.price)" in got
+    # alias token used as a qualifier is also left alone
+    got = rewrite(
+        "SELECT v AS s FROM t"
+        " QUALIFY row_number() OVER (PARTITION BY s.k ORDER BY v) = 1"
+    )
+    assert "PARTITION BY s.k" in got
+
+
 def test_set_op_branch_and_alias_window_sql(lake):
     """The two ADVICE rewrites end-to-end through the SQL prompt."""
     lake.create_table("so", "k int, v int")

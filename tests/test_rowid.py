@@ -32,6 +32,69 @@ def test_rowid_unique_and_stable_across_appends(spark, lake):
     assert len({rid for rid, *_ in after}) == 4
 
 
+def test_rowid_persisted_in_snapshot_log(spark, lake):
+    """ADVICE r7: writers stamp row_id_start at commit (upstream stores
+    it in ducklake_data_file) — the log itself carries the lineage, so
+    checkpoint replay and full-log replay cannot diverge."""
+    lake.create_table("t", "k int, v string")
+    lake.insert(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    )
+    lake.insert("t", spark.createDataFrame([(3, "c")], "k int, v string"))
+    log = lake._log("t")
+    starts = []
+    for v in log.versions():
+        for d in log.read_snapshot(v).get("add", []):
+            assert d.get("row_id_start") is not None
+            starts.append((d["row_id_start"], d["rows"]))
+    # ranges are disjoint and ordered
+    starts.sort()
+    for (s1, n1), (s2, _n2) in zip(starts, starts[1:]):
+        assert s1 + n1 <= s2
+    # persisted ids == served ids
+    served = sorted(r.rowid for r in lake.table("t", with_rowid=True).collect())
+    assert served == sorted(
+        rid for s, n in starts for rid in range(s, s + n)
+    )
+
+
+def test_rowid_no_shift_when_pending_txn_resolves(spark, lake):
+    """With persisted row_id_start, a write that lands while a
+    multi-table transaction is still invisible reserves ids past the
+    pending ranges — resolution neither shifts nor overlaps ids."""
+    lake.create_table("a", "k int, v string")
+    lake.create_table("b", "k int, v string")
+    lake.insert("a", spark.createDataFrame([(1, "x")], "k int, v string"))
+    import os
+
+    from pg_ducklake_spark.catalog import TXN_DIR
+
+    with lake.transaction():
+        lake.insert(
+            "a", spark.createDataFrame([(2, "p"), (3, "q")], "k int, v string")
+        )
+        lake.insert("b", spark.createDataFrame([(9, "z")], "k int, v string"))
+    marker_dir = os.path.join(lake.path, TXN_DIR)
+    markers = [f for f in os.listdir(marker_dir) if f.endswith(".commit")]
+    assert markers
+    hidden = os.path.join(marker_dir, markers[0] + ".hidden")
+    os.rename(os.path.join(marker_dir, markers[0]), hidden)
+    lake2 = Lake.attach(spark, lake.path, read_only=False)  # replays WITHOUT the marker
+    assert lake2.table("a").count() == 1  # txn invisible
+    ids_before = {
+        (r.k, r.rowid) for r in lake2.table("a", with_rowid=True).collect()
+    }
+    lake2.insert("a", spark.createDataFrame([(4, "w")], "k int, v string"))
+    os.rename(hidden, os.path.join(marker_dir, markers[0]))  # resolve
+    lake3 = Lake.attach(spark, lake.path, read_only=False)
+    rows = lake3.table("a", with_rowid=True).collect()
+    assert sorted(r.k for r in rows) == [1, 2, 3, 4]
+    ids = [r.rowid for r in rows]
+    assert len(set(ids)) == 4  # no overlap between pending and new write
+    after = {(r.k, r.rowid) for r in rows}
+    assert ids_before <= after  # no shift of already-visible ids
+
+
 def test_rowid_stable_across_restart(spark, lake):
     lake.create_table("t", "k int, v string")
     for batch in ([(1, "a")], [(2, "b"), (3, "c")]):
