@@ -111,34 +111,34 @@ def stats_hll_distinct(spark, sf_dir):
     the only float op is the final alpha*m^2/S division, identical on
     both engines. The libm-dependent small/large-range corrections are
     intentionally excluded (see module docstring)."""
-    ev = rebalance(t(spark, sf_dir, "events"))
-    hashed = ev.select(
-        "event_type",
-        "user_id",
-        F.expr(
-            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
-        ).alias("h"),
-    )
+    ev = t(spark, sf_dir, "events")
     # The exact-count audit is FUSED into the register pass: a user
     # lands in exactly one (type, bucket) — bucket is a pure function
     # of h(user) — so SUM of per-bucket distinct users IS the per-type
     # distinct count. One scan, no join (previously a second scan +
-    # countDistinct expand + broadcast join). r7: the distinct is an
-    # EXPLICIT two-phase aggregate — dedup on (type, bucket, user)
-    # first (map-side combined; rho is a pure function of the user
-    # hash, so max(rho) over duplicate events is exact), then the
-    # register rollup with count(*) as the audit — instead of mixing
-    # countDistinct with max(rho) in one agg, which plans an Expand
-    # that duplicates every input row 2× before the partial aggregate.
+    # countDistinct expand + broadcast join). r7 made the distinct an
+    # EXPLICIT two-phase aggregate (no Expand); r8 moves ALL hash work
+    # BEHIND it: the raw dedup on (event_type, user_id) touches only
+    # the two key columns (map-side combined, so the exchange carries
+    # ≤ distinct pairs), and md5 + base-16 conv + the 23-branch rho
+    # CASE ladder evaluate once per DISTINCT user instead of once per
+    # event — a ~13× kernel-work cut at the fixtures' events-per-user
+    # rate, and the per-event path a 100 TB scan actually pays is now
+    # just the hash-partition on the group key.
     regs = (
-        hashed.select(
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
             "event_type",
-            "user_id",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .select(
+            "event_type",
             (F.col("h") % _HLL_M).alias("bucket"),
             F.expr(_rho(f"(h DIV {_HLL_M})")).alias("rho"),
         )
-        .groupBy("event_type", "bucket", "user_id")
-        .agg(F.max("rho").alias("rho"))
         .groupBy("event_type", "bucket")
         .agg(
             F.max("rho").alias("reg"),

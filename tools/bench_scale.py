@@ -479,32 +479,182 @@ def run_exact_kernel(spark) -> dict:
             .count()
         )
 
+    # r8 (VERDICT r7 #4): a 50M-row tier — 100× replication — where
+    # DuckDB itself takes seconds, so the family queries' sf10 ratios
+    # (6.99×/4.66× against sub-0.1 s DuckDB absolutes) are either shown
+    # to amortize or pinned as engine per-row cost. md5 and the Arrow
+    # detour are study lanes only; at 50M rows only the production
+    # xx128 path and DuckDB run (md5/arrow at 50M would take minutes
+    # without informing anything the 5M tier didn't).
+    huge = docs.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(99)))
+    ).select((F.col("doc_id") * 100 + F.col("r")).alias("doc_id"), "text")
     duck_500k = """SELECT count(*) FROM (
         SELECT md5(text) d, count(*) n, min(doc_id)
         FROM documents GROUP BY d HAVING count(*) > 1)"""
     duck_5m = """SELECT count(*) FROM (
         SELECT md5(text) d, count(*) n, min(doc_id*10+r)
         FROM documents, range(0,10) t(r) GROUP BY d HAVING count(*) > 10)"""
+    duck_50m = """SELECT count(*) FROM (
+        SELECT md5(text) d, count(*) n, min(doc_id*100+r)
+        FROM documents, range(0,100) t(r) GROUP BY d HAVING count(*) > 100)"""
     out = {}
     for label, sdf, mc, dsql in (
         ("rows_500k", docs, 1, duck_500k),
         ("rows_5m", big, 10, duck_5m),
+        ("rows_50m", huge, 100, duck_50m),
     ):
-        s_md5 = _time_spark(lambda: spark_kernel_md5(sdf, mc))
         s_xx = _time_spark(lambda: spark_kernel_xx(sdf, mc))
-        s_ar = _time_spark(lambda: spark_kernel_arrow(sdf, mc))
         d = _time_duck(con, dsql)
         out[label] = {
-            "spark_md5": s_md5,
             "spark_xx128": s_xx,
-            "spark_arrow": s_ar,
             "duck": d,
-            "ratio_md5": round(s_md5 / d, 2),
             "ratio_xx128": round(s_xx / d, 2),
-            "ratio_arrow": round(s_ar / d, 2),
         }
+        if label != "rows_50m":
+            s_md5 = _time_spark(lambda: spark_kernel_md5(sdf, mc))
+            s_ar = _time_spark(lambda: spark_kernel_arrow(sdf, mc))
+            out[label].update(
+                {
+                    "spark_md5": s_md5,
+                    "spark_arrow": s_ar,
+                    "ratio_md5": round(s_md5 / d, 2),
+                    "ratio_arrow": round(s_ar / d, 2),
+                }
+            )
     con.close()
     return out
+
+
+def run_hll_kernel(spark) -> dict:
+    """Pin the stats_hll_distinct residual (VERDICT r7 #2). The r8
+    rewrite moved md5 + the rho CASE ladder behind the (type, user)
+    dedup, so the only corpus-proportional work left is the exact-audit
+    distinct itself. This study measures that floor in isolation: if
+    Spark's bare two-phase distinct over the 10M-row events table
+    already costs as much as DuckDB's ENTIRE query, the remaining ratio
+    is engine aggregate throughput (plus two fixed stage launches), not
+    a plan shape — the same bound the exact-dedup kernel study names
+    for md5."""
+    from pyspark.sql import functions as F
+
+    from pg_ducklake_spark.plans import ORACLES, QUERIES
+
+    sf_dir = ensure_fixture(*TIERS["sf10"])
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/events.parquet')"
+    )
+
+    def spark_distinct_floor():
+        return (
+            ev.select("event_type", "user_id").distinct().groupBy().count()
+        )
+
+    s_full = _time_spark(lambda: QUERIES["stats_hll_distinct"](spark, sf_dir))
+    s_floor = _time_spark(spark_distinct_floor)
+    d_full = _time_duck(con, ORACLES["stats_hll_distinct"])
+    d_floor = _time_duck(
+        con,
+        "SELECT count(*) FROM (SELECT DISTINCT event_type, user_id FROM events)",
+    )
+    con.close()
+    return {
+        "spark_full": s_full,
+        "spark_distinct_floor": s_floor,
+        "duck_full": d_full,
+        "duck_distinct_floor": d_floor,
+        "ratio_full": round(s_full / d_full, 2),
+        # the audit's dedup alone vs DuckDB's whole query: ≥1 means the
+        # residual is engine distinct-aggregate throughput, not the
+        # sketch plan
+        "floor_vs_duck_full": round(s_floor / d_full, 2),
+    }
+
+
+def run_bpe_kernel(spark) -> dict:
+    """Pin the text_bpe_pair_counts residual (VERDICT r7 #3). The plan
+    Zipf-collapses the token stream into (word, count) before any
+    character work — the right shape — so the study isolates that first
+    stage: explode(split(text)) + hash-aggregate over the ~25M-token
+    stream, reduced to a scalar. If that floor alone exceeds DuckDB's
+    ENTIRE query, the family ratio is the engine's Generate+aggregate
+    throughput over short strings, not the vocabulary stages. A
+    pandas/Arrow token-count kernel (str.split + explode + value_counts
+    per batch, partial counts merged by one groupBy) is measured as the
+    alternative lane — it pays every text byte across the Arrow
+    boundary and loses to the JVM explode (1.7 s vs 1.2 s full-query at
+    sf10 when first measured), recorded here so the rejection stays
+    honest."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pg_ducklake_spark.plans import ORACLES, QUERIES
+
+    sf_dir = ensure_fixture(*TIERS["sf10"])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    )
+
+    def words_floor():
+        return (
+            docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+            .filter(F.length("word") >= 2)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n_word"))
+            .groupBy()
+            .count()
+        )
+
+    schema = T.StructType(
+        [T.StructField("word", T.StringType()), T.StructField("c", T.LongType())]
+    )
+
+    def count_batches(batches):
+        for pdf in batches:
+            s = pdf["text"].str.lower().str.split(" ").explode()
+            s = s[s.str.len() >= 2]
+            vc = s.value_counts()
+            yield pd.DataFrame({"word": vc.index, "c": vc.values})
+
+    def words_arrow():
+        return (
+            docs.mapInPandas(count_batches, schema)
+            .groupBy("word")
+            .agg(F.sum("c").alias("n_word"))
+            .groupBy()
+            .count()
+        )
+
+    s_full = _time_spark(lambda: QUERIES["text_bpe_pair_counts"](spark, sf_dir))
+    s_floor = _time_spark(words_floor)
+    s_arrow = _time_spark(words_arrow)
+    d_full = _time_duck(con, ORACLES["text_bpe_pair_counts"])
+    d_floor = _time_duck(
+        con,
+        """SELECT count(*) FROM (
+             SELECT token, count(*) FROM (
+               SELECT unnest(string_split(lower(text), ' ')) AS token
+               FROM documents) x
+             WHERE len(token) >= 2 GROUP BY token)""",
+    )
+    con.close()
+    return {
+        "spark_full": s_full,
+        "spark_words_floor": s_floor,
+        "spark_words_arrow": s_arrow,
+        "duck_full": d_full,
+        "duck_words_floor": d_floor,
+        "ratio_full": round(s_full / d_full, 2),
+        # the Zipf-collapse stage alone vs DuckDB's whole query
+        "floor_vs_duck_full": round(s_floor / d_full, 2),
+    }
 
 
 def main() -> None:
@@ -529,6 +679,8 @@ def main() -> None:
         if tier != "kernel":
             out["sf10"] = run_tier(spark, "sf10", QUERIES_SF10)
         out["exact_dedup_kernel"] = run_exact_kernel(spark)
+        out["hll_kernel"] = run_hll_kernel(spark)
+        out["bpe_kernel"] = run_bpe_kernel(spark)
     print(json.dumps(out))
 
 
