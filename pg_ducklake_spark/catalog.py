@@ -63,6 +63,13 @@ DEFAULT_OPTIONS: dict[str, Any] = {
     "require_commit_message": False,
     "delete_older_than": None,
     "expire_older_than": None,
+    # Optimistic-commit retry policy (upstream DuckLake's extension
+    # settings, ducklake_feature_coverage.md:80-83). Lake-scope only:
+    # the policy guards the metadata log itself, so narrower scopes
+    # would be read through the very mechanism they configure.
+    "max_retry_count": 20,
+    "retry_wait_ms": 10,
+    "retry_backoff": 1.2,
 }
 
 
@@ -353,6 +360,12 @@ class SnapshotLog:
         # src/pgducklake_metadata_manager.cpp:735). Refreshed by the
         # owning Lake before each commit.
         self.session_meta: dict[str, Any] = {}
+        # Optional zero-arg callable returning (max_retry_count,
+        # retry_wait_ms, retry_backoff) — wired by the owning Lake so
+        # the optimistic-commit loop honors the user-configured policy
+        # (upstream extension settings); standalone logs keep the
+        # built-in defaults.
+        self.retry_policy: Callable[[], tuple[int, float, float]] | None = None
         self._cache: TableState | None = None
         self._cache_version = 0
         # (version, txn_id, timestamp) skipped by the current replay /
@@ -813,6 +826,9 @@ class SnapshotLog:
         for k, v in self.session_meta.items():
             if v is not None and snapshot.get(k) is None:
                 snapshot[k] = v
+        wait_ms, backoff = 10.0, 1.2
+        if self.retry_policy is not None:
+            max_retries, wait_ms, backoff = self.retry_policy()
         for attempt in range(max_retries):
             latest = self.latest_version()
             if (
@@ -842,7 +858,7 @@ class SnapshotLog:
                     validate(self.replay())
                     if base_version is not None:
                         base_version = self.latest_version()
-                time.sleep(0.01 * (attempt + 1))
+                time.sleep(wait_ms / 1000.0 * backoff**attempt)
         raise ConcurrentModificationError(
             f"commit failed after {max_retries} retries in {self.log_dir}"
         )

@@ -132,6 +132,16 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
         "INSERT INTO ducklake_metadata VALUES ('data_root', ?), ('format', ?)",
         [lake.path, "pg_ducklake_spark/frozen-v1"],
     )
+    # r8: settings travel with the export the way upstream DuckLake
+    # keeps its instance settings in ducklake_metadata — one
+    # 'setting:<name>' row per effective lake-scope setting
+    # (ducklake_feature_coverage.md:80; Lake.settings()).
+    for row in lake.settings().collect():
+        if row.scope in ("lake", "default"):
+            con.execute(
+                "INSERT INTO ducklake_metadata VALUES (?, ?)",
+                [f"setting:{row.name}", row.value],
+            )
     # schema namespaces (ducklake_schema is one of the 28 frozen tables,
     # src/pgducklake_freeze.cpp:35); 'main' is schema_id 0 at the root.
     schema_ids = {}

@@ -362,6 +362,7 @@ class Lake:
         except Exception:
             pass  # older runtime without the conf — TIME DDL will error
         self._logs: dict[str, SnapshotLog] = {}
+        self._retry_pol: tuple[int, float, float] | None = None
         self._txn: dict[str, dict] | None = None
         self._sql_txn: "_Transaction | None" = None  # BEGIN..COMMIT prompt state
         if not os.path.isdir(self.path):
@@ -494,7 +495,22 @@ class Lake:
             "author": self.author,
             "commit_extra_info": self.commit_extra_info,
         }
+        log.retry_policy = self._retry_policy
         return log
+
+    def _retry_policy(self) -> tuple[int, float, float]:
+        """Lake-scope optimistic-commit retry policy (upstream DuckLake
+        extension settings: max_retry_count / retry_wait_ms /
+        retry_backoff). Cached — the options log replays once, not per
+        commit; set_option on a retry knob invalidates."""
+        if getattr(self, "_retry_pol", None) is None:
+            o = self.options()
+            self._retry_pol = (
+                int(o["max_retry_count"]),
+                float(o["retry_wait_ms"]),
+                float(o["retry_backoff"]),
+            )
+        return self._retry_pol
 
     def _state(self, name: str, version: int | None = None) -> TableState:
         log = self._log(name)
@@ -1003,6 +1019,25 @@ class Lake:
             }
         )
         return n
+
+    def copy_from_database(
+        self,
+        db_path: str,
+        include_views: bool = True,
+        message: str | None = None,
+    ) -> dict:
+        """Bulk-migrate a DuckDB database (plain or frozen .ducklake)
+        into this lake — upstream ``COPY FROM DATABASE``
+        (docs/ducklake_feature_coverage.md:101; unsupported in the
+        reference too — PARITY.md divergence). See
+        ``pg_ducklake_spark.migrate`` for the two source flavors and
+        the register-vs-insert path per table."""
+        self._check_writable()
+        from pg_ducklake_spark.migrate import copy_from_database
+
+        return copy_from_database(
+            self, db_path, include_views=include_views, message=message
+        )
 
     # Widening-only parquet→table reads Spark's vectorized reader
     # performs (anything else must go through a rewriting INSERT).
@@ -1514,11 +1549,13 @@ class Lake:
         ``rowid`` virtual row-lineage column — stable across snapshots
         that do not rewrite the row's file (vacuum/CoW rewrites and
         inline flushes re-id the moved rows, documented divergence from
-        upstream DuckLake's compaction-stable rowids). One more edge:
-        ids assigned AFTER a same-table snapshot that is pending in a
-        multi-table transaction shift when that transaction resolves
-        (replay assigns ids in commit order, and a resolved snapshot
-        re-enters the order); ids are stable from resolution onward."""
+        upstream DuckLake's compaction-stable rowids). r8: writers
+        persist ``row_id_start`` in each add entry at commit time
+        (≙ upstream's ducklake_data_file column), and replay reserves
+        the ranges of still-pending multi-table snapshots — so ids no
+        longer shift when a pending transaction resolves, and
+        checkpoint replay agrees with full-log replay by construction
+        (ADVICE r7)."""
         v = self._resolve_version(name, version, timestamp)
         state = self._state(name, v)
         schema = state.schema_at(state.snapshot_id)
@@ -1661,6 +1698,16 @@ class Lake:
             for raw in re.findall(r"\d+|'[^']*'", rest or ""):
                 out.append(int(raw) if raw.isdigit() else raw.strip("'"))
             return out
+
+        def sub_settings(m: "re.Match[str]") -> str:
+            alias = "_dl_settings"
+            self.settings().createOrReplaceTempView(alias)
+            return alias
+
+        query = re.sub(
+            r"\b(?:ducklake_)?settings\s*\(\s*\)", sub_settings, query,
+            flags=re.I,
+        )
 
         def sub(m: "re.Match[str]") -> str:
             fn = m.group("fn").lower()
@@ -2225,6 +2272,13 @@ class Lake:
         self._check_ddl()
         if table is not None and schema is not None:
             raise LakeError("pass either table or schema scope, not both")
+        if option in ("max_retry_count", "retry_wait_ms", "retry_backoff") and (
+            table is not None or schema is not None
+        ):
+            raise LakeError(
+                f"{option} is a lake-scope setting (it configures the "
+                "commit machinery that narrower scopes are read through)"
+            )
         if schema is not None:
             if not self.schema_exists(schema):
                 raise LakeError(f"schema {schema!r} does not exist")
@@ -2253,6 +2307,7 @@ class Lake:
                  "metrics": {}}
             )
             self._logs.pop(table, None)
+            self._retry_pol = None  # retry knobs: re-read on next commit
             return
         state = self._state(table)
         self._log(table).commit(
@@ -2279,6 +2334,35 @@ class Lake:
             if self._log(table).exists():
                 out.update(self._state(table).options)
         return out
+
+    def settings(self) -> DataFrame:
+        """Instance-metadata table function (≙ upstream DuckLake's
+        ``ducklake_settings()``, ducklake_feature_coverage.md:80):
+        one (name, value, scope) row per effective lake-level setting —
+        instance facts under scope 'instance', option defaults under
+        'default', lake-scope overrides under 'lake'. Also reachable in
+        SQL as ``FROM settings()`` / ``FROM ducklake_settings()``."""
+        rows = [
+            ("data_path", self.path, "instance"),
+            ("read_only", str(self.read_only).lower(), "instance"),
+            ("role", self.role, "instance"),
+            ("format", "pg_ducklake_spark/v1", "instance"),
+        ]
+        overrides: dict[str, Any] = {}
+        opt_log = SnapshotLog(os.path.join(self.path, "_lake_options"))
+        if opt_log.exists():
+            overrides = opt_log.replay().options
+        for k, dflt in DEFAULT_OPTIONS.items():
+            if k in overrides:
+                rows.append((k, str(overrides[k]), "lake"))
+            else:
+                rows.append((k, "" if dflt is None else str(dflt), "default"))
+        for k, v in overrides.items():  # options without a shipped default
+            if k not in DEFAULT_OPTIONS:
+                rows.append((k, str(v), "lake"))
+        return self.spark.createDataFrame(
+            rows, "name string, value string, scope string"
+        )
 
     # ------------------------------- views & macros (≙ ducklake_view/macro)
 

@@ -550,3 +550,51 @@ def lake_rowid_lineage(spark, sf_dir):
         .select("c_custkey", "c_acctbal")
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "lake_copy_from_database",
+    oracle="""
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def lake_copy_from_database(spark, sf_dir):
+    """Bulk-migrate a plain DuckDB database into the lake (≙ upstream
+    DuckLake's COPY FROM DATABASE; unsupported in the reference,
+    docs/ducklake_feature_coverage.md:101 — PARITY.md divergence), then
+    join-aggregate the migrated tables. Scale shape: migration exports
+    each source table once through a DuckDB parquet COPY and registers
+    the file via add_data_files (parquet is the interchange — no
+    row-loop, no Spark rewrite); the query is a broadcastable dim join
+    plus one low-cardinality rollup."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    db = os.path.join(
+        tempfile.mkdtemp(prefix="pg_ducklake_mig_"), "src.duckdb"
+    )
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE nation AS SELECT n_nationkey, n_name, n_regionkey"
+        f" FROM read_parquet('{sf_dir}/nation.parquet')"
+    )
+    con.execute(
+        "CREATE TABLE region AS SELECT r_regionkey, r_name"
+        f" FROM read_parquet('{sf_dir}/region.parquet')"
+    )
+    con.close()
+    lake = _tmp_lake(spark)
+    lake.copy_from_database(db)
+    return lake.sql(
+        """
+        SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+        """
+    )

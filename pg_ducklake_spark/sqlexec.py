@@ -506,6 +506,11 @@ def execute(lake: "Lake", sql: str) -> Any:
             "ducklake_add_data_files": lambda: lake.add_data_files(
                 pos[0], [str(p) for p in pos[1:]], **kw
             ),
+            # r8: upstream COPY FROM DATABASE analog — returns the
+            # number of migrated tables.
+            "copy_from_database": lambda: len(
+                lake.copy_from_database(*pos, **kw)["tables"]
+            ),
         }
         if proc not in dispatch:
             raise LakeError(f"unknown procedure {proc!r}")
