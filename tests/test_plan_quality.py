@@ -362,3 +362,25 @@ def test_bigram_perplexity_no_zipf_window(plans):
     shuffle join whose skew AQE can split."""
     s = plan_of(plans("text_bigram_perplexity"))
     assert "windowspecdefinition" not in s, "LM counts regressed to windows"
+
+
+def test_scoped_persist_releases_on_sf_dir_change(spark, sf_dir):
+    """ADVICE r7: plan-internal persists must not accumulate executor
+    cache across plan builds. Same-dir rebuilds dedup to the existing
+    InMemoryRelation (no growth, warm reruns keep their hits); a build
+    against a different sf_dir releases the previous directory's
+    caches."""
+    from pg_ducklake_spark.plans import _PERSIST_SCOPES, QUERIES
+
+    name = "text_bm25_topk"
+    QUERIES[name](spark, sf_dir).collect()
+    assert _PERSIST_SCOPES[name][0] == sf_dir
+    n1 = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    QUERIES[name](spark, sf_dir).collect()
+    n2 = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert n2 == n1, "same-dir rebuild grew the executor cache"
+    other = "/root/testdata/sf0.001"
+    QUERIES[name](spark, other).collect()
+    assert _PERSIST_SCOPES[name][0] == other
+    n3 = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert n3 <= n1, "previous sf_dir's caches were not released"

@@ -77,6 +77,9 @@ QUERIES_SF1 = [
     # headline family without a measured scale slope until now).
     "stats_hll_distinct",
     "text_cms_heavy_hitters",
+    # r8 (VERDICT r7 #8): twice noisy in driver bench runs at sf0.1 —
+    # measured here so a clean idle number at a 10x scale is on record.
+    "mm_feature_extraction",
 ]
 # The sf1 perf-weak set (VERDICT r4: all sub-2 s absolute, fixed-cost
 # shaped). sf10 is their "largest measured scale"; the data-bound
