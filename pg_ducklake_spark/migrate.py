@@ -82,9 +82,15 @@ def copy_from_database(
 
 
 def _ddl(cols: list[tuple]) -> str:
-    """(name, type, nullable) triples → create_table column defs."""
+    """(name, type, nullable) triples → create_table column defs.
+    Names that are not plain identifiers are backtick-quoted."""
+    import re
+
+    def q(c: str) -> str:
+        return c if re.fullmatch(r"\w+", c) else f"`{c}`"
+
     return ", ".join(
-        f"{c} {ty}" + ("" if nullable else " NOT NULL")
+        f"{q(c)} {ty}" + ("" if nullable else " NOT NULL")
         for c, ty, nullable in cols
     )
 
@@ -102,6 +108,10 @@ def _from_plain(
             f" AND table_schema NOT IN {_SYSTEM_SCHEMAS!r}"
             " ORDER BY table_schema, table_name"
         ).fetchall()
+        # Two phases: create EVERY table first (cheap; any unsupported
+        # type or name clash fails here, before a single row has
+        # landed), then load data — so a mid-migration failure cannot
+        # leave some tables populated and others not yet created.
         for sch, tbl in tables:
             cols = [
                 (c, ty, nl == "YES")
@@ -113,10 +123,13 @@ def _from_plain(
                     [sch, tbl],
                 ).fetchall()
             ]
-            target = tbl if sch == "main" else f"{sch}.{tbl}"
             if sch != "main":
                 lake.create_schema(sch, if_not_exists=True)
-            lake.create_table(target, _ddl(cols))
+            lake.create_table(
+                tbl if sch == "main" else f"{sch}.{tbl}", _ddl(cols)
+            )
+        for sch, tbl in tables:
+            target = tbl if sch == "main" else f"{sch}.{tbl}"
             nrows = con.execute(
                 f'SELECT count(*) FROM "{sch}"."{tbl}"'
             ).fetchone()[0]
@@ -144,7 +157,7 @@ def _from_ducklake(
 
     report: dict = {"tables": {}, "views": [], "skipped": {}}
     frozen = FrozenLake(lake.spark, db_path)
-    for name in frozen.list_tables():
+    for name in frozen.list_tables():  # create-all first (see _from_plain)
         meta = frozen._tables[name]
         sch, _, _bare = name.rpartition(".")
         if sch:
@@ -152,6 +165,8 @@ def _from_ducklake(
         lake.create_table(
             name, _ddl([(c, ty, nl) for c, ty, nl, *_ in meta["cols"]])
         )
+    for name in frozen.list_tables():
+        meta = frozen._tables[name]
         clean = (
             not meta["dvs"]
             and not meta["dv_rows"]
