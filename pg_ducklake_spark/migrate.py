@@ -95,6 +95,69 @@ def _ddl(cols: list[tuple]) -> str:
     )
 
 
+def _split_top(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "(<[":
+            depth += 1
+        elif ch in ")>]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _xlate_type(ty: str) -> tuple[str, str, bool]:
+    """DuckDB type spelling → (spark type, duckdb cast target, changed).
+
+    Nested spellings (``BIGINT[]``, ``STRUCT(..)``, ``MAP(k, v)``)
+    translate recursively to Spark's ``array<>/struct<>/map<>``; types
+    Spark's parquet reader cannot ingest (UUID, INTERVAL, ENUM, BIT)
+    map to strings, and HUGEINT/UBIGINT to exact decimals — when any
+    component changed, the export COPY casts the column to the returned
+    DuckDB target so the parquet interchange file is directly readable."""
+    t = ty.strip()
+    if t.endswith("[]"):
+        s, d, ch = _xlate_type(t[:-2])
+        return f"array<{s}>", f"{d}[]", ch
+    up = t.upper()
+    if up.startswith("STRUCT(") and t.endswith(")"):
+        ss, ds, ch = [], [], False
+        for part in _split_top(t[t.index("(") + 1 : -1]):
+            part = part.strip()
+            if part.startswith('"'):
+                name = part[1 : part.index('"', 1)]
+                rest = part[part.index('"', 1) + 1 :].strip()
+            else:
+                name, rest = part.split(" ", 1)
+            s, d, c = _xlate_type(rest)
+            ss.append(f"`{name}`: {s}")
+            ds.append(f'"{name}" {d}')
+            ch |= c
+        return f"struct<{', '.join(ss)}>", f"STRUCT({', '.join(ds)})", ch
+    if up.startswith("MAP(") and t.endswith(")"):
+        k, v = _split_top(t[t.index("(") + 1 : -1])
+        ks, kd, kc = _xlate_type(k)
+        vs, vd, vc = _xlate_type(v)
+        return f"map<{ks}, {vs}>", f"MAP({kd}, {vd})", kc or vc
+    if up.startswith("ENUM(") or up in ("UUID", "INTERVAL", "BIT"):
+        return "string", "VARCHAR", True
+    if up in ("HUGEINT", "UHUGEINT"):
+        # Spark has no int128; DECIMAL(38,0) is exact for |x| < 10^38
+        # (covers realistic counts/ids). A value beyond that fails the
+        # migration loudly with DuckDB's conversion error rather than
+        # rounding silently.
+        return "decimal(38,0)", "DECIMAL(38,0)", True
+    if up == "UBIGINT":
+        return "decimal(20,0)", "DECIMAL(20,0)", True
+    return t, t, False
+
+
 def _from_plain(
     lake: "Lake", db_path: str, include_views: bool, msg: str
 ) -> dict:
@@ -112,17 +175,22 @@ def _from_plain(
         # type or name clash fails here, before a single row has
         # landed), then load data — so a mid-migration failure cannot
         # leave some tables populated and others not yet created.
+        selects: dict[tuple[str, str], str] = {}
         for sch, tbl in tables:
-            cols = [
-                (c, ty, nl == "YES")
-                for c, ty, nl in con.execute(
-                    "SELECT column_name, data_type, is_nullable"
-                    " FROM information_schema.columns"
-                    " WHERE table_schema = ? AND table_name = ?"
-                    " ORDER BY ordinal_position",
-                    [sch, tbl],
-                ).fetchall()
-            ]
+            cols, sel = [], []
+            for c, ty, nl in con.execute(
+                "SELECT column_name, data_type, is_nullable"
+                " FROM information_schema.columns"
+                " WHERE table_schema = ? AND table_name = ?"
+                " ORDER BY ordinal_position",
+                [sch, tbl],
+            ).fetchall():
+                s, dcast, changed = _xlate_type(ty)
+                cols.append((c, s, nl == "YES"))
+                sel.append(
+                    f'CAST("{c}" AS {dcast}) AS "{c}"' if changed else f'"{c}"'
+                )
+            selects[(sch, tbl)] = ", ".join(sel)
             if sch != "main":
                 lake.create_schema(sch, if_not_exists=True)
             lake.create_table(
@@ -138,7 +206,7 @@ def _from_plain(
                 continue
             out = os.path.join(tmpdir, f"{sch}__{tbl}.parquet")
             con.execute(
-                f'COPY (SELECT * FROM "{sch}"."{tbl}")'
+                f'COPY (SELECT {selects[(sch, tbl)]} FROM "{sch}"."{tbl}")'
                 f" TO '{out}' (FORMAT PARQUET)"
             )
             report["tables"][target] = _land(lake, target, [out], msg)

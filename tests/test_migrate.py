@@ -103,6 +103,37 @@ def test_plain_duckdb_source(spark, tmp_path):
     assert [r.name for r in dst.sql("SELECT name FROM v_items").collect()] == ["b"]
 
 
+def test_exotic_duckdb_types_translate(spark, tmp_path):
+    """DuckDB spellings Spark's parquet reader can't ingest directly
+    translate at migration: nested LIST/STRUCT/MAP recurse into
+    array<>/struct<>/map<>, ENUM/UUID/INTERVAL/BIT become strings
+    (cast in the export COPY so the interchange parquet is readable),
+    HUGEINT becomes DECIMAL(38,0) — all landing as registrations."""
+    db = str(tmp_path / "src.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE t(a BIGINT[], b STRUCT(x INT, y VARCHAR),"
+        " c MAP(VARCHAR, INT), d ENUM('p','q'), e UUID, f HUGEINT,"
+        " g INTERVAL, h UUID[])"
+    )
+    con.execute(
+        "INSERT INTO t VALUES ([1,2], {'x': 3, 'y': 'z'}, MAP {'k': 7},"
+        " 'q', '00000000-0000-0000-0000-00000000beef', 12345678901234567890,"
+        " INTERVAL 3 DAYS,"
+        " ['00000000-0000-0000-0000-000000000001'::UUID])"
+    )
+    con.close()
+    dst = _mklake(spark, tmp_path, "dst")
+    rep = dst.copy_from_database(db)
+    assert rep["tables"]["t"]["mode"] == "register"
+    r = dst.table("t").collect()[0]
+    assert r.a == [1, 2] and r.b.x == 3 and r.b.y == "z"
+    assert r.c == {"k": 7} and r.d == "q"
+    assert r.e == "00000000-0000-0000-0000-00000000beef"
+    assert int(r.f) == 12345678901234567890
+    assert "3 day" in r.g and r.h == ["00000000-0000-0000-0000-000000000001"]
+
+
 def test_existing_table_rejected(spark, lake, tmp_path):
     db = str(tmp_path / "src.duckdb")
     con = duckdb.connect(db)
