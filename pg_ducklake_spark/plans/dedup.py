@@ -26,7 +26,7 @@ from pg_ducklake_spark.functions.hashing import (
     sql_h32,
     sql_minhash,
 )
-from pg_ducklake_spark.plans import query, rebalance, t
+from pg_ducklake_spark.plans import query, rebalance, scoped_persist, t
 
 # ---------------------------------------------------------------- exact
 
@@ -70,7 +70,8 @@ def dedup_exact_groups(spark, sf_dir):
         )
         .filter(F.col("n_copies") > 1)
         .select("n_copies", "keeper_doc_id")
-    ).persist()
+    )
+    groups = scoped_persist(groups, "dedup_exact_groups")
     # Duplicate-group count is data-dependent, so the broadcast is
     # GUARDED by an actual row count (16 bytes/row → ≤ ~16 MB at the
     # 1M cap) instead of forced blind: below the cap the join-back is a
@@ -204,7 +205,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # pair derivation and the sizes branch both derive from it —
     # without the persist the whole tokenize+transform pipeline re-runs
     # once per consumer.
-    shingled = _spark_shingled(docs).persist()
+    shingled = scoped_persist(_spark_shingled(docs), "dedup_ngram_jaccard")
     # explode_outer: plain explode pushes a size()>0 filter below the
     # Generate that re-evaluates the whole shingle expression per row,
     # interpreted — explode_outer skips that filter; nulls drop after.
@@ -346,12 +347,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     # (client plan-construction cost, not execution cost).
     from pg_ducklake_spark.functions.hashing import sql_minhash
 
-    sigs = hashed.groupBy("doc_id").agg(
-        *[
-            F.expr(f"min({sql_minhash('h', a, b)}) AS mh{i}")
-            for i, (a, b) in enumerate(_COEFFS)
-        ]
-    ).persist()
+    sigs = scoped_persist(
+        hashed.groupBy("doc_id").agg(
+            *[
+                F.expr(f"min({sql_minhash('h', a, b)}) AS mh{i}")
+                for i, (a, b) in enumerate(_COEFFS)
+            ]
+        ),
+        "dedup_minhash_lsh",
+    )
     band_structs = ", ".join(
         f"struct(CAST({band} AS INT) AS band_id, concat_ws('_', "
         + ", ".join(f"cast(mh{band * _ROWS + r} as string)" for r in range(_ROWS))
@@ -523,7 +527,8 @@ def dedup_simhash_pairs(spark, sf_dir):
             " WHEN 2 THEN simhash_hi & 65535"
             " ELSE shiftright(simhash_hi, 16) & 65535 END"
         ),
-    ).persist()
+    )
+    banded = scoped_persist(banded, "dedup_simhash_pairs")
     a = banded.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash_lo").alias("lo_a"),

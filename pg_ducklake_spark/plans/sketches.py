@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pg_ducklake_spark.functions.hashing import sql_h32
-from pg_ducklake_spark.plans import query, rebalance, t
+from pg_ducklake_spark.plans import query, rebalance, scoped_persist, t
 
 # ---------------------------------------------------------------------------
 # HyperLogLog distinct-cardinality sketch
@@ -262,8 +262,9 @@ def text_cms_heavy_hitters(spark, sf_dir):
     toks = docs.select(
         F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    counts = (
-        toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).persist()
+    counts = scoped_persist(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")),
+        "text_cms_heavy_hitters",
     )
     hashed = counts.withColumn("h128", F.md5("token"))
     cells = (
