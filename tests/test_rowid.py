@@ -95,6 +95,46 @@ def test_rowid_no_shift_when_pending_txn_resolves(spark, lake):
     assert ids_before <= after  # no shift of already-visible ids
 
 
+def test_rowid_checkpoint_replay_matches_full_replay(spark, lake):
+    """The ADVICE r7 divergence scenario: with files REMOVED before a
+    checkpoint (DV-threshold rewrite), a pre-r8 checkpoint compacted
+    ids so a corrupt-checkpoint fallback to full replay silently
+    re-identified rows. With commit-time persisted row_id_start, the
+    checkpoint and a from-scratch log replay must agree exactly."""
+    import glob
+    import os
+
+    from pg_ducklake_spark.catalog import CHECKPOINT_EVERY
+
+    lake.create_table(
+        "t", "k int, v string", options={"rewrite_delete_threshold": 0.01}
+    )
+    # enough commits to roll a checkpoint, with deletes that REWRITE
+    # files (threshold 1%) so early rowid ranges become gaps
+    n = 0
+    while lake.current_snapshot("t") < CHECKPOINT_EVERY + 2:
+        lake.insert(
+            "t",
+            spark.createDataFrame(
+                [(n * 10 + i, f"v{n}") for i in range(4)], "k int, v string"
+            ),
+        )
+        if n % 3 == 2:
+            lake.delete("t", f"k = {n * 10}")  # rewrites that file
+        n += 1
+    log = lake._log("t")
+    assert glob.glob(os.path.join(log.log_dir, "*.ckpt.json")), "no checkpoint rolled"
+    with_ckpt = {(r.k, r.rowid) for r in lake.table("t", with_rowid=True).collect()}
+    # force full-log replay: drop every checkpoint and the cached state
+    for f in glob.glob(os.path.join(log.log_dir, "*.ckpt.json")):
+        os.unlink(f)
+    from pg_ducklake_spark import Lake
+
+    fresh = Lake.attach(spark, lake.path, read_only=False)
+    full = {(r.k, r.rowid) for r in fresh.table("t", with_rowid=True).collect()}
+    assert full == with_ckpt
+
+
 def test_rowid_stable_across_restart(spark, lake):
     lake.create_table("t", "k int, v string")
     for batch in ([(1, "a")], [(2, "b"), (3, "c")]):
