@@ -145,8 +145,17 @@ def _xlate_type(ty: str) -> tuple[str, str, bool]:
         ks, kd, kc = _xlate_type(k)
         vs, vd, vc = _xlate_type(v)
         return f"map<{ks}, {vs}>", f"MAP({kd}, {vd})", kc or vc
-    if up.startswith("ENUM(") or up in ("UUID", "INTERVAL", "BIT"):
+    if (
+        up.startswith("ENUM(")
+        or up.startswith("UNION(")
+        or up in ("UUID", "INTERVAL", "BIT", "TIME WITH TIME ZONE")
+    ):
         return "string", "VARCHAR", True
+    if up == "TIMESTAMP_NS":
+        # Spark's vectorized reader rejects parquet TIMESTAMP(NANOS);
+        # cast to micros at export (same truncation DuckDB applies on
+        # a nanos→micros read).
+        return "timestamp", "TIMESTAMP", True
     if up in ("HUGEINT", "UHUGEINT"):
         # Spark has no int128; DECIMAL(38,0) is exact for |x| < 10^38
         # (covers realistic counts/ids). A value beyond that fails the

@@ -114,24 +114,28 @@ def test_exotic_duckdb_types_translate(spark, tmp_path):
     con.execute(
         "CREATE TABLE t(a BIGINT[], b STRUCT(x INT, y VARCHAR),"
         " c MAP(VARCHAR, INT), d ENUM('p','q'), e UUID, f HUGEINT,"
-        " g INTERVAL, h UUID[])"
+        " g INTERVAL, h UUID[], u UNION(i INT, s VARCHAR),"
+        " ts TIMESTAMP_NS)"
     )
     con.execute(
         "INSERT INTO t VALUES ([1,2], {'x': 3, 'y': 'z'}, MAP {'k': 7},"
         " 'q', '00000000-0000-0000-0000-00000000beef', 12345678901234567890,"
         " INTERVAL 3 DAYS,"
-        " ['00000000-0000-0000-0000-000000000001'::UUID])"
+        " ['00000000-0000-0000-0000-000000000001'::UUID],"
+        " 1::INT, '2026-01-01 01:02:03.123456789')"
     )
     con.close()
     dst = _mklake(spark, tmp_path, "dst")
     rep = dst.copy_from_database(db)
-    assert rep["tables"]["t"]["mode"] == "register"
+    assert rep["tables"]["t"]["rows"] == 1
     r = dst.table("t").collect()[0]
     assert r.a == [1, 2] and r.b.x == 3 and r.b.y == "z"
     assert r.c == {"k": 7} and r.d == "q"
     assert r.e == "00000000-0000-0000-0000-00000000beef"
     assert int(r.f) == 12345678901234567890
     assert "3 day" in r.g and r.h == ["00000000-0000-0000-0000-000000000001"]
+    assert r.u == "1"  # UNION degrades to its varchar rendering
+    assert r.ts.microsecond == 123456  # nanos truncate to micros
 
 
 def test_existing_table_rejected(spark, lake, tmp_path):
