@@ -95,6 +95,53 @@ def test_rowid_no_shift_when_pending_txn_resolves(spark, lake):
     assert ids_before <= after  # no shift of already-visible ids
 
 
+def test_rowid_ranges_disjoint_under_concurrent_writers(spark, lake):
+    """Commit-time stamping must survive the commit race: concurrent
+    writers (separate Lake instances = separate replay caches) re-stamp
+    on every os.link collision, so the persisted ranges stay disjoint
+    and every row keeps a unique id."""
+    import threading
+
+    lake.create_table("t", "k int, v string")
+    lakes = [Lake.attach(spark, lake.path, read_only=False) for _ in range(4)]
+    errs = []
+
+    def work(w, lk):
+        try:
+            for i in range(4):
+                lk.insert(
+                    "t",
+                    spark.createDataFrame(
+                        [(w * 100 + i * 10 + j, f"w{w}") for j in range(3)],
+                        "k int, v string",
+                    ),
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=work, args=(w, lk))
+        for w, lk in enumerate(lakes)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    log = lake._log("t")
+    ranges = []
+    for v in log.versions():
+        for d in log.read_snapshot(v).get("add", []):
+            assert d.get("row_id_start") is not None
+            ranges.append((d["row_id_start"], d["rows"]))
+    ranges.sort()
+    for (s1, n1), (s2, _n2) in zip(ranges, ranges[1:]):
+        assert s1 + n1 <= s2, f"overlapping rowid ranges {ranges}"
+    fresh = Lake.attach(spark, lake.path, read_only=False)
+    rows = fresh.table("t", with_rowid=True).collect()
+    assert len(rows) == 48 and len({r.rowid for r in rows}) == 48
+
+
 def test_rowid_checkpoint_replay_matches_full_replay(spark, lake):
     """The ADVICE r7 divergence scenario: with files REMOVED before a
     checkpoint (DV-threshold rewrite), a pre-r8 checkpoint compacted
