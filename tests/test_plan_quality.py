@@ -369,18 +369,43 @@ def test_scoped_persist_releases_on_sf_dir_change(spark, sf_dir):
     cache across plan builds. Same-dir rebuilds dedup to the existing
     InMemoryRelation (no growth, warm reruns keep their hits); a build
     against a different sf_dir releases the previous directory's
-    caches."""
-    from pg_ducklake_spark.plans import _PERSIST_SCOPES, QUERIES
+    caches. Counts are DELTAS against a pre-test baseline — the shared
+    test session carries unrelated caches."""
+    from pg_ducklake_spark.plans import (
+        _PERSIST_SCOPES,
+        QUERIES,
+        release_persist_scope,
+    )
+
+    def ids():
+        return {
+            r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
 
     name = "text_bm25_topk"
+    release_persist_scope(name)  # clean slate for this scope
+    base = ids()
     QUERIES[name](spark, sf_dir).collect()
     assert _PERSIST_SCOPES[name][0] == sf_dir
-    n1 = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    after1 = ids() - base
     QUERIES[name](spark, sf_dir).collect()
-    n2 = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-    assert n2 == n1, "same-dir rebuild grew the executor cache"
-    other = "/root/testdata/sf0.001"
+    after2 = ids() - base
+    assert after2 == after1, "same-dir rebuild grew the executor cache"
+    other = (
+        "/root/testdata/sf0.01"
+        if sf_dir != "/root/testdata/sf0.01"
+        else "/root/testdata/sf0.001"
+    )
     QUERIES[name](spark, other).collect()
     assert _PERSIST_SCOPES[name][0] == other
-    n3 = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-    assert n3 <= n1, "previous sf_dir's caches were not released"
+    # unpersist is non-blocking: poll briefly for the release
+    import time as _time
+
+    for _ in range(50):
+        after3 = ids() - base
+        if not (after3 & after1):
+            break
+        _time.sleep(0.1)
+    # the first dir's cached RDDs are gone; only the new dir's remain
+    assert not (after3 & after1), "previous sf_dir's caches were not released"
+    release_persist_scope(name)  # leave no residue for later tests
