@@ -29,7 +29,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pg_ducklake_spark.functions.hashing import sql_h32
+from pg_ducklake_spark.functions.hashing import (
+    MERSENNE31,
+    minhash_coeffs,
+    sql_h32,
+    sql_minhash,
+)
 from pg_ducklake_spark.plans import query, rebalance, scoped_persist, t
 
 # ---------------------------------------------------------------------------
@@ -320,4 +325,189 @@ def text_cms_heavy_hitters(spark, sf_dir):
             .alias("overcount"),
         )
         .orderBy(F.desc("exact_count"), F.asc("token"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (broadcast semi-join pruning audit)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 17  # bits
+_BLOOM_WORDS = _BLOOM_M // 32  # 32-bit words in BIGINTs (no sign-bit traps)
+# k=4 seeded universal hashes over the shared md5-derived h32 (same
+# family as minhash; seed 7) — identical integer positions on both
+# engines.
+_BLOOM_COEFFS = minhash_coeffs(4, seed=7)
+
+
+def _bloom_pos_sql(i: int) -> str:
+    a, b = _BLOOM_COEFFS[i]
+    return f"(({sql_minhash('h', a, b)}) % {_BLOOM_M})"
+
+
+@query(
+    "stats_bloom_membership",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT o_custkey AS k
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    kh AS (SELECT k, {sql_h32("CAST(k AS VARCHAR)")} AS h FROM keys),
+    bits AS (
+      {" UNION ALL ".join(f"SELECT {_bloom_pos_sql(i)} AS pos FROM kh" for i in range(4))}
+    ),
+    bloom AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS wv
+      FROM bits GROUP BY 1
+    ),
+    probes AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             {sql_h32("CAST(c_custkey AS VARCHAR)")} AS h
+      FROM customer
+    ),
+    ppos AS (
+      {" UNION ALL ".join(f"SELECT k, seg, {_bloom_pos_sql(i)} AS pos FROM probes" for i in range(4))}
+    ),
+    checked AS (
+      SELECT p.k, p.seg,
+             CASE WHEN bool_and(
+               b.wv IS NOT NULL AND
+               (b.wv & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))) <> 0
+             ) THEN 1 ELSE 0 END AS hit
+      FROM ppos p LEFT JOIN bloom b ON p.pos // 32 = b.word
+      GROUP BY p.k, p.seg
+    ),
+    truthed AS (
+      SELECT c.k, c.seg, c.hit,
+             CASE WHEN keys.k IS NOT NULL THEN 1 ELSE 0 END AS member
+      FROM checked c LEFT JOIN keys ON c.k = keys.k
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(member) AS BIGINT) AS n_members,
+           CAST(SUM(hit) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN hit = 1 AND member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives
+    FROM truthed GROUP BY seg ORDER BY seg
+    """,
+)
+def stats_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership with an exactness audit: build a
+    2^17-bit / k=4 Bloom over the urgent-order customer set, probe
+    every customer, and report per-segment hits vs ground truth (every
+    member hits by construction; the surplus is the measured
+    false-positive count).
+
+    This is THE lakehouse semi-join pruning tool at 100 TB: the bloom
+    compiles the build side's key set into a ≤4096-row word table —
+    metadata-sized no matter how large the key set — that broadcasts
+    to the probe scan and filters it map-side, replacing a shuffle
+    semi-join (Spark's own runtime bloom join does exactly this;
+    building it explicitly makes it available across queries and
+    engines). Build cost is one map-side-combined aggregate over the
+    key set (bit_or partials commute); probe cost is a broadcast hash
+    join per position — no corpus shuffle anywhere. Registers are
+    exact BIGINT words from the shared md5-derived h32 + seeded
+    universal-hash family, so both engines compute the identical
+    filter bit-for-bit."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    kh = keys.select(
+        "k",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    bits = kh.select(
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31))
+                    % F.lit(_BLOOM_M)
+                    for a, b in _BLOOM_COEFFS
+                ]
+            )
+        ).alias("pos")
+    )
+    bloom = (
+        bits.select(
+            (F.col("pos") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(b)").alias("wv"))
+    )
+    probes = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    ppos = probes.select(
+        "k",
+        "seg",
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31))
+                    % F.lit(_BLOOM_M)
+                    for a, b in _BLOOM_COEFFS
+                ]
+            )
+        ).alias("pos"),
+    )
+    checked = (
+        ppos.join(  # bcast-ok: bloom is ≤ m/32 = 4096 words by construction
+            F.broadcast(bloom),
+            (F.col("pos") / 32).cast("long") == F.col("word"),
+            "left",
+        )
+        .select(
+            "k",
+            "seg",
+            F.when(
+                F.col("wv").isNotNull()
+                & (
+                    F.expr(
+                        "wv & shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+                    )
+                    != 0
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("bit_hit"),
+        )
+        .groupBy("k", "seg")
+        .agg(F.min("bit_hit").alias("hit"))
+    )
+    truthed = checked.join(
+        keys.withColumnRenamed("k", "mk"),
+        F.col("k") == F.col("mk"),
+        "left",
+    ).select(
+        "seg",
+        "hit",
+        F.when(F.col("mk").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "member"
+        ),
+    )
+    return (
+        truthed.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("member").alias("n_members"),
+            F.sum("hit").alias("n_bloom_hits"),
+            F.sum(
+                F.when((F.col("hit") == 1) & (F.col("member") == 0), 1).otherwise(0)
+            ).alias("n_false_positives"),
+        )
+        .orderBy("seg")
     )

@@ -90,3 +90,23 @@ def test_cms_never_undercounts(spark, sf_dir):
             f"CMS undercounted {r['token']}"
         )
         assert r["overcount"] == r["cms_estimate"] - r["exact_count"]
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """The Bloom contract: every true member hits; the surplus over
+    truth is a bounded false-positive count (audited per segment)."""
+    rows = QUERIES["stats_bloom_membership"](spark, sf_dir).collect()
+    assert rows, "no segments"
+    total_probes = total_members = total_hits = total_fp = 0
+    for r in rows:
+        # hits = members + false positives exactly (no false negatives)
+        assert r["n_bloom_hits"] == r["n_members"] + r["n_false_positives"]
+        assert r["n_members"] <= r["n_probes"]
+        total_probes += r["n_probes"]
+        total_members += r["n_members"]
+        total_hits += r["n_bloom_hits"]
+        total_fp += r["n_false_positives"]
+    non_members = total_probes - total_members
+    if non_members >= 100:
+        # 2^17 bits / k=4 over the fixture key set: fp rate stays small
+        assert total_fp / non_members < 0.10
