@@ -464,8 +464,8 @@ def stats_bloom_membership(spark, sf_dir):
         ).alias("pos"),
     )
     checked = (
-        ppos.join(  # bcast-ok: bloom is ≤ m/32 = 4096 words by construction
-            F.broadcast(bloom),
+        ppos.join(
+            F.broadcast(bloom),  # bcast-ok: ≤ m/32 = 4096 words by construction
             (F.col("pos") / 32).cast("long") == F.col("word"),
             "left",
         )
