@@ -30,7 +30,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pg_ducklake_spark.functions.hashing import (
-    MERSENNE31,
     minhash_coeffs,
     sql_h32,
     sql_minhash,
@@ -394,9 +393,10 @@ def _bloom_pos_sql(i: int) -> str:
 )
 def stats_bloom_membership(spark, sf_dir):
     """Bloom-filter membership with an exactness audit: build a
-    2^17-bit / k=4 Bloom over the urgent-order customer set, probe
-    every customer, and report per-segment hits vs ground truth (every
-    member hits by construction; the surplus is the measured
+    2^17-bit / k=4 Bloom over the urgent-order customer set
+    (operators/bloom.py — the reusable build/probe/prune operator),
+    probe every customer, and report per-segment hits vs ground truth
+    (every member hits by construction; the surplus is the measured
     false-positive count).
 
     This is THE lakehouse semi-join pruning tool at 100 TB: the bloom
@@ -410,7 +410,10 @@ def stats_bloom_membership(spark, sf_dir):
     join per position — no corpus shuffle anywhere. Registers are
     exact BIGINT words from the shared md5-derived h32 + seeded
     universal-hash family, so both engines compute the identical
-    filter bit-for-bit."""
+    filter bit-for-bit — this oracle row is the cross-engine proof of
+    the operator itself."""
+    from pg_ducklake_spark.operators.bloom import bloom_build, bloom_contains
+
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     keys = (
@@ -418,83 +421,18 @@ def stats_bloom_membership(spark, sf_dir):
         .select(F.col("o_custkey").alias("k"))
         .distinct()
     )
-    kh = keys.select(
-        "k",
-        F.expr(
-            "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT)"
-        ).alias("h"),
-    )
-    bits = kh.select(
-        F.explode(
-            F.array(
-                *[
-                    ((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31))
-                    % F.lit(_BLOOM_M)
-                    for a, b in _BLOOM_COEFFS
-                ]
-            )
-        ).alias("pos")
-    )
-    bloom = (
-        bits.select(
-            (F.col("pos") / 32).cast("long").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("b"),
-        )
-        .groupBy("word")
-        .agg(F.expr("bit_or(b)").alias("wv"))
-    )
+    bloom = bloom_build(keys, "k", m=_BLOOM_M, k=4, seed=7)
     probes = cust.select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_mktsegment").alias("seg"),
-        F.expr(
-            "CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"
-        ).alias("h"),
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
     )
-    ppos = probes.select(
-        "k",
-        "seg",
-        F.explode(
-            F.array(
-                *[
-                    ((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31))
-                    % F.lit(_BLOOM_M)
-                    for a, b in _BLOOM_COEFFS
-                ]
-            )
-        ).alias("pos"),
-    )
-    checked = (
-        ppos.join(
-            F.broadcast(bloom),  # bcast-ok: ≤ m/32 = 4096 words by construction
-            (F.col("pos") / 32).cast("long") == F.col("word"),
-            "left",
-        )
-        .select(
-            "k",
-            "seg",
-            F.when(
-                F.col("wv").isNotNull()
-                & (
-                    F.expr(
-                        "wv & shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
-                    )
-                    != 0
-                ),
-                F.lit(1),
-            )
-            .otherwise(F.lit(0))
-            .alias("bit_hit"),
-        )
-        .groupBy("k", "seg")
-        .agg(F.min("bit_hit").alias("hit"))
-    )
+    checked = bloom_contains(probes, "k", bloom, m=_BLOOM_M, k=4, seed=7)
     truthed = checked.join(
         keys.withColumnRenamed("k", "mk"),
         F.col("k") == F.col("mk"),
         "left",
     ).select(
         "seg",
-        "hit",
+        F.when(F.col("bloom_hit"), F.lit(1)).otherwise(F.lit(0)).alias("hit"),
         F.when(F.col("mk").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias(
             "member"
         ),
