@@ -788,3 +788,55 @@ def pipe_train_eval_split(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "split")
     )
+
+
+@query(
+    "pipe_bloom_prejoin",
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem JOIN keys ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def pipe_bloom_prejoin(spark, sf_dir):
+    """Bloom-pruned exact semi-join: the fact scan is pre-filtered by a
+    broadcast Bloom of the key set BEFORE the real join, then the exact
+    join removes the (rare) false positives — the result is provably
+    identical to the plain semi-join, which is exactly what the DuckDB
+    oracle computes with no bloom at all.
+
+    Scale shape: at 100 TB the bloom word table (≤4096 rows here,
+    ``operators/bloom.py``) broadcasts to the fact scan and drops
+    non-matching rows map-side, so the join's shuffle carries only
+    maybe-members instead of the whole fact table; the exact join that
+    follows is what keeps the plan's semantics independent of the
+    false-positive rate."""
+    from pg_ducklake_spark.operators.bloom import bloom_build, bloom_prune
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bloom = bloom_build(keys, "k", m=1 << 17, k=4, seed=7)
+    pruned = bloom_prune(li, "l_orderkey", bloom, m=1 << 17, k=4, seed=7)
+    return (
+        pruned.join(keys, pruned.l_orderkey == keys.k, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
