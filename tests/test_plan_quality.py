@@ -409,3 +409,25 @@ def test_scoped_persist_releases_on_sf_dir_change(spark, sf_dir):
     # the first dir's cached RDDs are gone; only the new dir's remain
     assert not (after3 & after1), "previous sf_dir's caches were not released"
     release_persist_scope(name)  # leave no residue for later tests
+
+
+def test_bloom_prune_is_exchange_free(spark, sf_dir):
+    """The Bloom probe's whole point is pruning BEFORE the join's
+    shuffle (VERDICT r8 item 2): the pruned fact plan must contain ZERO
+    exchanges of any kind above the source scan — the word table is an
+    inlined literal, not a join side."""
+    from pg_ducklake_spark.operators.bloom import bloom_build, bloom_prune
+    from pg_ducklake_spark.plans import t
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    keys = (
+        t(spark, sf_dir, "orders")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey")
+        .distinct()
+    )
+    bloom = bloom_build(keys, "o_orderkey")
+    pruned = bloom_prune(li, "l_orderkey", bloom)
+    plan = plan_of(pruned)
+    assert "Exchange" not in plan, plan  # no shuffle AND no broadcast exchange
+    assert "Join" not in plan, plan
