@@ -46,14 +46,21 @@ def _driver_checked_names() -> set[str]:
     return checked
 
 
+# Names fixed since their last driver sample — lead the ordering so the
+# next CORRECTNESS file re-verifies the fix (VERDICT r8 item 6).
+_RECHECK_FIRST = ("pipe_bloom_prejoin", "stats_bloom_membership")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 —
-    never-driver-sampled names first (self-rotating: the set recomputes
-    from the committed CORRECTNESS files each round)."""
+    recheck-listed names first, then never-driver-sampled names
+    (self-rotating: the set recomputes from the committed CORRECTNESS
+    files each round)."""
     checked = _driver_checked_names()
-    fresh = [n for n in QUERIES if n not in checked]
-    rest = [n for n in QUERIES if n in checked]
-    return {n: QUERIES[n] for n in fresh + rest}
+    recheck = [n for n in _RECHECK_FIRST if n in QUERIES]
+    fresh = [n for n in QUERIES if n not in checked and n not in recheck]
+    rest = [n for n in QUERIES if n in checked and n not in recheck]
+    return {n: QUERIES[n] for n in recheck + fresh + rest}
 
 
 def oracle_sql() -> dict[str, str]:

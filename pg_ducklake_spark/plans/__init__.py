@@ -76,6 +76,13 @@ def query(name: str, oracle: str | None = None):
             prev = _PERSIST_SCOPES.get(name)
             if prev is not None and prev[0] != sf_dir:
                 release_persist_scope(name)
+            elif prev is not None:
+                # Same-sf_dir rebuild (ADVICE r8): drop the stale
+                # driver-side handles WITHOUT unpersisting — the rebuilt
+                # plans are canonically identical, so CacheManager dedups
+                # them onto the live entries (warm reruns keep their
+                # hits) while the handle list stays one-build deep.
+                _PERSIST_SCOPES[name] = (sf_dir, [])
             out = fn(spark, sf_dir)
             if name in _PERSIST_SCOPES:
                 _PERSIST_SCOPES[name] = (sf_dir, _PERSIST_SCOPES[name][1])
