@@ -808,7 +808,7 @@ class SnapshotLog:
         snapshot: dict,
         validate: Callable[[TableState], None] | None = None,
         base_version: int | None = None,
-        max_retries: int = 20,
+        max_retries: int | None = None,
     ) -> int:
         """Atomically append ``snapshot`` as the next version.
 
@@ -827,8 +827,13 @@ class SnapshotLog:
             if v is not None and snapshot.get(k) is None:
                 snapshot[k] = v
         wait_ms, backoff = 10.0, 1.2
+        policy_retries = None
         if self.retry_policy is not None:
-            max_retries, wait_ms, backoff = self.retry_policy()
+            policy_retries, wait_ms, backoff = self.retry_policy()
+        # An explicit caller limit wins over the wired policy (ADVICE
+        # r8: the parameter was silently dead once a policy existed).
+        if max_retries is None:
+            max_retries = policy_retries if policy_retries is not None else 20
         for attempt in range(max_retries):
             latest = self.latest_version()
             if (

@@ -29,7 +29,7 @@ import re
 import shutil
 import urllib.parse
 import uuid
-from typing import Any, Iterable
+from typing import Any, Callable, Iterable
 
 from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
@@ -306,6 +306,54 @@ def _sort_columns(spec: list[dict]) -> list[Column]:
             c = c.desc_nulls_first() if s["null_order"] == "FIRST" else c.desc_nulls_last()
         cols.append(c)
     return cols
+
+
+def _quoted_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single-quoted strings, double-quoted
+    identifiers, and ``--`` line comments. Quote escapes ('' / "")
+    are honored."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'" or c == '"':
+            j = i + 1
+            while j < n:
+                if sql[j] == c:
+                    if j + 1 < n and sql[j + 1] == c:  # '' / "" escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _sub_outside_quotes(
+    sql: str, pattern: "re.Pattern[str]", repl: Callable
+) -> str:
+    """``pattern.sub(repl, sql)`` skipping matches that START inside a
+    string literal, quoted identifier, or -- comment — regex rewrites
+    (settings(), table-function binding) must never fire inside a
+    literal like ``SELECT 'call settings() later'`` (ADVICE r8). A call
+    whose *arguments* contain quoted strings still matches, since the
+    match starts in plain SQL."""
+    spans = _quoted_spans(sql)
+
+    def guarded(m: "re.Match[str]") -> str:
+        if any(s <= m.start() < e for s, e in spans):
+            return m.group(0)
+        return repl(m)
+
+    return pattern.sub(guarded, sql)
 
 
 class Lake:
@@ -1704,9 +1752,10 @@ class Lake:
             self.settings().createOrReplaceTempView(alias)
             return alias
 
-        query = re.sub(
-            r"\b(?:ducklake_)?settings\s*\(\s*\)", sub_settings, query,
-            flags=re.I,
+        query = _sub_outside_quotes(
+            query,
+            re.compile(r"\b(?:ducklake_)?settings\s*\(\s*\)", re.I),
+            sub_settings,
         )
 
         def sub(m: "re.Match[str]") -> str:
@@ -1743,7 +1792,7 @@ class Lake:
             df.createOrReplaceTempView(alias)
             return alias
 
-        return self._TABLE_FUNC_CALL.sub(sub, query)
+        return _sub_outside_quotes(query, self._TABLE_FUNC_CALL, sub)
 
     def execute(self, statement: str) -> Any:
         """One SQL statement, routed like the reference's PG prompt:

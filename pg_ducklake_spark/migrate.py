@@ -308,11 +308,25 @@ def _quote_idents(sql: str) -> str:
             out.append(sql[i : j + 1])
             i = j + 1
         elif c == '"':
-            j = sql.find('"', i + 1)
-            if j < 0:
+            # DuckDB escapes a quote inside a quoted identifier as ""
+            # (ADVICE r8) — unescape it, then backtick-escape for Spark.
+            j = i + 1
+            buf = []
+            closed = False
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        buf.append('"')
+                        j += 2
+                        continue
+                    closed = True
+                    break
+                buf.append(sql[j])
+                j += 1
+            if not closed:
                 out.append(sql[i:])
                 break
-            out.append("`" + sql[i + 1 : j] + "`")
+            out.append("`" + "".join(buf).replace("`", "``") + "`")
             i = j + 1
         else:
             out.append(c)

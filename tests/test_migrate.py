@@ -158,3 +158,16 @@ def test_call_copy_from_database_sql(spark, lake, tmp_path):
     assert n == 2
     assert lake.table("a").collect()[0].x == 1
     assert lake.table("b").collect()[0].y == "z"
+
+
+def test_quote_idents_doubled_quote_escape():
+    """ADVICE r8: DuckDB stores "a""b" for an identifier containing a
+    quote — the converter must unescape it, not emit a stray span."""
+    from pg_ducklake_spark.migrate import _quote_idents
+
+    assert _quote_idents('SELECT "a""b" FROM t') == 'SELECT `a"b` FROM t'
+    assert _quote_idents('SELECT "x" FROM "s""chema".t') == "SELECT `x` FROM `s\"chema`.t"
+    # single-quoted strings still pass through untouched
+    assert _quote_idents("SELECT 'he said \"\"hi\"\"'") == "SELECT 'he said \"\"hi\"\"'"
+    # unterminated identifier: emit the tail verbatim (old behavior)
+    assert _quote_idents('SELECT "oops') == 'SELECT "oops'

@@ -95,3 +95,50 @@ def test_settings_rows_in_frozen_export(spark, lake, tmp_path):
     con.close()
     assert meta["setting:retry_backoff"] == "3.0"
     assert meta["setting:max_retry_count"] == "20"  # default travels too
+
+
+def test_settings_inside_string_literal_untouched(spark, lake):
+    """ADVICE r8: the settings() SQL binding must not rewrite matches
+    inside string literals or -- comments."""
+    got = lake.sql(
+        "SELECT 'call settings() later' AS msg -- settings() here too"
+    ).collect()
+    assert got[0].msg == "call settings() later"
+    # and the real call still binds in the same statement
+    got = lake.sql(
+        "SELECT 'settings()' AS lit, count(*) AS n FROM settings()"
+    ).collect()
+    assert got[0].lit == "settings()" and got[0].n >= 4
+
+
+def test_commit_explicit_max_retries_beats_policy(spark, lake, monkeypatch):
+    """ADVICE r8: an explicit commit(max_retries=...) must win over the
+    wired retry policy instead of being silently overwritten."""
+    import os as _os
+
+    lake.create_table("t", "x int")
+    lake.set_option("max_retry_count", 10)
+    log = lake._log("t")
+    real_link = os.link
+
+    def contended_link(src, dst, *a, **kw):
+        if _os.path.dirname(dst) == log.log_dir:
+            raise FileExistsError(dst)
+        return real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "link", contended_link)
+    attempts: list[float] = []
+
+    class _TimeShim:
+        def sleep(self, s):
+            attempts.append(s)
+
+        def __getattr__(self, item):
+            return getattr(time, item)
+
+    import pg_ducklake_spark.catalog as _cat
+
+    monkeypatch.setattr(_cat, "time", _TimeShim())
+    with pytest.raises(ConcurrentModificationError, match="after 2 retries"):
+        log.commit({"add": [], "remove": []}, max_retries=2)
+    assert len(attempts) == 2  # caller's limit, not the policy's 10
