@@ -249,6 +249,37 @@ def main() -> None:
             warm[n].collect()
             warm_sums[n] += time.time() - t0
     warm_exec = round(sum(v / 2 for v in warm_sums.values()), 4)
+    # Idle-pair oracle sweep (same process, same session, right after
+    # the Spark loop): round-over-round comparisons of the Spark total
+    # were confounded by machine-state drift between driver runs (r8's
+    # exec total moved 15% on queries whose code never changed). Timing
+    # the DuckDB oracle over the SAME queries in the SAME session turns
+    # each BENCH_r{N} into a self-contained pair — the ratio is
+    # drift-immune even when the absolute numbers are not. Identical
+    # loop shape to tools/bench_oracle.py (same WARMUP/ITERS).
+    import duckdb
+
+    con = duckdb.connect()
+    for tbl in TABLES:
+        path = os.path.join(sf_dir, f"{tbl}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{path}')"
+            )
+    from pg_ducklake_spark.plans import ORACLES
+
+    oracle_names = [n for n in names if n in ORACLES]
+    for _ in range(WARMUP):
+        for name in oracle_names:
+            con.execute(ORACLES[name]).fetchall()
+    oracle_sums = dict.fromkeys(oracle_names, 0.0)
+    for _ in range(ITERS):
+        for name in oracle_names:
+            t0 = time.time()
+            con.execute(ORACLES[name]).fetchall()
+            oracle_sums[name] += time.time() - t0
+    oracle_times = {n: round(v / ITERS, 4) for n, v in oracle_sums.items()}
+    oracle_total = round(sum(oracle_times.values()), 4)
     print(
         json.dumps(
             {
@@ -260,6 +291,11 @@ def main() -> None:
                 "exec_sec": round(total - plan_build, 4),
                 "warm_exec_sec": warm_exec,
                 "total_incl_plan_build": total,
+                "oracle_pair_sec": oracle_total,
+                "oracle_pair_queries": oracle_times,
+                "spark_vs_oracle_pair": (
+                    round(total / oracle_total, 4) if oracle_total else None
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warmup_iters": WARMUP,
                 "timed_iters": ITERS,

@@ -431,3 +431,13 @@ def test_bloom_prune_is_exchange_free(spark, sf_dir):
     plan = plan_of(pruned)
     assert "Exchange" not in plan, plan  # no shuffle AND no broadcast exchange
     assert "Join" not in plan, plan
+
+
+def test_bpe_topk_uses_take_ordered(plans):
+    """text_bpe_pair_counts' final top-20 must be an engine-level
+    TakeOrderedAndProject (heap-select per map task, driver merge), not
+    a row_number window over the full pair table — the window form pays
+    a single-partition exchange + sort the limit form skips. The only
+    Window left runs over the 20 post-limit survivors."""
+    s = plan_of(plans("text_bpe_pair_counts"))
+    assert "TakeOrderedAndProject" in s, s

@@ -246,11 +246,16 @@ def ensure_fixture(doc_rows: int, emb_rows: int, event_rows: int) -> str:
     return cache
 
 
-# Warmups exist to strip sub-second compile/JIT noise out of the timed
-# passes; once a single pass costs seconds that noise is already in the
-# measurement floor, so long queries drop to 1 warmup + 2 timed passes
-# (applied by the same rule to both engines) to keep the harness
-# tractable.
+# Warmups exist to strip compile/JIT noise out of the timed passes;
+# long queries drop to fewer passes (applied by the same rule to both
+# engines) to keep the harness tractable. The long-query tier keeps ONE
+# extra warmup after the classifying pass: the classifier fires on the
+# FIRST pass, which for Spark includes whole-stage-codegen compilation —
+# with zero further warmups the timed passes measured JIT, not steady
+# state (r8 recorded text_bpe_pair_counts at 3.0 s via this rule while
+# the same query, warmed, runs 1.11 s in the kernel study below).
+# DuckDB's first pass is already near steady state, so the extra warmup
+# is symmetric in form and corrects an asymmetry in effect.
 _LONG_QUERY_S = 3.0
 
 
@@ -258,7 +263,7 @@ def _timed_loop(run) -> float:
     t0 = time.time()
     run()
     first = time.time() - t0
-    warmup, iters = (0, 2) if first > _LONG_QUERY_S else (WARMUP - 1, ITERS)
+    warmup, iters = (1, 2) if first > _LONG_QUERY_S else (WARMUP - 1, ITERS)
     for _ in range(warmup):
         run()
     total = 0.0
