@@ -61,6 +61,7 @@ HEADLINE = [
     # Full north-star families (dedup / similarity / text / time-series /
     # pipeline / event analytics) — the engine's flagship surface.
     "dedup_exact_groups",
+    "dedup_substring_spans",
     "dedup_simhash_pairs",
     "sim_embedding_near_dup",
     "pipe_crossmodal_dup_check",

@@ -95,6 +95,87 @@ def dedup_exact_groups(spark, sf_dir):
     )
 
 
+# Substring-span dedup window length (chars). L=50 follows the
+# "repeated >= 50-unit span" convention of substring-level
+# training-data dedup. Windows are anchored at WORD STARTS, not at a
+# fixed stride: a per-document stride grid only matches when two
+# documents happen to share the span at stride-congruent offsets,
+# whereas word boundaries are part of the shared content itself, so
+# anchor positions inside a shared span coincide in every document
+# that contains it (content-defined selection, same idea as
+# winnowing). Any shared span of length >= L + max_word_len + 1
+# contains a fully-shared anchored window and is guaranteed caught.
+_SPAN_L = 50
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH spans AS (
+      SELECT doc_id,
+             md5(substring(text, CAST(i AS INTEGER), {_SPAN_L})) AS span_md5
+      FROM documents,
+           LATERAL unnest(range(1, len(text) - {_SPAN_L} + 2)) r(i)
+      WHERE len(text) >= {_SPAN_L}
+        AND (i = 1 OR substring(text, CAST(i AS INTEGER) - 1, 1) = ' ')
+    )
+    SELECT span_md5,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM spans
+    GROUP BY span_md5
+    HAVING COUNT(DISTINCT doc_id) > 1
+    ORDER BY n_docs DESC, first_doc ASC, span_md5 ASC
+    LIMIT 20
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Cross-document repeated substring spans — the substring-level
+    exact dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): every L=50-char window anchored at a word
+    start is fingerprinted, and spans appearing in more than one
+    document are surfaced (top 20 by document count).
+
+    Complements ``dedup_substring_windows`` (plans/dedup2.py), which
+    emits the DOC-PAIR graph (who overlaps whom, for linking/removal
+    decisions); this query emits the SPAN inventory (which concrete
+    spans are duplicated and how widely — the strip-list a
+    boilerplate/contamination pass consumes), char-level so it also
+    catches overlap that token-window hashing splits differently.
+
+    Scale shape (100 TB): anchor selection is a cheap one-char test per
+    position (md5 runs only on the ~1-per-word anchored windows), and
+    the explode emits the 16-byte digest directly — window TEXT never
+    leaves the scan stage, so the shuffle carries ~|tokens| digest
+    rows, partial-aggregated map-side. The distinct-doc count is a
+    two-phase distinct aggregate on the digest key (no corpus-sized
+    window, no all-pairs), and the final top-20 is
+    TakeOrderedAndProject under a total order (n_docs DESC, first_doc
+    ASC, digest ASC), so the LIMIT is deterministic and oracle-exact."""
+    docs = rebalance(t(spark, sf_dir, "documents"))
+    spans = docs.filter(F.length("text") >= _SPAN_L).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform("
+                f"  filter(sequence(1, length(text) - {_SPAN_L} + 1),"
+                f"         i -> i = 1 OR substring(text, i - 1, 1) = ' '),"
+                f"  i -> md5(substring(text, i, {_SPAN_L})))"
+            )
+        ).alias("span_md5"),
+    )
+    return (
+        spans.groupBy("span_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), F.asc("first_doc"), F.asc("span_md5"))
+        .limit(20)
+    )
+
+
 @query(
     "dedup_exact_stats",
     oracle="""

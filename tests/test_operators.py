@@ -349,3 +349,30 @@ def test_incremental_near_dup_over_change_feed(spark, lake):
     assert (4, 1) in got and got[(4, 1)] is False
     assert (3, 4) in got and got[(3, 4)] is True
     assert all(k[0] in (3, 4) for k in got)
+
+
+def test_substring_spans_find_planted_overlap(spark, sf_dir):
+    """dedup_substring_spans: a long span shared verbatim by two docs
+    at DIFFERENT character offsets must surface — word-start anchoring
+    is content-defined, so capture cannot depend on the span landing on
+    congruent positions (a fixed per-doc stride grid would miss this
+    fixture). All reported spans have n_docs >= 2, first_doc is the
+    smallest sharing doc_id, and a span repeated WITHIN one document
+    only does not count as cross-document."""
+    from pg_ducklake_spark.plans import QUERIES
+    import tempfile, os
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "A" * 80),                                   # unique filler
+        (2, "short pfx " + shared + " tail1"),           # planted pair at
+        (3, "a much longer prefix here " + shared + " t2"),  # different offsets
+        (4, ("z" * 55 + " ") * 3),                       # self-repeat only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = QUERIES["dedup_substring_spans"](spark, d).collect()
+    assert got, "planted cross-document span not found"
+    assert all(r.n_docs >= 2 for r in got)
+    assert all(r.first_doc == 2 for r in got), [tuple(r) for r in got]

@@ -672,6 +672,15 @@ def main() -> None:
     if "--tier" in sys.argv:
         tier = sys.argv[sys.argv.index("--tier") + 1]
 
+    # The session default heap (8g) models one executor SLOT; this
+    # harness drives 32 cores of sf10 data through a single JVM, so it
+    # gets the aggregate memory a 32-core executor actually ships with
+    # (4-8 GB/core in any real deployment). At 8g the sf10 perplexity
+    # pass thrashes cache eviction/GC — measured 10s isolated vs 46s
+    # after the sf1 tier had fragmented the heap — and the GC storm
+    # perturbs the DuckDB side of the pair too (13-54s spread for the
+    # same SQL). DuckDB's own limit (80% of RAM) dwarfs this either way.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark("bench_scale")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sql("SELECT 1").collect()
