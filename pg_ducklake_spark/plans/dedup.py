@@ -95,29 +95,45 @@ def dedup_exact_groups(spark, sf_dir):
     )
 
 
-# Substring-span dedup window length (chars). L=50 follows the
-# "repeated >= 50-unit span" convention of substring-level
-# training-data dedup. Windows are anchored at WORD STARTS, not at a
-# fixed stride: a per-document stride grid only matches when two
-# documents happen to share the span at stride-congruent offsets,
-# whereas word boundaries are part of the shared content itself, so
-# anchor positions inside a shared span coincide in every document
-# that contains it (content-defined selection, same idea as
-# winnowing). Any shared span of length >= L + max_word_len + 1
-# contains a fully-shared anchored window and is guaranteed caught.
+# Substring-span dedup window length (chars of the single-space-joined
+# token stream). L=50 follows the "repeated >= 50-unit span" convention
+# of substring-level training-data dedup. Windows are anchored at TOKEN
+# STARTS, not at a fixed stride: a per-document stride grid only
+# matches when two documents happen to share the span at
+# stride-congruent offsets, whereas token boundaries travel with the
+# shared content itself, so anchor positions inside a shared span
+# coincide in every document that contains it (content-defined
+# selection, same idea as winnowing). Any shared token run whose joined
+# length reaches L + max_token_len + 1 contains a fully-shared anchored
+# window and is guaranteed caught. Each window is rebuilt from a
+# bounded token slice (_SPAN_W tokens cover >= L chars even for 1-char
+# tokens: W + (W-1) >= L) rather than cut from the raw string —
+# char-positional substring is an O(position) UTF-8 scan on both
+# engines, which made the raw-window formulation quadratic per
+# document (measured 2.4x slower at sf10 on 350-char docs; far worse
+# on longer ones).
 _SPAN_L = 50
+_SPAN_W = 26
 
 
 @query(
     "dedup_substring_spans",
     oracle=f"""
     WITH spans AS (
-      SELECT doc_id,
-             md5(substring(text, CAST(i AS INTEGER), {_SPAN_L})) AS span_md5
-      FROM documents,
-           LATERAL unnest(range(1, len(text) - {_SPAN_L} + 2)) r(i)
-      WHERE len(text) >= {_SPAN_L}
-        AND (i = 1 OR substring(text, CAST(i AS INTEGER) - 1, 1) = ' ')
+      SELECT doc_id, md5(s) AS span_md5
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(
+                 list_transform(range(1, len(toks) + 1),
+                   i -> substring(array_to_string(
+                          toks[CAST(i AS INTEGER):CAST(i AS INTEGER)
+                               + {_SPAN_W - 1}], ' '), 1, {_SPAN_L})),
+                 s -> len(s) = {_SPAN_L})) AS s
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS toks
+              FROM documents WHERE len(text) >= {_SPAN_L}) tk
+      )
     )
     SELECT span_md5,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -132,37 +148,50 @@ _SPAN_L = 50
 def dedup_substring_spans(spark, sf_dir):
     """Cross-document repeated substring spans — the substring-level
     exact dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
-    Language Models Better"): every L=50-char window anchored at a word
-    start is fingerprinted, and spans appearing in more than one
-    document are surfaced (top 20 by document count).
+    Language Models Better", which operates on token streams): every
+    L=50-char window of the single-space-normalized token stream,
+    anchored at a token start, is fingerprinted, and spans appearing in
+    more than one document are surfaced (top 20 by document count).
 
     Complements ``dedup_substring_windows`` (plans/dedup2.py), which
     emits the DOC-PAIR graph (who overlaps whom, for linking/removal
     decisions); this query emits the SPAN inventory (which concrete
     spans are duplicated and how widely — the strip-list a
-    boilerplate/contamination pass consumes), char-level so it also
-    catches overlap that token-window hashing splits differently.
+    boilerplate/contamination pass consumes), char-windowed over the
+    token stream so it also catches overlap that fixed token-window
+    hashing splits differently.
 
-    Scale shape (100 TB): anchor selection is a cheap one-char test per
-    position (md5 runs only on the ~1-per-word anchored windows), and
-    the explode emits the 16-byte digest directly — window TEXT never
-    leaves the scan stage, so the shuffle carries ~|tokens| digest
-    rows, partial-aggregated map-side. The distinct-doc count is a
-    two-phase distinct aggregate on the digest key (no corpus-sized
-    window, no all-pairs), and the final top-20 is
-    TakeOrderedAndProject under a total order (n_docs DESC, first_doc
-    ASC, digest ASC), so the LIMIT is deterministic and oracle-exact."""
+    Scale shape (100 TB): window construction is LINEAR per document —
+    each anchor joins a bounded _SPAN_W-token slice and truncates to L
+    chars (never a char-positional substring into the raw string, which
+    is an O(position) UTF-8 scan and turns the whole pass quadratic).
+    The explode emits the digest directly — window text never leaves
+    the scan stage, so the shuffle carries ~|tokens| digest rows,
+    partial-aggregated map-side. The distinct-doc count is a two-phase
+    distinct aggregate on the digest key (no corpus-sized window, no
+    all-pairs), and the final top-20 is TakeOrderedAndProject under a
+    total order (n_docs DESC, first_doc ASC, digest ASC), so the LIMIT
+    is deterministic and oracle-exact. Residual sf10 gap vs DuckDB is
+    md5+string-kernel throughput, the same engine floor the
+    exact-dedup and BPE kernel studies pin (SCALEBENCH
+    exact_dedup_kernel.ratio_md5, bpe_kernel.floor_vs_duck_full)."""
     docs = rebalance(t(spark, sf_dir, "documents"))
-    spans = docs.filter(F.length("text") >= _SPAN_L).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform("
-                f"  filter(sequence(1, length(text) - {_SPAN_L} + 1),"
-                f"         i -> i = 1 OR substring(text, i - 1, 1) = ' '),"
-                f"  i -> md5(substring(text, i, {_SPAN_L})))"
-            )
-        ).alias("span_md5"),
+    span_expr = (
+        f"transform("
+        f"  filter("
+        f"    transform(sequence(1, size(toks)),"
+        f"      i -> substring(array_join(slice(toks, i, {_SPAN_W}), ' '),"
+        f"                     1, {_SPAN_L})),"
+        f"    s -> length(s) = {_SPAN_L}),"
+        f"  s -> md5(s))"
+    )
+    spans = (
+        docs.filter(F.length("text") >= _SPAN_L)
+        .select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> x <> '')").alias("toks"),
+        )
+        .select("doc_id", F.explode(F.expr(span_expr)).alias("span_md5"))
     )
     return (
         spans.groupBy("span_md5")
