@@ -441,3 +441,14 @@ def test_bpe_topk_uses_take_ordered(plans):
     Window left runs over the 20 post-limit survivors."""
     s = plan_of(plans("text_bpe_pair_counts"))
     assert "TakeOrderedAndProject" in s, s
+
+
+def test_substring_spans_shape(plans):
+    """dedup_substring_spans: top-20 must be TakeOrderedAndProject (no
+    global sort exchange), no Window anywhere (the distinct-doc count
+    is a two-phase aggregate), and no Join (span inventory is a single
+    aggregation pipeline over one scan)."""
+    s = plan_of(plans("dedup_substring_spans"))
+    assert "TakeOrderedAndProject" in s, s
+    assert "Window" not in s, s
+    assert "Join" not in s, s

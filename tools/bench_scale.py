@@ -57,6 +57,7 @@ QUERIES_SF1 = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
+    "dedup_substring_spans",
     "dedup_components",
     "sim_bruteforce_topk",
     "sim_lsh_bucket_topk",
@@ -89,6 +90,9 @@ QUERIES_SF1 = [
 QUERIES_SF10 = [
     "dedup_exact_groups",
     "dedup_exact_stats",
+    # r9: the new span-inventory operator's data-bound slope (25M
+    # anchored md5 windows at this tier).
+    "dedup_substring_spans",
     "sim_bruteforce_topk",
     "sim_lsh_bucket_topk",
     "sim_codebook_mix",
