@@ -140,6 +140,7 @@ _CODEGEN_OFF = {
     "rel_window_rank",
     "dedup_exact_stats",
     "dedup_exact_groups",
+    "dedup_substring_spans",
     "text_quality_scores",
     "text_fingerprint_dups",
     "text_repetition_scores",
@@ -153,6 +154,12 @@ _CODEGEN_OFF = {
     "events_value_quantiles",
     "dedup_components",
     "mm_feature_extraction",
+    # r9 re-classification after the plan changes: BM25's steady state
+    # is small joins over the cached tf — per-stage codegen compile
+    # costs more than it saves (0.72 s vs 0.90 s); same for the spans
+    # explode chain (0.48 s vs 0.64 s). BPE stays codegen-on (0.30 s
+    # vs 0.40 s).
+    "text_bm25_topk",
 }
 _SPLIT_8M = {
     "tpch_q3_shipping_priority",
