@@ -226,6 +226,56 @@ def check_packing(spark, con, rng, tmp) -> list[str]:
     )
 
 
+def check_substring_spans(spark, con, rng, tmp) -> list[str]:
+    """dedup_substring_spans on adversarial text: unicode tokens
+    (accents, CJK, ZWJ emoji — both engines count code points,
+    verified), multi-space runs, leading/trailing spaces, empty and
+    sub-window docs, exact duplicates, and long shared token runs at
+    DIFFERENT offsets (the alignment case a stride grid misses). The
+    oracle is the library's own registered SQL — this proves the
+    token-slice construction is engine-exact beyond the ASCII driver
+    fixtures."""
+    from pg_ducklake_spark.plans import ORACLES, QUERIES
+
+    vocab = (
+        [f"tok{i}" for i in range(30)]
+        + ["héllo", "naïve", "中文词", "日本語", "données", "emoji👨‍👩x", "ß"]
+    )
+    docs = []
+    n_base = 60
+    for i in range(n_base):
+        k = int(rng.integers(0, 40))
+        toks = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(k)]
+        sep = "  " if rng.random() < 0.2 else " "  # multi-space runs
+        text = sep.join(toks)
+        if rng.random() < 0.15:
+            text = " " + text + "  "  # leading/trailing spaces
+        docs.append((i, text))
+    # exact duplicates + shared runs at different offsets
+    shared = " ".join(vocab[int(rng.integers(0, len(vocab)))] for _ in range(18))
+    for j in range(10):
+        src = docs[int(rng.integers(0, n_base))][1]
+        docs.append((n_base + j, src))  # verbatim copy
+    for j in range(8):
+        pfx = " ".join("p%d" % x for x in rng.integers(0, 9, size=int(rng.integers(0, 6))))
+        docs.append((n_base + 10 + j, (pfx + " " + shared).strip()))
+    docs.append((200, ""))  # empty
+    docs.append((201, "short"))  # below window length
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp}/spans/documents.parquet")
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"FROM '{tmp}/spans/documents.parquet/*.parquet'"
+    )
+    return _compare(
+        "substring_spans",
+        QUERIES["dedup_substring_spans"](spark, f"{tmp}/spans"),
+        con,
+        ORACLES["dedup_substring_spans"],
+    )
+
+
 def check_merge(spark, con, rng, tmp) -> list[str]:
     from pg_ducklake_spark.lake import Lake
     from pg_ducklake_spark.operators.merge import merge
@@ -285,7 +335,14 @@ def check_merge(spark, con, rng, tmp) -> list[str]:
     return errs
 
 
-CHECKS = [check_bloom, check_asof, check_quantile, check_packing, check_merge]
+CHECKS = [
+    check_bloom,
+    check_asof,
+    check_quantile,
+    check_packing,
+    check_substring_spans,
+    check_merge,
+]
 
 
 def main() -> int:
