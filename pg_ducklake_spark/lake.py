@@ -89,12 +89,13 @@ _TYPE_SPELLINGS = [
     (re.compile(r"\bFLOAT8\b", re.IGNORECASE), "DOUBLE"),
     (re.compile(r"\bFLOAT4\b", re.IGNORECASE), "FLOAT"),
     (re.compile(r"\bUUID\b", re.IGNORECASE), "STRING"),
-    # types.sql:16-31 tiers. TIMESTAMPTZ → Spark TIMESTAMP (an instant,
-    # session-TZ rendered — PG semantics); TIMETZ has no Spark analog
-    # and maps to the text tier (the reference itself stores non-native
-    # types as text, src/pgducklake_direct_insert.cpp:848-888); bare
-    # INTERVAL → day-time interval (parquet-native in Spark; a
-    # calendar-interval column cannot be stored).
+    # types.sql:16-31 tiers. TIMESTAMPTZ → Spark TIMESTAMP (an
+    # instant, session-TZ rendered — PG semantics); TIMETZ has no
+    # Spark analog and maps to the text tier (the reference itself
+    # stores non-native types as text,
+    # src/pgducklake_direct_insert.cpp:848-888); bare INTERVAL →
+    # day-time interval (parquet-native in Spark; a calendar-interval
+    # column cannot be stored).
     (re.compile(r"\bTIMESTAMPTZ\b", re.IGNORECASE), "TIMESTAMP"),
     (
         re.compile(r"\bTIMESTAMP\s+WITH\s+TIME\s+ZONE\b", re.IGNORECASE),
@@ -218,6 +219,38 @@ def _normalize_type_spellings(ddl: str) -> str:
     return ",".join(parts)
 
 
+# Bare TIMESTAMP is WITHOUT time zone in DuckDB/PG
+# (docs/data_types.md:27); Spark's DDL parser reads it natively as
+# TIMESTAMP_LTZ, which made TIMESTAMP and TIMESTAMPTZ indistinguishable
+# and shifted wall-clock values under a non-UTC session timezone (e.g.
+# 2024-03-10 02:30, inside the America/New_York DST gap, stored as
+# 03:30). Because the native parse SUCCEEDS on the wrong type, this
+# substitution must run unconditionally (unlike _TYPE_SPELLINGS, which
+# only fire on parse failure) — in TYPE position only, via the same
+# column-definition splitter, so a column NAMED timestamp is safe. The
+# \b boundary leaves TIMESTAMPTZ / TIMESTAMP_NTZ / TIMESTAMP_LTZ /
+# TIMESTAMP_NS untouched (word chars follow the P), and the lookahead
+# skips the WITH TIME ZONE spelling for the fallback rule above.
+_TS_NTZ_RULE = (
+    re.compile(r"\bTIMESTAMP\b(?!\s+WITH\s+TIME\s+ZONE)", re.IGNORECASE),
+    "TIMESTAMP_NTZ",
+)
+
+
+def _timestamp_ntz_spelling(ddl: str) -> str:
+    parts = []
+    for coldef in _split_coldefs(ddl):
+        m = _COLDEF_NAME_RE.match(coldef)
+        if m:
+            parts.append(
+                m.group(1) + m.group(2) + m.group(3)
+                + _TS_NTZ_RULE[0].sub(_TS_NTZ_RULE[1], m.group(4))
+            )
+        else:
+            parts.append(coldef)
+    return ",".join(parts)
+
+
 def _parse_schema(schema: str | T.StructType) -> T.StructType:
     if isinstance(schema, T.StructType):
         return schema
@@ -226,6 +259,7 @@ def _parse_schema(schema: str | T.StructType) -> T.StructType:
         r"\bCHARACTER\s+VARYING\b", "VARCHAR", schema, flags=re.IGNORECASE
     )
     schema = _CHAR_PARAM_RE.sub("STRING", schema)
+    schema = _timestamp_ntz_spelling(schema)
     try:
         parsed = T.StructType.fromDDL(schema)
     except Exception:

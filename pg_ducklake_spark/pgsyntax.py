@@ -519,6 +519,39 @@ def _prev_token_is_operand(sql: str, i: int) -> bool:
     return False
 
 
+# Typed timestamp literals. DuckDB/PG ``TIMESTAMP '...'`` is a
+# WITHOUT-time-zone value; Spark parses the same spelling as
+# TIMESTAMP_LTZ, which re-interprets the wall clock in the session
+# timezone (a value inside a DST gap silently shifts — 2024-03-10
+# 02:30 under America/New_York becomes 03:30). Rewrite the keyword to
+# TIMESTAMP_NTZ so the literal is taken verbatim; ``TIMESTAMPTZ '...'``
+# (a PG spelling Spark's parser rejects outright) becomes Spark's
+# TIMESTAMP, which IS the instant type. Only the literal form (keyword
+# directly followed by a quoted string) is touched — a column named
+# timestamp, CAST targets, and aliases pass through.
+_TS_LIT = re.compile(r"\bTIMESTAMP(?P<tz>TZ)?\s+(?=')", re.I)
+
+
+def _rewrite_timestamp_literals(sql: str) -> str:
+    out = []
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = _TS_LIT.match(sql, i)
+        if m:
+            out.append("TIMESTAMP " if m.group("tz") else "TIMESTAMP_NTZ ")
+            i = m.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _rewrite_regex_ops(sql: str) -> str:
     out, i = [], 0
     while i < len(sql):
@@ -574,4 +607,5 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_regex_ops(sql)
+    sql = _rewrite_timestamp_literals(sql)
     return sql

@@ -344,3 +344,46 @@ def test_reserved_spelling_as_column_name(lake):
     assert got["json"] == "string"     # hugeint tier
     assert got["polygon"] == "double"
     assert got["interval"] == "string"
+
+
+def test_bare_timestamp_is_ntz(spark, lake):
+    """DuckDB/PG bare TIMESTAMP is WITHOUT time zone
+    (docs/data_types.md:27): the lake must map it to timestamp_ntz —
+    Spark's native parse reads the same spelling as TIMESTAMP_LTZ,
+    which made TIMESTAMP and TIMESTAMPTZ indistinguishable and shifted
+    wall-clock values under non-UTC session timezones (DST-gap values
+    silently moved). TIMESTAMPTZ stays the instant type."""
+    from pg_ducklake_spark.sqlexec import execute
+
+    execute(lake, "CREATE TABLE ts_kinds (ts TIMESTAMP, tz TIMESTAMPTZ)")
+    sch = {f.name: f.dataType.simpleString() for f in lake.table("ts_kinds").schema}
+    assert sch == {"ts": "timestamp_ntz", "tz": "timestamp"}
+    # literal keyword rewrites to the NTZ literal form (value taken
+    # verbatim, never re-interpreted through the session zone); the
+    # 02:30 below sits inside the America/New_York DST gap — the
+    # regression case that exposed the LTZ mapping.
+    execute(
+        lake,
+        "INSERT INTO ts_kinds VALUES (TIMESTAMP '2024-03-10 02:30:00',"
+        " TIMESTAMPTZ '2024-01-15 12:00:00')",
+    )
+    row = lake.sql("SELECT * FROM ts_kinds").collect()[0]
+    assert row.ts.isoformat() == "2024-03-10T02:30:00"
+    assert lake.sql(
+        "SELECT count(*) AS n FROM ts_kinds"
+        " WHERE ts = TIMESTAMP '2024-03-10 02:30:00'"
+    ).collect()[0].n == 1
+
+
+def test_timestamp_literal_rewrite_is_quote_aware():
+    from pg_ducklake_spark.pgsyntax import rewrite
+
+    out = rewrite("SELECT TIMESTAMP '2024-01-01 00:00:00' AS t")
+    assert "TIMESTAMP_NTZ '2024-01-01" in out
+    out2 = rewrite("SELECT TIMESTAMPTZ '2024-01-01 00:00:00' AS t")
+    assert "TIMESTAMP '2024-01-01" in out2 and "TIMESTAMPTZ" not in out2
+    # inside string literals and for plain identifiers: untouched
+    keep = rewrite("SELECT 'TIMESTAMP ''2024'' here', ts AS timestamp FROM x")
+    assert "TIMESTAMP ''2024''" in keep and "AS timestamp" in keep
+    # CAST targets are not literals and pass through
+    assert "AS TIMESTAMP)" in rewrite("SELECT CAST(x AS TIMESTAMP) FROM t")
