@@ -229,10 +229,15 @@ def _normalize_type_spellings(ddl: str) -> str:
 # only fire on parse failure) — in TYPE position only, via the same
 # column-definition splitter, so a column NAMED timestamp is safe. The
 # \b boundary leaves TIMESTAMPTZ / TIMESTAMP_NTZ / TIMESTAMP_LTZ /
-# TIMESTAMP_NS untouched (word chars follow the P), and the lookahead
-# skips the WITH TIME ZONE spelling for the fallback rule above.
+# TIMESTAMP_NS untouched (word chars follow the P), the first lookahead
+# skips the WITH TIME ZONE spelling for the fallback rule above, and the
+# (?!\s*:) lookahead skips nested FIELD-NAME positions inside
+# struct<...> bodies ('s struct<timestamp: int>' must keep its field
+# name; the coldef splitter only protects top-level column names).
 _TS_NTZ_RULE = (
-    re.compile(r"\bTIMESTAMP\b(?!\s+WITH\s+TIME\s+ZONE)", re.IGNORECASE),
+    re.compile(
+        r"\bTIMESTAMP\b(?!\s+WITH\s+TIME\s+ZONE)(?!\s*:)", re.IGNORECASE
+    ),
     "TIMESTAMP_NTZ",
 )
 

@@ -528,8 +528,13 @@ def _prev_token_is_operand(sql: str, i: int) -> bool:
 # (a PG spelling Spark's parser rejects outright) becomes Spark's
 # TIMESTAMP, which IS the instant type. Only the literal form (keyword
 # directly followed by a quoted string) is touched — a column named
-# timestamp, CAST targets, and aliases pass through.
-_TS_LIT = re.compile(r"\bTIMESTAMP(?P<tz>TZ)?\s+(?=')", re.I)
+# timestamp, CAST targets, and aliases pass through. \s* (not \s+): PG
+# and DuckDB both accept the no-space spelling TIMESTAMP'2024-01-01',
+# which Spark would otherwise silently parse as TIMESTAMP_LTZ — the
+# exact wall-clock-shift class this rewrite exists to stop. The
+# replacement always emits a trailing space, so both spellings
+# normalize to the spaced form.
+_TS_LIT = re.compile(r"\bTIMESTAMP(?P<tz>TZ)?\s*(?=')", re.I)
 
 
 def _rewrite_timestamp_literals(sql: str) -> str:

@@ -185,12 +185,19 @@ def dedup_substring_spans(spark, sf_dir):
         f"    s -> length(s) = {_SPAN_L}),"
         f"  s -> md5(s))"
     )
+    # size(toks) > 0 guard: sequence(1, 0) yields a DESCENDING [1, 0]
+    # (default step -1) and slice(toks, 0, W) then throws
+    # INVALID_PARAMETER_VALUE.START — a crash on any >=L-char document
+    # that tokenizes empty (all-whitespace text). DuckDB's range(1, 1)
+    # is simply empty, so without the guard this is a crash-vs-success
+    # divergence on plausible corpus input.
     spans = (
         docs.filter(F.length("text") >= _SPAN_L)
         .select(
             "doc_id",
             F.expr("filter(split(text, ' '), x -> x <> '')").alias("toks"),
         )
+        .filter(F.size("toks") > 0)
         .select("doc_id", F.explode(F.expr(span_expr)).alias("span_md5"))
     )
     return (

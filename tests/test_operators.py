@@ -376,3 +376,26 @@ def test_substring_spans_find_planted_overlap(spark, sf_dir):
     assert got, "planted cross-document span not found"
     assert all(r.n_docs >= 2 for r in got)
     assert all(r.first_doc == 2 for r in got), [tuple(r) for r in got]
+
+
+def test_substring_spans_whitespace_only_doc(spark, sf_dir):
+    """ADVICE r9: a document whose text is >= L chars but tokenizes to
+    an EMPTY array (all-whitespace) must not crash. Unguarded,
+    sequence(1, size(toks)) with size 0 yields the descending [1, 0]
+    and slice(toks, 0, W) throws INVALID_PARAMETER_VALUE.START; the
+    DuckDB oracle's range(1, 1) is simply empty — crash-vs-success
+    divergence on plausible corpus input."""
+    from pg_ducklake_spark.plans import QUERIES
+    import tempfile, os
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, " " * 80),                           # all-whitespace, >= L chars
+        (2, "pfx " + shared + " t1"),
+        (3, "longer prefix " + shared + " t2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = QUERIES["dedup_substring_spans"](spark, d).collect()
+    assert got and all(r.first_doc == 2 for r in got)

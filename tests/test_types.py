@@ -387,3 +387,30 @@ def test_timestamp_literal_rewrite_is_quote_aware():
     assert "TIMESTAMP ''2024''" in keep and "AS timestamp" in keep
     # CAST targets are not literals and pass through
     assert "AS TIMESTAMP)" in rewrite("SELECT CAST(x AS TIMESTAMP) FROM t")
+
+
+def test_timestamp_literal_no_space_form():
+    """ADVICE r9: PG/DuckDB accept TIMESTAMP'...' with NO space before
+    the quote; unrewritten, Spark parses it as TIMESTAMP_LTZ — the
+    same DST-gap wall-clock-shift class the spaced form was fixed
+    for."""
+    from pg_ducklake_spark.pgsyntax import rewrite
+
+    out = rewrite("SELECT TIMESTAMP'2024-03-10 02:30:00' AS t")
+    assert "TIMESTAMP_NTZ '2024-03-10" in out
+    out2 = rewrite("SELECT TIMESTAMPTZ'2024-01-15 12:00:00' AS t")
+    assert "TIMESTAMP '2024-01-15" in out2 and "TIMESTAMPTZ" not in out2
+
+
+def test_nested_struct_field_named_timestamp(lake):
+    """ADVICE r9: the unconditional TIMESTAMP->NTZ type rewrite must
+    not rename a nested struct FIELD named timestamp — only type
+    positions. 's struct<timestamp: int>' keeps its field name; a
+    nested timestamp TYPE still maps to NTZ."""
+    lake.create_table(
+        "nst", "s struct<timestamp: int, at: timestamp>, ts timestamp"
+    )
+    sch = lake.table("nst").schema
+    inner = {f.name: f.dataType.simpleString() for f in sch["s"].dataType}
+    assert inner == {"timestamp": "int", "at": "timestamp_ntz"}
+    assert sch["ts"].dataType.simpleString() == "timestamp_ntz"

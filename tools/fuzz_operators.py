@@ -261,6 +261,11 @@ def check_substring_spans(spark, con, rng, tmp) -> list[str]:
         docs.append((n_base + 10 + j, (pfx + " " + shared).strip()))
     docs.append((200, ""))  # empty
     docs.append((201, "short"))  # below window length
+    # >= L chars but tokenizes EMPTY (ADVICE r9: unguarded this crashed
+    # Spark via sequence(1,0) -> slice(toks, 0, W) while DuckDB's empty
+    # range succeeded — crash-vs-success divergence)
+    docs.append((202, " " * 80))
+    docs.append((203, " " * int(rng.integers(50, 200))))
     spark.createDataFrame(docs, "doc_id long, text string").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{tmp}/spans/documents.parquet")
