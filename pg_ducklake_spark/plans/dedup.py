@@ -116,6 +116,47 @@ _SPAN_L = 50
 _SPAN_W = 26
 
 
+def _spans_kernel(batches):
+    """Arrow-batched window fingerprinter: per document, join the
+    non-empty tokens once, walk the token-start offsets as a running
+    prefix sum (never a re-join per anchor and never an O(position)
+    re-scan), slice each L-char window off the joined string, dedup
+    within the document (a span repeated inside one doc counts once —
+    COUNT(DISTINCT doc_id) semantics, folded here so the aggregate
+    downstream is a plain count), and emit its md5 hex. Python slicing
+    and ``len`` are code-point-based, exactly like Spark's
+    substring/length and DuckDB's — the unicode fuzz fixtures hold."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        ids: list[int] = []
+        digests: list[str] = []
+        for did, txt in zip(pdf["doc_id"].values, pdf["text"].values):
+            toks = [tk for tk in txt.split(" ") if tk]
+            if not toks:
+                continue  # all-whitespace text (>= L chars but 0 tokens)
+            joined = " ".join(toks)
+            n = len(joined)
+            seen: set[str] = set()
+            pos = 0
+            for tk in toks:
+                if pos + _SPAN_L <= n:
+                    w = joined[pos : pos + _SPAN_L]
+                    if w not in seen:
+                        seen.add(w)
+                        ids.append(did)
+                        digests.append(hashlib.md5(w.encode()).hexdigest())
+                pos += len(tk) + 1
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "span_md5": pd.Series(digests, dtype="object"),
+            }
+        )
+
+
 @query(
     "dedup_substring_spans",
     oracle=f"""
@@ -161,49 +202,39 @@ def dedup_substring_spans(spark, sf_dir):
     token stream so it also catches overlap that fixed token-window
     hashing splits differently.
 
-    Scale shape (100 TB): window construction is LINEAR per document —
-    each anchor joins a bounded _SPAN_W-token slice and truncates to L
-    chars (never a char-positional substring into the raw string, which
-    is an O(position) UTF-8 scan and turns the whole pass quadratic).
-    The explode emits the digest directly — window text never leaves
-    the scan stage, so the shuffle carries ~|tokens| digest rows,
-    partial-aggregated map-side. The distinct-doc count is a two-phase
-    distinct aggregate on the digest key (no corpus-sized window, no
-    all-pairs), and the final top-20 is TakeOrderedAndProject under a
+    Scale shape (100 TB): window construction runs in an Arrow-batched
+    mapInPandas kernel — LINEAR per document (one token join, then a
+    running prefix-sum slice per anchor; never a per-anchor array
+    re-join and never an O(position) substring re-scan). The r10 kernel
+    study (SCALEBENCH spans_kernel) measured the pure-expression
+    formulation (slice + array_join inside transform/filter lambdas) at
+    ~2.3× the kernel: Spark evaluates higher-order-function lambdas in
+    interpreted mode per element, so md5 + the 26-token re-join per
+    anchor never reach codegen — the same workload in a Python loop
+    over the joined string is faster even paying every text byte across
+    the Arrow boundary once (the opposite verdict from the exact-dedup
+    study's Arrow lane, where the JVM side IS codegen'd). Spans are
+    deduped inside the document by the kernel, so (span, doc) rows are
+    unique by construction and the aggregate is a map-side-combined
+    plain count — no distinct expand. The shuffle carries ~|tokens|
+    digest rows; the final top-20 is TakeOrderedAndProject under a
     total order (n_docs DESC, first_doc ASC, digest ASC), so the LIMIT
-    is deterministic and oracle-exact. Residual sf10 gap vs DuckDB is
-    md5+string-kernel throughput, the same engine floor the
-    exact-dedup and BPE kernel studies pin (SCALEBENCH
-    exact_dedup_kernel.ratio_md5, bpe_kernel.floor_vs_duck_full)."""
-    docs = rebalance(t(spark, sf_dir, "documents"))
-    span_expr = (
-        f"transform("
-        f"  filter("
-        f"    transform(sequence(1, size(toks)),"
-        f"      i -> substring(array_join(slice(toks, i, {_SPAN_W}), ' '),"
-        f"                     1, {_SPAN_L})),"
-        f"    s -> length(s) = {_SPAN_L}),"
-        f"  s -> md5(s))"
-    )
-    # size(toks) > 0 guard: sequence(1, 0) yields a DESCENDING [1, 0]
-    # (default step -1) and slice(toks, 0, W) then throws
-    # INVALID_PARAMETER_VALUE.START — a crash on any >=L-char document
-    # that tokenizes empty (all-whitespace text). DuckDB's range(1, 1)
-    # is simply empty, so without the guard this is a crash-vs-success
-    # divergence on plausible corpus input.
+    is deterministic and oracle-exact."""
+    docs = t(spark, sf_dir, "documents")
     spans = (
         docs.filter(F.length("text") >= _SPAN_L)
-        .select(
-            "doc_id",
-            F.expr("filter(split(text, ' '), x -> x <> '')").alias("toks"),
+        .select("doc_id", "text")
+        .mapInPandas(
+            _spans_kernel,
+            "doc_id long, span_md5 string",
         )
-        .filter(F.size("toks") > 0)
-        .select("doc_id", F.explode(F.expr(span_expr)).alias("span_md5"))
     )
     return (
         spans.groupBy("span_md5")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
+            # (span_md5, doc_id) unique by kernel construction — a plain
+            # count IS the distinct-doc count, no two-phase expand
+            F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").cast("long").alias("first_doc"),
         )
         .filter(F.col("n_docs") > 1)

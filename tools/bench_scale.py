@@ -586,6 +586,127 @@ def run_hll_kernel(spark) -> dict:
     }
 
 
+def run_spans_kernel(spark) -> dict:
+    """Pin the dedup_substring_spans residual (VERDICT r9 #1) with its
+    own decomposition instead of the exact-dedup analogy. Lanes:
+
+    - expr_full: the r9 pure-expression plan (window build as
+      slice + array_join inside transform/filter lambdas, md5 in the
+      lambda). Spark evaluates higher-order-function lambdas per
+      element in INTERPRETED mode — nothing in the window build
+      reaches codegen — which is why this lane lost to the kernel.
+    - kernel_full: the r10 production plan (Arrow-batched mapInPandas:
+      one join per doc, prefix-sum slice per anchor, in-doc dedup,
+      md5 in the kernel, plain-count aggregate).
+    - kernel_slice_floor: the same kernel emitting spans WITHOUT md5,
+      reduced to a scalar count — the window-construction floor.
+    - duck twins for the full query and the window-build floor.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pg_ducklake_spark.plans import ORACLES, QUERIES
+    from pg_ducklake_spark.plans.dedup import _SPAN_L, _SPAN_W
+
+    sf_dir = ensure_fixture(*TIERS["sf10"])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    )
+
+    span_expr = (
+        f"transform("
+        f"  filter("
+        f"    transform(sequence(1, size(toks)),"
+        f"      i -> substring(array_join(slice(toks, i, {_SPAN_W}), ' '),"
+        f"                     1, {_SPAN_L})),"
+        f"    s -> length(s) = {_SPAN_L}),"
+        f"  s -> md5(s))"
+    )
+
+    def expr_full():
+        spans = (
+            docs.filter(F.length("text") >= _SPAN_L)
+            .select(
+                "doc_id",
+                F.expr("filter(split(text, ' '), x -> x <> '')").alias("toks"),
+            )
+            .filter(F.size("toks") > 0)
+            .select("doc_id", F.explode(F.expr(span_expr)).alias("span_md5"))
+        )
+        return (
+            spans.groupBy("span_md5")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.min("doc_id").cast("long").alias("first_doc"),
+            )
+            .filter(F.col("n_docs") > 1)
+            .orderBy(F.desc("n_docs"), F.asc("first_doc"), F.asc("span_md5"))
+            .limit(20)
+        )
+
+    def slice_kernel(batches):
+        for pdf in batches:
+            n_spans = 0
+            for txt in pdf["text"].values:
+                toks = [tk for tk in txt.split(" ") if tk]
+                if not toks:
+                    continue
+                joined = " ".join(toks)
+                n = len(joined)
+                seen = set()
+                pos = 0
+                for tk in toks:
+                    if pos + _SPAN_L <= n:
+                        w = joined[pos : pos + _SPAN_L]
+                        if w not in seen:
+                            seen.add(w)
+                            n_spans += 1
+                    pos += len(tk) + 1
+            yield pd.DataFrame({"n": pd.Series([n_spans], dtype="int64")})
+
+    def kernel_slice_floor():
+        return (
+            docs.filter(F.length("text") >= _SPAN_L)
+            .select("text")
+            .mapInPandas(slice_kernel, "n long")
+            .groupBy()
+            .sum("n")
+        )
+
+    s_kernel = _time_spark(
+        lambda: QUERIES["dedup_substring_spans"](spark, sf_dir)
+    )
+    s_expr = _time_spark(expr_full)
+    s_floor = _time_spark(kernel_slice_floor)
+    d_full = _time_duck(con, ORACLES["dedup_substring_spans"])
+    d_floor = _time_duck(
+        con,
+        f"""SELECT COUNT(*) FROM (
+          SELECT unnest(list_filter(list_transform(range(1, len(toks) + 1),
+            i -> substring(array_to_string(
+                   toks[CAST(i AS INTEGER):CAST(i AS INTEGER) + {_SPAN_W - 1}],
+                   ' '), 1, {_SPAN_L})),
+            s -> len(s) = {_SPAN_L})) AS s
+          FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') toks
+                FROM documents WHERE len(text) >= {_SPAN_L}) t)""",
+    )
+    con.close()
+    return {
+        "spark_kernel_full": s_kernel,
+        "spark_expr_full": s_expr,
+        "spark_slice_floor": s_floor,
+        "duck_full": d_full,
+        "duck_windows_floor": d_floor,
+        "ratio_kernel_full": round(s_kernel / d_full, 2),
+        "ratio_expr_full": round(s_expr / d_full, 2),
+        # the kernel's window build alone vs DuckDB's whole query
+        "floor_vs_duck_full": round(s_floor / d_full, 2),
+    }
+
+
 def run_bpe_kernel(spark) -> dict:
     """Pin the text_bpe_pair_counts residual (VERDICT r7 #3). The plan
     Zipf-collapses the token stream into (word, count) before any
@@ -702,6 +823,7 @@ def main() -> None:
         out["exact_dedup_kernel"] = run_exact_kernel(spark)
         out["hll_kernel"] = run_hll_kernel(spark)
         out["bpe_kernel"] = run_bpe_kernel(spark)
+        out["spans_kernel"] = run_spans_kernel(spark)
     print(json.dumps(out))
 
 
