@@ -25,16 +25,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def _driver_checked_names() -> set[str]:
-    """Names that already appeared in any driver CORRECTNESS_r*.json —
-    used to rotate never-sampled queries to the front so the driver's
-    fixed-size sample covers the whole library across rounds."""
+def _last_sampled_round() -> dict[str, int]:
+    """Query name -> highest round number whose driver
+    CORRECTNESS_r{N}.json sampled it (0 = never sampled). Drives the
+    staleness rotation: every query in the library has been sampled at
+    least once by r9, so 'never-checked first' degenerated to arbitrary
+    order — least-recently-sampled first gives every query a bounded
+    re-verification cadence instead (VERDICT r9 #8)."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    checked: set[str] = set()
+    last: dict[str, int] = {}
     for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(f) as fh:
                 d = json.load(fh)
@@ -42,25 +50,34 @@ def _driver_checked_names() -> set[str]:
             continue
         qs = d.get("queries", d)
         if isinstance(qs, dict):
-            checked.update(qs.keys())
-    return checked
+            for name in qs:
+                if rnd > last.get(name, 0):
+                    last[name] = rnd
+    return last
 
 
-# Names fixed since their last driver sample — lead the ordering so the
-# next CORRECTNESS file re-verifies the fix (VERDICT r8 item 6).
-_RECHECK_FIRST = ("pipe_bloom_prejoin", "stats_bloom_membership")
+# Names fixed/rewritten since their last driver sample — lead the
+# ordering so the next CORRECTNESS file re-verifies the change on the
+# driver's own harness (r10: the spans kernel rewrite and the BPE
+# coalesce belong at the front regardless of staleness).
+_RECHECK_FIRST = ("dedup_substring_spans", "text_bpe_pair_counts")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 —
-    recheck-listed names first, then never-driver-sampled names
-    (self-rotating: the set recomputes from the committed CORRECTNESS
-    files each round)."""
-    checked = _driver_checked_names()
+    recheck-listed names first, then least-recently-driver-sampled
+    first (never-sampled sorts as round 0, i.e. most stale). Ties keep
+    the library's registration order; the ordering recomputes from the
+    committed CORRECTNESS files each round, so the driver's fixed-size
+    sample sweeps the whole library on a bounded cadence."""
+    last = _last_sampled_round()
     recheck = [n for n in _RECHECK_FIRST if n in QUERIES]
-    fresh = [n for n in QUERIES if n not in checked and n not in recheck]
-    rest = [n for n in QUERIES if n in checked and n not in recheck]
-    return {n: QUERIES[n] for n in recheck + fresh + rest}
+    pos = {n: i for i, n in enumerate(QUERIES)}
+    rest = sorted(
+        (n for n in QUERIES if n not in recheck),
+        key=lambda n: (last.get(n, 0), pos[n]),
+    )
+    return {n: QUERIES[n] for n in recheck + rest}
 
 
 def oracle_sql() -> dict[str, str]:
