@@ -340,6 +340,91 @@ def check_merge(spark, con, rng, tmp) -> list[str]:
     return errs
 
 
+def check_bm25(spark, con, rng, tmp) -> list[str]:
+    """text_bm25_topk on adversarial corpora (VERDICT r9 #7 — standing
+    guard for floor-chasing rewrites): Zipf-shaped term frequencies
+    over a vocabulary that CONTAINS the literal query terms, exact
+    duplicate documents (tied scores — rnk must tie-break by doc_id on
+    both engines), docs with none of the terms, empty docs, multi-space
+    runs, and repeated terms within one doc (tf > 1). Oracle is the
+    library's own registered SQL."""
+    from pg_ducklake_spark.plans import ORACLES, QUERIES
+    from pg_ducklake_spark.plans.retrieval import _BM25_QUERIES
+
+    terms = [w for _, w in _BM25_QUERIES]
+    noise = [f"w{i}" for i in range(40)]
+    vocab = terms + noise
+    docs = []
+    for i in range(120):
+        k = int(rng.integers(0, 30))
+        # Zipf-ish draw biased toward the head so query terms get real
+        # postings with varied df
+        idx = rng.zipf(1.4, size=k) % len(vocab)
+        toks = [vocab[int(j)] for j in idx]
+        if rng.random() < 0.3:  # force tf > 1 for a query term
+            toks += [terms[int(rng.integers(0, len(terms)))]] * int(
+                rng.integers(2, 5)
+            )
+        sep = "  " if rng.random() < 0.2 else " "
+        docs.append((i, sep.join(toks)))
+    # exact duplicates: tied score_micro, rnk must break by doc_id ASC
+    for j in range(8):
+        src = docs[int(rng.integers(0, 120))][1]
+        docs.append((120 + j, src))
+    docs.append((300, ""))  # empty doc
+    docs.append((301, " ".join(noise[:5])))  # no query terms
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp}/bm25/documents.parquet")
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"FROM '{tmp}/bm25/documents.parquet/*.parquet'"
+    )
+    return _compare(
+        "bm25_topk",
+        QUERIES["text_bm25_topk"](spark, f"{tmp}/bm25"),
+        con,
+        ORACLES["text_bm25_topk"],
+    )
+
+
+def check_hll(spark, con, rng, tmp) -> list[str]:
+    """stats_hll_distinct on adversarial events (VERDICT r9 #7):
+    Zipf-heavy repeated users (the distinct pass has real work),
+    negative user_ids (CAST to string must agree), single-user types,
+    one type whose users all land via few distinct values, and tied
+    register maxima. user_id stays NOT NULL — the schema contract of
+    the events table (a NULL user would hit COUNT(DISTINCT) vs
+    count(1) semantics both engines define differently across the
+    fused audit). Oracle is the library's registered SQL."""
+    from pg_ducklake_spark.plans import ORACLES, QUERIES
+
+    types = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for i, et in enumerate(types):
+        n = int(rng.integers(200, 2000))
+        users = (rng.zipf(1.5, size=n) % (10 ** (i + 1))).astype("int64")
+        if i == 0:
+            users = users % 3  # tiny distinct set -> mostly empty regs
+        sign = rng.random(n) < 0.2
+        for u, s in zip(users, sign):
+            rows.append((et, int(-u if s else u)))
+    rows.append(("solo", 42))  # single-user type
+    spark.createDataFrame(rows, "event_type string, user_id long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp}/hll/events.parquet")
+    con.execute(
+        "CREATE OR REPLACE VIEW events AS "
+        f"FROM '{tmp}/hll/events.parquet/*.parquet'"
+    )
+    return _compare(
+        "hll_distinct",
+        QUERIES["stats_hll_distinct"](spark, f"{tmp}/hll"),
+        con,
+        ORACLES["stats_hll_distinct"],
+    )
+
+
 CHECKS = [
     check_bloom,
     check_asof,
@@ -347,6 +432,8 @@ CHECKS = [
     check_packing,
     check_substring_spans,
     check_merge,
+    check_bm25,
+    check_hll,
 ]
 
 
