@@ -82,6 +82,49 @@ _SEM_SIMS = _duck_sem_sims()
 _SEM_GREATEST = "greatest(" + ", ".join(f"s{j}" for j in range(_SEM_K)) + ")"
 
 
+# GEMM candidate margin: worst-case float64 reordering error of a
+# 64-term unit-vector dot is ~1e-12; 1e-9 is three orders safer. The
+# margin only widens the CANDIDATE set — the exact fold decides.
+_SEM_EPS = 1e-9
+_SEM_BLOCK = 512  # GEMM row block: slab ≤ 512 × |cell| doubles
+
+
+def _sem_cell_dropped(pdf):
+    """One cell's dropped-id count: blocked GEMM proposes pairs above
+    τ − eps, the exact element-order left fold (vectorized across the
+    candidate pairs — identical rounding sequence to the engines'
+    aggregate fold) decides τ. Returns (cell, n_dropped)."""
+    import numpy as np
+    import pandas as pd
+
+    cell = int(pdf["cell"].iloc[0])
+    n = len(pdf)
+    if n < 2:
+        return pd.DataFrame({"cell": [cell], "n_dropped": [0]})
+    order = np.argsort(pdf["vec_id"].values, kind="stable")
+    units = pdf["unit"].values[order]
+    u = np.stack([np.asarray(v, dtype=np.float64) for v in units])
+    dropped = np.zeros(n, dtype=bool)
+    thresh = _SEM_TAU - _SEM_EPS
+    for s in range(0, n, _SEM_BLOCK):
+        e = min(s + _SEM_BLOCK, n)
+        scores = u[s:e] @ u.T  # (e-s) x n slab
+        ia, ib = np.nonzero(scores > thresh)
+        ia = ia + s
+        upper = ib > ia  # id_a < id_b via the vec_id sort
+        ia, ib = ia[upper], ib[upper]
+        if ia.size == 0:
+            continue
+        a, b = u[ia], u[ib]
+        acc = np.zeros(ia.size, dtype=np.float64)
+        for k in range(u.shape[1]):  # exact left fold, element order
+            acc = acc + a[:, k] * b[:, k]
+        dropped[ib[acc > _SEM_TAU]] = True
+    return pd.DataFrame(
+        {"cell": [cell], "n_dropped": [int(dropped.sum())]}
+    )
+
+
 @query(
     "dedup_semantic_prune",
     oracle=f"""
@@ -135,19 +178,33 @@ def dedup_semantic_prune(spark, sf_dir):
     report is the per-cell population / dropped / kept breakdown a
     curation pipeline reviews before committing the prune.
 
-    Scale shape: ONE shuffle keyed on cell for the self-join; pair
-    work is quadratic only in cluster population, which the operator
-    bounds by growing k with N (SemDeDup's own recipe — 50k clusters
-    at LAION scale), so each task does constant work. The pair payload
-    is the 64-double unit vector computed once per ROW (not per pair),
-    and the pair dot is a bare multiply-add fold over pre-normalized
-    doubles — no per-pair sqrt or cast. Dropped-id dedup and both
-    aggregates are map-side combined.
+    Scale shape: ONE shuffle keyed on cell (the applyInPandas group
+    exchange); pair work is quadratic only in cluster population,
+    which the operator bounds by growing k with N (SemDeDup's own
+    recipe — 50k clusters at LAION scale), so each task does constant
+    work. Within a cell the pair dots run as a BLOCKED float64 GEMM
+    (the house BLAS-kernel pattern, same as operators/similarity.py):
+    r10 replaced the SQL self-join whose per-pair aggregate-fold ran
+    in Spark's interpreted lambda evaluator — at sf10 that was ~600M
+    interpreted 64-term folds, minutes of CPU (and, before the r10
+    broadcast-hint fix, a hard broadcastTimeout failure); the GEMM
+    does the identical arithmetic volume inside BLAS. Row blocks cap
+    the score-matrix slab at ~block×|cell| doubles regardless of cell
+    population, so executor memory is bounded by the block size, not
+    the data.
 
-    Cross-engine exactness: unit components are embedding[i]/nrm with
-    nrm the left-associated double norm — bit-identical on both
-    engines — and the pair dot folds in element order, so the τ
-    comparison is exact (no epsilon)."""
+    Cross-engine exactness (two-phase): GEMM accumulation order is
+    BLAS-internal, so the GEMM alone could flip a pair sitting within
+    float rounding of τ. It therefore only GATES candidates, with an
+    epsilon margin (τ − 1e-9; the worst-case 64-term float64 dot
+    reordering error is ~1e-12 — three orders safer); every candidate
+    is then RE-VERIFIED by the exact element-order left fold,
+    vectorized across pairs (one acc += A[:,i]·B[:,i] sweep per
+    dimension — each pair sees the identical rounding sequence as
+    Spark's/DuckDB's aggregate fold, so the τ comparison stays exact
+    with no epsilon in the DECIDING test). Unit components are
+    embedding[i]/nrm with nrm the left-associated double norm —
+    bit-identical on both engines."""
     emb = rebalance(t(spark, sf_dir, "embeddings"))
     # greatest(..., 1e-300): a zero vector divides by the tiny constant
     # instead of 0, giving unit = zeros / sims = 0 on BOTH engines
@@ -167,27 +224,24 @@ def dedup_semantic_prune(spark, sf_dir):
         (-best["negcell"]).cast("long").alias("cell"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").alias("unit"),
     )
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"), "cell", F.col("unit").alias("unit_a")
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"), "cell", F.col("unit").alias("unit_b")
-    )
-    pair_dot = _FOLD_DOT.format(a="unit_a", b="unit_b")
     dropped = (
-        a.join(b, on="cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.expr(pair_dot) > F.lit(_SEM_TAU))
-        .select("cell", F.col("id_b").alias("vec_id"))
-        .distinct()
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_dropped"))
+        assigned.groupBy("cell")
+        .applyInPandas(_sem_cell_dropped, "cell long, n_dropped long")
+        .filter(F.col("n_dropped") > 0)
     )
     totals = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
-    # The drop-count side is ≤ k rows by construction — broadcast it so
-    # the report merge never shuffles the totals.
+    # NO broadcast hint on the report merge (r10 scale bug, found by the
+    # sf10 probe): the dropped side's OUTPUT is ≤ k rows, but a
+    # broadcast exchange must materialize its whole input subtree on
+    # the driver within spark.sql.broadcastTimeout (300 s) — and that
+    # subtree is the quadratic cell self-join, which legitimately runs
+    # longer at scale. The hint turned a slow-but-correct plan into a
+    # hard SparkException at sf10. Both join sides are ≤ k-row
+    # aggregates, so the plain shuffle join costs nothing, has no
+    # deadline, and AQE will still pick a broadcast at runtime when the
+    # subtree finishes in time.
     return (
-        totals.join(F.broadcast(dropped), on="cell", how="left")  # bcast-ok: per-cell counts, k-bounded (k=32)
+        totals.join(dropped, on="cell", how="left")
         .select(
             "cell",
             "n_vecs",

@@ -23,9 +23,11 @@ identical warmth), then the mean of ITERS timed passes, each of which
 rebuilds the Spark DataFrame and collects it (resp. re-executes the
 DuckDB SQL) in the warmed process.
 
-Usage: python tools/bench_scale.py [--tier sf1|sf10|both]
-Prints one JSON line: {"sf1": {"spark": {...}, "duck": {...},
-"ratio": {...}, "totals": {...}}, "sf10": {...}}.
+Usage: python tools/bench_scale.py [--tier sf1|sf10|pairs|both]
+(``pairs`` = the sf10 single-pass tier for the pair-generating dedup
+families; ``kernel`` = the kernel studies only.) Prints one JSON line:
+{"sf1": {"spark": {...}, "duck": {...}, "ratio": {...},
+"totals": {...}}, "sf10": {...}, "sf10_pairs": {...}, ...kernels}.
 """
 
 from __future__ import annotations
@@ -105,6 +107,21 @@ QUERIES_SF10 = [
     "text_bpe_pair_counts",
     "stats_hll_distinct",
     "text_cms_heavy_hitters",
+]
+
+# The pair-GENERATING dedup flagships (VERDICT r9 #4): measured at sf10
+# in their own tier because their DuckDB twins run minutes there (the
+# quadratic/posting-list pair volume is real on both engines) — the
+# standard WARMUP×ITERS loop would cost ~45 min of harness time without
+# changing the answer. Protocol: one warm-up pass, one timed pass per
+# engine (documented in run_pairs_tier).
+QUERIES_SF10_PAIRS = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_components",
+    "dedup_semantic_prune",
+    "sim_embedding_near_dup",
 ]
 
 # A realistically-sized vocabulary matters: with a tiny one, word
@@ -392,6 +409,58 @@ def run_tier(spark, tier: str, names: list[str]) -> dict:
                 sum(spark_times.values())
                 / max(sum(duck_times.values()), 1e-9),
                 2,
+            ),
+        },
+    }
+
+
+def run_pairs_tier(spark) -> dict:
+    """sf10 for the pair-generating dedup families (VERDICT r9 #4):
+    jaccard, minhash, simhash, components, semdedup, embedding
+    near-dup — previously sf1-only, so their 100 TB story rested on
+    sf1 ratios plus plan shape. Protocol: ONE warm-up pass then ONE
+    timed pass per engine (DuckDB's sides run 1.5–4 minutes each at
+    this tier; at those durations run-to-run noise is percent-level
+    and the standard 3×3 loop would triple a ~25-minute tier for
+    nothing). The warm-up pass also charges Spark's plan-internal
+    scoped persists, matching how every other tier measures (warmed
+    steady state on both engines)."""
+    from pg_ducklake_spark.plans import ORACLES, QUERIES
+
+    sf_dir = ensure_fixture(*TIERS["sf10"])
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    spark_times: dict[str, float] = {}
+    duck_times: dict[str, float] = {}
+    for name in QUERIES_SF10_PAIRS:
+        QUERIES[name](spark, sf_dir).collect()  # warm-up
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).collect()
+        spark_times[name] = round(time.time() - t0, 3)
+        con.execute(ORACLES[name]).fetchall()  # warm-up
+        t0 = time.time()
+        con.execute(ORACLES[name]).fetchall()
+        duck_times[name] = round(time.time() - t0, 3)
+    con.close()
+    return {
+        "doc_rows": TIERS["sf10"][0],
+        "emb_rows": TIERS["sf10"][1],
+        "warmup_iters": 1,
+        "timed_iters": 1,
+        "spark": spark_times,
+        "duck": duck_times,
+        "ratio": {
+            n: round(spark_times[n] / duck_times[n], 2) for n in duck_times
+        },
+        "totals": {
+            "spark": round(sum(spark_times.values()), 3),
+            "duck": round(sum(duck_times.values()), 3),
+            "ratio": round(
+                sum(spark_times.values()) / sum(duck_times.values()), 2
             ),
         },
     }
@@ -892,6 +961,49 @@ def main() -> None:
         out["hll_kernel"] = run_hll_kernel(spark)
         out["bpe_kernel"] = run_bpe_kernel(spark)
         out["spans_kernel"] = run_spans_kernel(spark)
+    if tier in ("pairs", "both"):
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        out["sf10_pairs"] = run_pairs_tier(spark)
+    if "sf10" in out:
+        # VERDICT r9 #5: every query whose sf10 ratio exceeds 2× must
+        # co-report its largest-scale kernel measurement IN the sf10
+        # block, so the tier ratio (often fixed cost on a sub-0.1 s
+        # DuckDB denominator) stops being read as the headline scale
+        # number. The kernel tiers replicate the data until DuckDB
+        # itself takes real time — the ratio that survives there is the
+        # one that predicts 100 TB.
+        coreport = {
+            "dedup_exact_groups": (
+                "exact_dedup_kernel", "50M-row replicated kernel",
+                lambda k: k["rows_50m"]["ratio_xx128"],
+            ),
+            "dedup_exact_stats": (
+                "exact_dedup_kernel", "50M-row replicated kernel",
+                lambda k: k["rows_50m"]["ratio_xx128"],
+            ),
+            "dedup_substring_spans": (
+                "spans_kernel", "sf10 kernel decomposition",
+                lambda k: k["ratio_kernel_full"],
+            ),
+            "text_bpe_pair_counts": (
+                "bpe_kernel", "sf10 words-floor decomposition",
+                lambda k: k["floor_vs_duck_full"],
+            ),
+            "stats_hll_distinct": (
+                "hll_kernel", "sf10 floor + md5-lane decomposition",
+                lambda k: k["floor_vs_duck_full"],
+            ),
+        }
+        largest: dict[str, dict] = {}
+        for q, r in out["sf10"]["ratio"].items():
+            if r > 2 or q in coreport:
+                block, label, get = coreport.get(q, (None, None, None))
+                entry = {"sf10_ratio": r}
+                if block and block in out:
+                    entry["kernel_tier"] = label
+                    entry["kernel_ratio"] = get(out[block])
+                largest[q] = entry
+        out["sf10"]["largest_scale_ratio"] = largest
     print(json.dumps(out))
 
 
