@@ -90,10 +90,23 @@ _SEM_BLOCK = 512  # GEMM row block: slab ≤ 512 × |cell| doubles
 
 
 def _sem_cell_dropped(pdf):
-    """One cell's dropped-id count: blocked GEMM proposes pairs above
-    τ − eps, the exact element-order left fold (vectorized across the
-    candidate pairs — identical rounding sequence to the engines'
-    aggregate fold) decides τ. Returns (cell, n_dropped)."""
+    """One cell's dropped-id count via blocked GEMM with a
+    certain/ambiguous band around τ.
+
+    A GEMM score differs from the engines' exact element-order fold by
+    at most ~1e-12 (64-term float64 dot), so scores above τ + eps are
+    CERTAINLY above τ and scores at or below τ − eps certainly not —
+    those decide by a column-wise ``any`` on the boolean slab, with no
+    per-pair index materialization at all. Only pairs INSIDE the
+    (τ−eps, τ+eps] band — in practice a handful, often none — are
+    re-verified by the exact vectorized left fold (identical rounding
+    sequence to Spark's/DuckDB's aggregate fold), so the deciding
+    comparison stays bit-exact. The first kernel cut (r10) refolded
+    EVERY pair above τ − eps; on clustered data most within-cell pairs
+    clear τ, so that materialized gather temporaries for ~10^9
+    candidate pairs and ran 13 minutes at sf10 — the banded version
+    runs the same cell population in seconds. Returns
+    (cell, n_dropped)."""
     import numpy as np
     import pandas as pd
 
@@ -105,21 +118,25 @@ def _sem_cell_dropped(pdf):
     units = pdf["unit"].values[order]
     u = np.stack([np.asarray(v, dtype=np.float64) for v in units])
     dropped = np.zeros(n, dtype=bool)
-    thresh = _SEM_TAU - _SEM_EPS
+    lo, hi = _SEM_TAU - _SEM_EPS, _SEM_TAU + _SEM_EPS
+    cols = np.arange(n)[None, :]
     for s in range(0, n, _SEM_BLOCK):
         e = min(s + _SEM_BLOCK, n)
         scores = u[s:e] @ u.T  # (e-s) x n slab
-        ia, ib = np.nonzero(scores > thresh)
-        ia = ia + s
-        upper = ib > ia  # id_a < id_b via the vec_id sort
-        ia, ib = ia[upper], ib[upper]
-        if ia.size == 0:
-            continue
-        a, b = u[ia], u[ib]
-        acc = np.zeros(ia.size, dtype=np.float64)
-        for k in range(u.shape[1]):  # exact left fold, element order
-            acc = acc + a[:, k] * b[:, k]
-        dropped[ib[acc > _SEM_TAU]] = True
+        # id_a < id_b via the vec_id sort: column j only pairs with
+        # rows strictly above it
+        valid = cols > np.arange(s, e)[:, None]
+        certain = valid & (scores > hi)
+        dropped |= certain.any(axis=0)
+        band = valid & (scores > lo) & (scores <= hi)
+        if band.any():
+            ia, ib = np.nonzero(band)
+            ia = ia + s
+            a, b = u[ia], u[ib]
+            acc = np.zeros(ia.size, dtype=np.float64)
+            for k in range(u.shape[1]):  # exact left fold, element order
+                acc = acc + a[:, k] * b[:, k]
+            dropped[ib[acc > _SEM_TAU]] = True
     return pd.DataFrame(
         {"cell": [cell], "n_dropped": [int(dropped.sum())]}
     )
