@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pg_ducklake_spark.functions.hashing import sql_h32
-from pg_ducklake_spark.plans import query, rebalance, t
+from pg_ducklake_spark.plans import query, rebalance, scoped_persist, t
 
 _K = 8  # window length in tokens
 
@@ -76,10 +76,17 @@ def dedup_substring_windows(spark, sf_dir):
     ).select("doc_id", F.expr(_SPARK_WINDOWS).alias("ws"))
     # explode_outer fence: plain explode pushes a size()>0 pre-filter
     # below the Generate that re-evaluates the window expression per
-    # row, interpreted (plans/dedup.py:197-199).
-    exploded = windowed.select(
-        "doc_id", F.explode_outer("ws").alias("wh")
-    ).filter(F.col("wh").isNotNull())
+    # row, interpreted (plans/dedup.py:197-199). scoped_persist (r10):
+    # the df-prune branch AND the join both consume this frame — the
+    # per-window md5+conv transform evaluates in the interpreted
+    # lambda path, so recomputing it per consumer doubled the
+    # dominant cost.
+    exploded = scoped_persist(
+        windowed.select("doc_id", F.explode_outer("ws").alias("wh")).filter(
+            F.col("wh").isNotNull()
+        ),
+        "dedup_substring_windows",
+    )
     shared = (
         exploded.groupBy("wh")
         .agg(F.count(F.lit(1)).alias("_df"))
