@@ -18,21 +18,47 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pg_ducklake_spark.functions.hashing import sql_h32
-from pg_ducklake_spark.plans import query, rebalance, scoped_persist, t
+from pg_ducklake_spark.plans import query, scoped_persist, t
 
 _K = 8  # window length in tokens
 
-_SPARK_WIN_ELEMS = ", ".join(f"element_at(toks, i + {j})" for j in range(_K))
-# Typed empty ELSE arm: a bare array() is ARRAY<NULL> and the coercion
-# knocks the expression out of whole-stage codegen (see plans/dedup.py).
-_SPARK_WINDOWS = f"""
-CASE WHEN size(toks) >= {_K} THEN
-  array_distinct(transform(
-    sequence(1, size(toks) - {_K - 1}),
-    i -> CAST(conv(substring(md5(concat_ws(' ', {_SPARK_WIN_ELEMS})), 1, 8),
-                   16, 10) AS BIGINT)))
-ELSE CAST(array() AS ARRAY<BIGINT>) END
-"""
+
+def _windows_kernel(batches):
+    """Arrow-batched rolling-window hasher (r10 — the spans-kernel
+    lesson applied here): per document, hash every K-token window to
+    its md5-derived h32, deduped in-document. The r9 expression built
+    each window with concat_ws + md5 + conv INSIDE a transform lambda,
+    which Spark evaluates per element in interpreted mode — none of
+    the per-window work reached codegen. Tokens are split(' ') WITHOUT
+    empty-token filtering, and ' '.join keeps empty strings exactly
+    like concat_ws over non-null elements, so the join keys stay
+    bit-identical to the DuckDB oracle's."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        ids: list[int] = []
+        hashes: list[int] = []
+        for did, txt in zip(pdf["doc_id"].values, pdf["text"].values):
+            toks = txt.lower().split(" ")
+            n = len(toks)
+            if n < _K:
+                continue
+            seen: set[int] = set()
+            for i in range(n - _K + 1):
+                w = " ".join(toks[i : i + _K])
+                h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                if h not in seen:
+                    seen.add(h)
+                    ids.append(did)
+                    hashes.append(h)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "wh": pd.Series(hashes, dtype="int64"),
+            }
+        )
 
 _DUCK_WIN_ELEMS = ", ".join(f"toks[i + {j}]" for j in range(_K))
 # DuckDB range(1, n) is [1, n); start i runs 1 .. len-K+1.
@@ -63,27 +89,20 @@ list_distinct(list_transform(
 def dedup_substring_windows(spark, sf_dir):
     """Document pairs sharing ≥3 distinct 8-token verbatim windows.
 
-    Plan: tokenize → per-doc distinct rolling-window hashes (map-only,
-    codegen'd) → explode → prune windows seen in only one doc (lossless
-    — a singleton window can never join) → self-equi-join on the window
+    Plan: tokenize + per-doc distinct rolling-window hashes in an
+    Arrow-batched mapInPandas kernel (see _windows_kernel — the r9
+    expression formulation ran every window's md5 in the interpreted
+    lambda path) → prune windows seen in only one doc (lossless — a
+    singleton window can never join) → self-equi-join on the window
     hash → pair count. At 100 TB the df-capped variant of the same
     pruning (drop boilerplate windows above a document-frequency cap,
     as in pipe_contamination_check) bounds the join's key skew."""
     docs = t(spark, sf_dir, "documents")
-    windowed = rebalance(docs.select("doc_id", "text")).select(
-        "doc_id",
-        F.expr("split(lower(text), ' ')").alias("toks"),
-    ).select("doc_id", F.expr(_SPARK_WINDOWS).alias("ws"))
-    # explode_outer fence: plain explode pushes a size()>0 pre-filter
-    # below the Generate that re-evaluates the window expression per
-    # row, interpreted (plans/dedup.py:197-199). scoped_persist (r10):
-    # the df-prune branch AND the join both consume this frame — the
-    # per-window md5+conv transform evaluates in the interpreted
-    # lambda path, so recomputing it per consumer doubled the
-    # dominant cost.
+    # scoped_persist: the df-prune branch AND the join both consume
+    # this frame — without it the kernel re-runs once per consumer.
     exploded = scoped_persist(
-        windowed.select("doc_id", F.explode_outer("ws").alias("wh")).filter(
-            F.col("wh").isNotNull()
+        docs.select("doc_id", "text").mapInPandas(
+            _windows_kernel, "doc_id long, wh long"
         ),
         "dedup_substring_windows",
     )
