@@ -25,7 +25,10 @@ DuckDB SQL) in the warmed process.
 
 Usage: python tools/bench_scale.py [--tier sf1|sf10|pairs|both]
 (``pairs`` = the sf10 single-pass tier for the pair-generating dedup
-families; ``kernel`` = the kernel studies only.) Prints one JSON line:
+families; ``kernel`` = the kernel studies only; ``both`` runs every
+unit in its own FRESH subprocess so each block is an idle measurement
+— late-session numbers in one long JVM read 2-3× worse than the same
+code idle.) Prints one JSON line:
 {"sf1": {"spark": {...}, "duck": {...}, "ratio": {...},
 "totals": {...}}, "sf10": {...}, "sf10_pairs": {...}, ...kernels}.
 """
@@ -927,43 +930,7 @@ def run_bpe_kernel(spark) -> dict:
     }
 
 
-def main() -> None:
-    from pg_ducklake_spark.session import get_spark
-
-    tier = "both"
-    if "--tier" in sys.argv:
-        tier = sys.argv[sys.argv.index("--tier") + 1]
-
-    # The session default heap (8g) models one executor SLOT; this
-    # harness drives 32 cores of sf10 data through a single JVM, so it
-    # gets the aggregate memory a 32-core executor actually ships with
-    # (4-8 GB/core in any real deployment). At 8g the sf10 perplexity
-    # pass thrashes cache eviction/GC — measured 10s isolated vs 46s
-    # after the sf1 tier had fragmented the heap — and the GC storm
-    # perturbs the DuckDB side of the pair too (13-54s spread for the
-    # same SQL). DuckDB's own limit (80% of RAM) dwarfs this either way.
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
-    spark = get_spark("bench_scale")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.sql("SELECT 1").collect()
-
-    out: dict[str, dict] = {}
-    if tier in ("sf1", "both"):
-        out["sf1"] = run_tier(spark, "sf1", QUERIES_SF1)
-    if tier in ("sf10", "both", "kernel"):
-        # sf10 data is big enough that scan parallelism matters more
-        # than task-count overhead; keep the session's 4 MB splits and
-        # widen post-shuffle parallelism back to the cluster shape.
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-        if tier != "kernel":
-            out["sf10"] = run_tier(spark, "sf10", QUERIES_SF10)
-        out["exact_dedup_kernel"] = run_exact_kernel(spark)
-        out["hll_kernel"] = run_hll_kernel(spark)
-        out["bpe_kernel"] = run_bpe_kernel(spark)
-        out["spans_kernel"] = run_spans_kernel(spark)
-    if tier in ("pairs", "both"):
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-        out["sf10_pairs"] = run_pairs_tier(spark)
+def _apply_coreport(out: dict) -> None:
     if "sf10" in out:
         # VERDICT r9 #5: every query whose sf10 ratio exceeds 2× must
         # co-report its largest-scale kernel measurement IN the sf10
@@ -1004,6 +971,73 @@ def main() -> None:
                     entry["kernel_ratio"] = get(out[block])
                 largest[q] = entry
         out["sf10"]["largest_scale_ratio"] = largest
+
+
+# Units a ``--tier both`` run executes, each in a FRESH subprocess.
+# r10: measurements taken late in one long session read 2-3× worse
+# than the same code idle (heap history + GC state after ~2 h of
+# tiers — the same artifact the r8/r9 verdicts kept resolving by
+# "idle re-measure"). Per-unit processes make every block an idle
+# measurement by construction; the fixture cache in /tmp is shared,
+# so only the first unit pays generation.
+_BOTH_UNITS = ("sf1", "sf10only", "kernel", "pairs")
+
+
+def main() -> None:
+    tier = "both"
+    if "--tier" in sys.argv:
+        tier = sys.argv[sys.argv.index("--tier") + 1]
+
+    if tier == "both":
+        import subprocess
+
+        out: dict[str, dict] = {}
+        for unit in _BOTH_UNITS:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--tier", unit],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            out.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+        _apply_coreport(out)
+        print(json.dumps(out))
+        return
+
+    from pg_ducklake_spark.session import get_spark
+
+    # The session default heap (8g) models one executor SLOT; this
+    # harness drives 32 cores of sf10 data through a single JVM, so it
+    # gets the aggregate memory a 32-core executor actually ships with
+    # (4-8 GB/core in any real deployment). At 8g the sf10 perplexity
+    # pass thrashes cache eviction/GC — measured 10s isolated vs 46s
+    # after the sf1 tier had fragmented the heap — and the GC storm
+    # perturbs the DuckDB side of the pair too (13-54s spread for the
+    # same SQL). DuckDB's own limit (80% of RAM) dwarfs this either way.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    spark = get_spark("bench_scale")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sql("SELECT 1").collect()
+
+    out = {}
+    if tier == "sf1":
+        out["sf1"] = run_tier(spark, "sf1", QUERIES_SF1)
+    if tier in ("sf10", "sf10only", "kernel"):
+        # sf10 data is big enough that scan parallelism matters more
+        # than task-count overhead; keep the session's 4 MB splits and
+        # widen post-shuffle parallelism back to the cluster shape.
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        if tier != "kernel":
+            out["sf10"] = run_tier(spark, "sf10", QUERIES_SF10)
+        if tier != "sf10only":
+            out["exact_dedup_kernel"] = run_exact_kernel(spark)
+            out["hll_kernel"] = run_hll_kernel(spark)
+            out["bpe_kernel"] = run_bpe_kernel(spark)
+            out["spans_kernel"] = run_spans_kernel(spark)
+    if tier == "pairs":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        out["sf10_pairs"] = run_pairs_tier(spark)
+    _apply_coreport(out)
     print(json.dumps(out))
 
 
