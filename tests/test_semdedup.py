@@ -100,3 +100,49 @@ def test_quality_classifier_deterministic(spark, sf_dir):
     b = QUERIES["text_quality_classifier"](spark, sf_dir).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) > 0
+
+
+def test_sem_cell_dropped_kernel_matches_bruteforce():
+    """The banded GEMM kernel (r10) must agree with a brute-force
+    exact-fold pair scan on a random cell — including blocking
+    boundaries (n > block), the id_a < id_b triangle after an
+    unsorted input, and duplicate vectors (certain-drop path)."""
+    import numpy as np
+    import pandas as pd
+
+    from pg_ducklake_spark.plans import semdedup as S
+
+    rng = np.random.default_rng(7)
+    n, dim = 700, 8  # n > _SEM_BLOCK exercises >1 block
+    old_block = S._SEM_BLOCK
+    S._SEM_BLOCK = 256
+    try:
+        vecs = rng.normal(size=(n, dim))
+        vecs[5] = vecs[300]  # planted duplicate across blocks
+        vecs[650] = vecs[2] * 1.7  # same direction, different norm
+        units = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        ids = rng.permutation(n) * 10 + 3  # unsorted, non-contiguous
+        pdf = pd.DataFrame(
+            {
+                "cell": np.full(n, 4, dtype="int64"),
+                "vec_id": ids.astype("int64"),
+                "unit": list(units),
+            }
+        )
+        got = S._sem_cell_dropped(pdf)
+        # brute force: exact left fold per pair, id_a < id_b
+        order = np.argsort(ids)
+        u = units[order]
+        dropped = set()
+        for i in range(n):
+            for j in range(i + 1, n):
+                acc = 0.0
+                for k in range(dim):
+                    acc = acc + u[i, k] * u[j, k]
+                if acc > S._SEM_TAU:
+                    dropped.add(j)
+        assert got["cell"].iloc[0] == 4
+        assert int(got["n_dropped"].iloc[0]) == len(dropped)
+        assert len(dropped) > 0  # the fixture really exercises drops
+    finally:
+        S._SEM_BLOCK = old_block
