@@ -114,6 +114,14 @@ def dedup_exact_groups(spark, sf_dir):
 # on longer ones).
 _SPAN_L = 50
 _SPAN_W = 26
+# The oracle builds each window from a bounded _SPAN_W-token slice and
+# keeps it iff it reaches _SPAN_L chars; the Spark kernel slices
+# _SPAN_L chars straight off the full joined suffix. These agree iff
+# _SPAN_W tokens always join to >= _SPAN_L chars when W tokens exist
+# (min join = W 1-char tokens + W-1 spaces = 2W-1); for shorter tails
+# the suffix IS the join on both sides. Anyone retuning L must retune
+# W with it — this is the equivalence proof, enforced:
+assert 2 * _SPAN_W - 1 >= _SPAN_L
 
 
 def _spans_kernel(batches):
