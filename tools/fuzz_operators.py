@@ -12,7 +12,11 @@ thing.
 Checks: bloom (prune ∘ semi == semi, contains == IN), asof_join
 (latest right <= left per key, ties included), group_order_statistic
 (lower median per group), pack_sequences (bin arithmetic vs window
-prefix sums), merge (update/delete/insert vs set-logic SQL).
+prefix sums), substring_spans (unicode/multi-space/all-whitespace
+corpora vs the registered oracle), merge (update/delete/insert vs
+set-logic SQL), bm25 (Zipf corpora, tied-score duplicates, tf>1
+plants), hll (Zipf-heavy repeated/negative user_ids, single-user
+types).
 
 Usage: python tools/fuzz_operators.py [--seeds 1,2,3]
 Exits 1 on any divergence.
