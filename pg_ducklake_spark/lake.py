@@ -229,14 +229,22 @@ def _normalize_type_spellings(ddl: str) -> str:
 # only fire on parse failure) — in TYPE position only, via the same
 # column-definition splitter, so a column NAMED timestamp is safe. The
 # \b boundary leaves TIMESTAMPTZ / TIMESTAMP_NTZ / TIMESTAMP_LTZ /
-# TIMESTAMP_NS untouched (word chars follow the P), the first lookahead
-# skips the WITH TIME ZONE spelling for the fallback rule above, and the
-# (?!\s*:) lookahead skips nested FIELD-NAME positions inside
-# struct<...> bodies ('s struct<timestamp: int>' must keep its field
-# name; the coldef splitter only protects top-level column names).
+# TIMESTAMP_NS untouched (word chars follow the P), and the first
+# lookahead skips the WITH TIME ZONE spelling for the fallback rule
+# above. The positive lookahead restricts the rewrite to TYPE positions:
+# a type is followed by a delimiter (',' '>' ')' or end of the body) or
+# by the NOT NULL / COMMENT suffix keywords. This skips FIELD-NAME
+# positions inside struct<...> bodies in BOTH spellings — the colon form
+# 's struct<timestamp: int>' (name followed by ':') and the colon-less
+# form 's struct<timestamp int>' (name followed by whitespace + a type
+# token), which an earlier (?!\s*:) guard missed, silently renaming the
+# field (ADVICE r10). The coldef splitter only protects top-level
+# column names, so this guard is what protects nested ones.
 _TS_NTZ_RULE = (
     re.compile(
-        r"\bTIMESTAMP\b(?!\s+WITH\s+TIME\s+ZONE)(?!\s*:)", re.IGNORECASE
+        r"\bTIMESTAMP\b(?!\s+WITH\s+TIME\s+ZONE)"
+        r"(?=\s*(?:[,>)]|$)|\s+(?:NOT|COMMENT)\b)",
+        re.IGNORECASE,
     ),
     "TIMESTAMP_NTZ",
 )

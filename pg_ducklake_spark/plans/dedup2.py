@@ -41,6 +41,11 @@ def _windows_kernel(batches):
         ids: list[int] = []
         hashes: list[int] = []
         for did, txt in zip(pdf["doc_id"].values, pdf["text"].values):
+            # NULL text reaches the kernel as None (no prefilter above —
+            # keep parity with the oracle, which yields zero windows for
+            # NULL rather than erroring).  r11 ADVICE fix.
+            if not isinstance(txt, str):
+                continue
             toks = txt.lower().split(" ")
             n = len(toks)
             if n < _K:

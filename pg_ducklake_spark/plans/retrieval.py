@@ -412,15 +412,20 @@ def text_bpe_pair_counts(spark, sf_dir):
     runs over the distinct vocabulary (bounded), not the corpus; the
     pair aggregate and final rank operate on at most |charset|^2 rows —
     the unpartitioned ranking window is over that constant-bounded set,
-    never data-proportional state. The coalesce(1) pins the word
-    table's REDUCE side (and everything after it) to one task: the
-    corpus-proportional work — the 25M-token explode + map-side
-    partial aggregate — keeps its full scan parallelism, and what the
-    single task handles is the vocabulary (Heaps' law: ~10M words even
-    at web scale, a sub-second hash-agg), not the corpus. r10: this
-    removed two 32-task micro-shuffle stages over the ~9k-row vocab —
-    measured −30% full-query at sf10 with AQE off (AQE reaches the
-    same shape at runtime; pinning it keeps the win in every session).
+    never data-proportional state. The coalesce(8) narrows the word
+    table's REDUCE side (and everything after it) to a handful of
+    tasks: the corpus-proportional work — the 25M-token explode +
+    map-side partial aggregate — keeps its full scan parallelism, and
+    what the narrowed tasks handle is the vocabulary (Heaps' law:
+    ~10M words even at web scale), not the corpus. r10 measured the
+    narrowing itself (then coalesce(1)) at −30% full-query at sf10
+    with AQE off, by removing two 32-task micro-shuffle stages over
+    the ~9k-row vocab (AQE reaches the same shape at runtime; pinning
+    it keeps the win in every session); r11 widened 1→8 after ADVICE
+    flagged the single task as a straggler/OOM risk when the
+    vocabulary itself is large (noisy web corpora can reach 10^8
+    distinct tokens) — measured within noise of coalesce(1) at sf10,
+    and the vocab hash-agg now has 8-way parallelism as headroom.
     """
     docs = t(spark, sf_dir, "documents").select("text")
     words = (
@@ -428,7 +433,7 @@ def text_bpe_pair_counts(spark, sf_dir):
         .filter(F.length("word") >= 2)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_word"))
-        .coalesce(1)
+        .coalesce(8)
     )
     pairs = (
         words.select(

@@ -399,3 +399,27 @@ def test_substring_spans_whitespace_only_doc(spark, sf_dir):
         df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
         got = QUERIES["dedup_substring_spans"](spark, d).collect()
     assert got and all(r.first_doc == 2 for r in got)
+
+
+def test_substring_windows_null_text(spark, sf_dir):
+    """ADVICE r10: NULL text reaching _windows_kernel raised
+    AttributeError (txt.lower() on None) while the DuckDB oracle and
+    the replaced expression plan both yield zero windows for NULL —
+    crash-vs-success divergence on nullable corpus input. The kernel
+    must skip non-string values; pairs among the non-NULL docs still
+    surface."""
+    from pg_ducklake_spark.plans import QUERIES
+    import tempfile, os
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, None),
+        (2, "pfx " + shared + " t1"),
+        (3, "longer prefix " + shared + " t2"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = QUERIES["dedup_substring_windows"](spark, d).collect()
+    assert got and all((r.doc_a, r.doc_b) == (2, 3) for r in got)

@@ -414,3 +414,21 @@ def test_nested_struct_field_named_timestamp(lake):
     inner = {f.name: f.dataType.simpleString() for f in sch["s"].dataType}
     assert inner == {"timestamp": "int", "at": "timestamp_ntz"}
     assert sch["ts"].dataType.simpleString() == "timestamp_ntz"
+
+
+def test_nested_struct_field_named_timestamp_colonless(lake):
+    """ADVICE r10: Spark DDL also accepts the colon-LESS struct field
+    form, and the (?!\\s*:) guard missed it — 'struct<timestamp int>'
+    silently renamed the field to TIMESTAMP_NTZ. Type positions (field
+    type, array element, NOT NULL-suffixed top-level) must still map."""
+    lake.create_table(
+        "nstc",
+        "s struct<timestamp int, at timestamp>, "
+        "arr array<timestamp>, ts timestamp not null",
+    )
+    sch = lake.table("nstc").schema
+    inner = {f.name: f.dataType.simpleString() for f in sch["s"].dataType}
+    assert inner == {"timestamp": "int", "at": "timestamp_ntz"}
+    assert sch["arr"].dataType.simpleString() == "array<timestamp_ntz>"
+    assert sch["ts"].dataType.simpleString() == "timestamp_ntz"
+    assert sch["ts"].nullable is False

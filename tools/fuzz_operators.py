@@ -270,6 +270,10 @@ def check_substring_spans(spark, con, rng, tmp) -> list[str]:
     # range succeeded — crash-vs-success divergence)
     docs.append((202, " " * 80))
     docs.append((203, " " * int(rng.integers(50, 200))))
+    # NULL text (ADVICE r10: _windows_kernel crashed on None while the
+    # oracle yields zero windows — crash-vs-success divergence)
+    docs.append((204, None))
+    docs.append((205, None))
     spark.createDataFrame(docs, "doc_id long, text string").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{tmp}/spans/documents.parquet")
@@ -277,12 +281,21 @@ def check_substring_spans(spark, con, rng, tmp) -> list[str]:
         "CREATE OR REPLACE VIEW documents AS "
         f"FROM '{tmp}/spans/documents.parquet/*.parquet'"
     )
-    return _compare(
+    errs = _compare(
         "substring_spans",
         QUERIES["dedup_substring_spans"](spark, f"{tmp}/spans"),
         con,
         ORACLES["dedup_substring_spans"],
     )
+    # Same adversarial corpus through the window-hash detector — its
+    # kernel (plans/dedup2.py) shares the NULL/whitespace failure class.
+    errs += _compare(
+        "substring_windows",
+        QUERIES["dedup_substring_windows"](spark, f"{tmp}/spans"),
+        con,
+        ORACLES["dedup_substring_windows"],
+    )
+    return errs
 
 
 def check_merge(spark, con, rng, tmp) -> list[str]:
