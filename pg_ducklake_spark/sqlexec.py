@@ -344,6 +344,14 @@ def execute(lake: "Lake", sql: str) -> Any:
         if m2:
             lake.drop_column_default(name, m2.group(1))
             return None
+        m2 = re.match(r"^ALTER\s+COLUMN\s+(\w+)\s+SET\s+NOT\s+NULL$", rest, re.I)
+        if m2:
+            lake.set_not_null(name, m2.group(1))
+            return None
+        m2 = re.match(r"^ALTER\s+COLUMN\s+(\w+)\s+DROP\s+NOT\s+NULL$", rest, re.I)
+        if m2:
+            lake.drop_not_null(name, m2.group(1))
+            return None
         m2 = re.match(r"^DROP\s+COLUMN\s+(\w+)$", rest, re.I)
         if m2:
             lake.drop_column(name, m2.group(1))
