@@ -58,9 +58,15 @@ def _last_sampled_round() -> dict[str, int]:
 
 # Names fixed/rewritten since their last driver sample — lead the
 # ordering so the next CORRECTNESS file re-verifies the change on the
-# driver's own harness (r10: the spans kernel rewrite and the BPE
-# coalesce belong at the front regardless of staleness).
-_RECHECK_FIRST = ("dedup_substring_spans", "text_bpe_pair_counts")
+# driver's own harness (r11: the windows-kernel NULL guard, the BPE
+# vocab-reduce widening, and the two re-pinned SCALEBENCH queries —
+# spans and sq8 — belong at the front regardless of staleness).
+_RECHECK_FIRST = (
+    "dedup_substring_windows",
+    "text_bpe_pair_counts",
+    "dedup_substring_spans",
+    "sim_sq8_topk",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

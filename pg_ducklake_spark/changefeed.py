@@ -139,6 +139,25 @@ def table_changes(lake: "Lake", name: str, start, end=None) -> DataFrame:
         if added and op not in ("DELETE", "UPDATE", "MERGE"):
             paths = [os.path.join(table_dir, p) for p in added]
             parts.append(stamp(read_mapped(paths, with_ct=False), "insert"))
+        if op == "DELETE" and snap.get("dv") and not snap.get("cdf_path"):
+            # r11: DV-mode DELETE writes positions only (the delete
+            # files ARE the change record — the reference's
+            # ducklake_delete_file design; previously the delete path
+            # also materialized every deleted row to a CDF file,
+            # contradicting its "a small delete touches zero data
+            # bytes" contract). Reconstruct the deleted rows at feed
+            # time: delta positions = this snapshot's cumulative DV
+            # minus the prior DV state, semi-joined into a pre-delete
+            # vintage read of just the touched files.
+            parts.append(
+                stamp(
+                    _derive_dv_deletions(
+                        lake, name, log, snap, v, end_state, schema,
+                        table_dir,
+                    ),
+                    "delete",
+                )
+            )
         if snap.get("cdf_path"):
             cdf = read_mapped(
                 [os.path.join(table_dir, snap["cdf_path"])], with_ct=True
@@ -172,6 +191,62 @@ def table_changes(lake: "Lake", name: str, start, end=None) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _derive_dv_deletions(
+    lake: "Lake", name: str, log, snap: dict, v: int, end_state, schema,
+    table_dir: str,
+) -> DataFrame:
+    """Deleted rows of a DV-mode DELETE snapshot, reconstructed from
+    positions: read the touched data files under the PRE-delete state
+    (prior DVs subtracted, renames and initial defaults applied by
+    ``Lake._read_files`` exactly as the original scan saw them),
+    semi-join the delta positions, then map the v-vintage column names
+    forward to the feed's end-schema names (same walk as read_mapped)."""
+    files = sorted({d["file"] for d in snap["dv"]})
+    new_paths = sorted(
+        {os.path.join(table_dir, d["path"]) for d in snap["dv"]}
+    )
+    prior = log.replay(v - 1)
+    newp = (
+        lake.spark.read.schema(lake._DV_SCHEMA)
+        .parquet(*new_paths)
+        .filter(F.col("file").isin(files))
+    )
+    old = {f: d for f, d in prior.dvs.items() if f in set(files)}
+    delta = newp
+    if old:
+        old_paths = sorted(
+            {os.path.join(table_dir, d["path"]) for d in old.values()}
+        )
+        oldp = (
+            lake.spark.read.schema(lake._DV_SCHEMA)
+            .parquet(*old_paths)
+            .filter(F.col("file").isin(list(old)))
+        )
+        delta = newp.join(oldp, ["file", "row_index"], "left_anti")
+    schema_v = prior.schema_at(v - 1)
+    rows = lake._read_files(
+        name, prior, schema_v, rels=files, keep_meta=True
+    )
+    pos = delta.select(
+        F.concat(F.lit(f"file:{table_dir}/"), F.col("file")).alias("_dl_fp"),
+        F.col("row_index").alias("_dl_ri"),
+    )
+    deleted = rows.join(
+        F.broadcast(pos), ["_dl_fp", "_dl_ri"], "left_semi"  # bcast-ok: bounded by this snapshot's delete volume
+    ).drop("_dl_fp", "_dl_ri")
+    current_names = tuple(f.name for f in schema.fields)
+    phys = tuple(end_state.physical_name(c, v) for c in current_names)
+    claimed = {p for c, p in zip(current_names, phys) if p != c}
+    cols = set(deleted.columns)
+    proj = []
+    for f, p in zip(schema.fields, phys):
+        if (p == f.name and p in claimed) or p not in cols:
+            proj.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            proj.append(F.col(p).cast(f.dataType).alias(f.name))
+    return deleted.select(*proj)
 
 
 def table_insertions(lake: "Lake", name: str, start, end=None) -> DataFrame:

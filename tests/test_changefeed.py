@@ -76,3 +76,39 @@ def test_flush_and_optimize_not_in_feed(spark, lake):
     last = lake.current_snapshot("t")
     ch = lake.table_changes("t", 1, last).collect()
     assert sorted(r._change_type for r in ch) == ["insert", "insert"]
+
+
+def test_dv_delete_changes_derived_across_vintages(spark, lake):
+    """r11: DV-mode DELETE writes positions only — the feed
+    reconstructs deleted rows from the delta positions. The
+    reconstruction must resolve the data files' OWN vintage: renamed
+    columns map back, a column added (with DEFAULT) after the file was
+    written fills its default, repeated deletes only report the DELTA
+    (cumulative DV carry-forward must not re-report earlier rows)."""
+    lake.create_table("t", "a int, b string")  # v1
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [(1, "one"), (2, "two"), (3, "three"), (4, "four")],
+            "a int, b string",
+        ),
+    )  # v2 — file written under (a, b)
+    lake.rename_column("t", "b", "label")  # v3
+    lake.add_column("t", "score", "int", default="7")  # v4
+    lake.delete("t", "a = 2")  # v5 — first DV on the old-vintage file
+    lake.delete("t", "a = 4")  # v6 — cumulative DV carries a=2 forward
+    # no CDF change files on the DV path: the delete file is the record
+    import glob, os
+
+    assert not glob.glob(
+        os.path.join(lake._table_dir("t"), "_change_data", "*")
+    ), "DV-mode DELETE must not materialize change rows"
+    d5 = [tuple(r)[:3] for r in lake.table_deletions("t", 5, 5).collect()]
+    d6 = [tuple(r)[:3] for r in lake.table_deletions("t", 6, 6).collect()]
+    assert d5 == [(2, "two", 7)]
+    assert d6 == [(4, "four", 7)]
+    # full feed: both deletes, nothing double-reported
+    ch = lake.table_changes("t", 1, 6).filter("_change_type = 'delete'")
+    assert sorted(tuple(r)[:3] for r in ch.collect()) == [
+        (2, "two", 7), (4, "four", 7),
+    ]

@@ -578,3 +578,35 @@ def test_stream_insert_respects_constraints(spark, lake, tmp_path):
     with pytest.raises(Exception, match="not-null|STREAM_FAILED"):
         q.awaitTermination(120)
     assert lake.table("t").count() == 0
+
+
+def test_cdc_stream_dv_delete_across_vintages(spark, lake, tmp_path):
+    """r11: the lake_cdf source reconstructs DV-mode DELETE rows from
+    delta positions with its OWN driver-side vintage resolution — a
+    renamed column maps back to the file's physical name, a column
+    added with DEFAULT after the file fills its constant, and repeated
+    deletes report only the delta. Must equal the batch feed."""
+    lake.create_table("t", "a int, b string")
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [(1, "one"), (2, "two"), (3, "three"), (4, "four")],
+            "a int, b string",
+        ),
+    )
+    lake.rename_column("t", "b", "label")
+    lake.add_column("t", "score", "int", default="7")
+    lake.delete("t", "a = 2")
+    lake.delete("t", "a = 4")
+    got = _run(lake.stream_changes("t"), "cdc_dvv", str(tmp_path / "ckv"))
+    stream_rows = {
+        (r["a"], r["label"], r["score"], r["_change_type"], r["_commit_version"])
+        for r in spark.sql("SELECT * FROM cdc_dvv").collect()
+    }
+    batch_rows = {
+        (r["a"], r["label"], r["score"], r["_change_type"], r["_commit_version"])
+        for r in lake.table_changes("t", 1).collect()
+    }
+    assert stream_rows == batch_rows
+    deletes = sorted(r[:3] for r in stream_rows if r[3] == "delete")
+    assert deletes == [(2, "two", 7), (4, "four", 7)]

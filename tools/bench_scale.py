@@ -438,12 +438,22 @@ def run_pairs_tier(spark) -> dict:
             f" read_parquet('{sf_dir}/{t}.parquet')"
         )
     spark_times: dict[str, float] = {}
+    spark_band: dict[str, list[float]] = {}
     duck_times: dict[str, float] = {}
     for name in QUERIES_SF10_PAIRS:
         QUERIES[name](spark, sf_dir).collect()  # warm-up
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).collect()
-        spark_times[name] = round(time.time() - t0, 3)
+        # r11 (VERDICT r10 #7): the Spark side is cheap enough for
+        # median-of-3 with a min/max band — these six numbers are the
+        # north-star headline. DuckDB stays at one timed pass (its
+        # sides run 1.5–4 min each; at those durations run-to-run
+        # noise is percent-level).
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).collect()
+            samples.append(round(time.time() - t0, 3))
+        spark_times[name] = sorted(samples)[1]
+        spark_band[name] = [min(samples), max(samples)]
         con.execute(ORACLES[name]).fetchall()  # warm-up
         t0 = time.time()
         con.execute(ORACLES[name]).fetchall()
@@ -453,8 +463,9 @@ def run_pairs_tier(spark) -> dict:
         "doc_rows": TIERS["sf10"][0],
         "emb_rows": TIERS["sf10"][1],
         "warmup_iters": 1,
-        "timed_iters": 1,
+        "timed_iters": "spark median-of-3, duck 1",
         "spark": spark_times,
+        "spark_band": spark_band,
         "duck": duck_times,
         "ratio": {
             n: round(spark_times[n] / duck_times[n], 2) for n in duck_times
@@ -969,6 +980,192 @@ def run_bpe_kernel(spark) -> dict:
     }
 
 
+def run_lake_dml(spark) -> dict:
+    """Table-format layer at scale (VERDICT r10 #3): the lakehouse
+    machinery itself — CTAS write, DV delete, read-after-delete,
+    delete-ratio VACUUM rewrite — measured on the 10M-row sf10 events
+    table against DuckDB doing the equivalent storage work (CTAS into
+    native storage, DELETE, same scan, rewrite survivors to parquet).
+    This is the surface the repo exists for; until r11 it had only
+    toy-scale pytest timings.
+
+    Protocol: DML steps are stateful, so each is timed ONCE on a fresh
+    lake/connection (no warmup possible without redoing the state);
+    the two idempotent scans get one warmup + median-of-3.
+
+    The DuckDB twin implements the SAME table format, not a native
+    DuckDB table: the reference (DuckLake) stores parquet data files
+    plus positional delete files and subtracts positions at scan time
+    — so the twin CTASes to parquet (PER_THREAD_OUTPUT), writes the
+    DV as a (filename, file_row_number) parquet via DuckDB's own
+    metadata columns, scans with an ANTI JOIN against it, and vacuums
+    by rewriting survivors to parquet. A native-table twin would
+    measure DuckDB's buffer-pool storage engine — a different product
+    from the lakehouse layer this unit exists to price."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pg_ducklake_spark.lake import Lake
+
+    sf_dir = ensure_fixture(*TIERS["sf10"])
+    tmp = tempfile.mkdtemp(prefix="lakedml_")
+    spark_times: dict[str, float] = {}
+    duck_times: dict[str, float] = {}
+
+    def _once(d: dict, key: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        d[key] = round(time.time() - t0, 3)
+
+    def _scan_median(d: dict, key: str, fn) -> None:
+        fn()  # warmup
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+        d[key] = round(sorted(samples)[1], 3)
+
+    try:
+        lake = Lake(spark, os.path.join(tmp, "lake"))
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        _once(spark_times, "write_ctas", lambda: lake.create_table_as("events", ev))
+        _once(
+            spark_times, "delete_dv",
+            lambda: lake.delete("events", "value < 0.05"),
+        )
+        _scan_median(
+            spark_times, "scan_after_delete",
+            lambda: lake.table("events")
+            .groupBy()
+            .agg(F.count(F.lit(1)), F.sum("value"))
+            .collect(),
+        )
+        _once(
+            spark_times, "vacuum_rewrite",
+            lambda: lake.vacuum("events", delete_threshold=0.01),
+        )
+        _scan_median(
+            spark_times, "scan_after_vacuum",
+            lambda: lake.table("events")
+            .groupBy()
+            .agg(F.count(F.lit(1)), F.sum("value"))
+            .collect(),
+        )
+        n_live = lake.table("events").count()
+
+        con = duckdb.connect()
+        ddata = f"{tmp}/duck_data"
+        os.makedirs(ddata, exist_ok=True)
+        _once(
+            duck_times, "write_ctas",
+            lambda: con.execute(
+                f"COPY (SELECT * FROM read_parquet('{sf_dir}/events.parquet'))"
+                f" TO '{ddata}' (FORMAT PARQUET, PER_THREAD_OUTPUT)"
+            ),
+        )
+        _once(
+            duck_times, "delete_dv",
+            lambda: con.execute(
+                f"COPY (SELECT filename, file_row_number FROM"
+                f" read_parquet('{ddata}/*.parquet', filename=true,"
+                f" file_row_number=true) WHERE value < 0.05)"
+                f" TO '{tmp}/duck_dv.parquet' (FORMAT PARQUET)"
+            ),
+        )
+        masked = (
+            f"SELECT count(*) AS n, sum(value) AS s FROM read_parquet("
+            f"'{ddata}/*.parquet', filename=true, file_row_number=true) d"
+            f" ANTI JOIN read_parquet('{tmp}/duck_dv.parquet') v"
+            f" USING (filename, file_row_number)"
+        )
+        _scan_median(
+            duck_times, "scan_after_delete",
+            lambda: con.execute(masked).fetchall(),
+        )
+        dclean = f"{tmp}/duck_clean"
+        os.makedirs(dclean, exist_ok=True)
+        _once(
+            duck_times, "vacuum_rewrite",
+            lambda: con.execute(
+                f"COPY (SELECT d.* EXCLUDE (filename, file_row_number)"
+                f" FROM read_parquet('{ddata}/*.parquet', filename=true,"
+                f" file_row_number=true) d"
+                f" ANTI JOIN read_parquet('{tmp}/duck_dv.parquet') v"
+                f" USING (filename, file_row_number))"
+                f" TO '{dclean}' (FORMAT PARQUET, PER_THREAD_OUTPUT)"
+            ),
+        )
+        _scan_median(
+            duck_times, "scan_after_vacuum",
+            lambda: con.execute(
+                f"SELECT count(*), sum(value) FROM"
+                f" read_parquet('{dclean}/*.parquet')"
+            ).fetchall(),
+        )
+        d_live = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dclean}/*.parquet')"
+        ).fetchone()[0]
+        con.close()
+        assert n_live == d_live, f"live-row divergence: {n_live} != {d_live}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return {
+        "event_rows": TIERS["sf10"][2],
+        "live_rows_after_delete": int(n_live),
+        "protocol": "DML steps timed once; scans warm median-of-3",
+        "spark": spark_times,
+        "duck": duck_times,
+        "ratio": {
+            k: round(spark_times[k] / duck_times[k], 2) for k in duck_times
+        },
+        "totals": {
+            "spark": round(sum(spark_times.values()), 3),
+            "duck": round(sum(duck_times.values()), 3),
+            "ratio": round(
+                sum(spark_times.values()) / sum(duck_times.values()), 2
+            ),
+        },
+    }
+
+
+def _median(xs: list[float]) -> float:
+    return sorted(xs)[len(xs) // 2]
+
+
+def _merge_median_runs(runs: list[dict]) -> dict:
+    """Merge N fresh-process runs of the same tier into per-query
+    medians with min/max bands (VERDICT r10 #1: committed numbers for
+    high-variance units must be medians across fresh processes, not a
+    single draw — sq8's 3.29× one-off vs its 0.93–1.35× probes)."""
+    out = dict(runs[0])
+    for key in ("spark", "duck"):
+        per = {q: [r[key][q] for r in runs] for q in runs[0][key]}
+        out[key] = {q: _median(v) for q, v in per.items()}
+        out[f"{key}_band"] = {
+            q: [min(v), max(v)] for q, v in per.items()
+        }
+    out["ratio"] = {
+        q: round(out["spark"][q] / out["duck"][q], 2)
+        for q in out["duck"]
+        if out["duck"][q] > 0
+    }
+    out["fresh_processes"] = len(runs)
+    out["totals"] = {
+        "spark": round(sum(out["spark"].values()), 3),
+        "duck": round(sum(out["duck"].values()), 3),
+        "ratio": round(
+            sum(out["spark"].values())
+            / max(sum(out["duck"].values()), 1e-9),
+            2,
+        ),
+    }
+    return out
+
+
 def _apply_coreport(out: dict) -> None:
     if "sf10" in out:
         # VERDICT r9 #5: every query whose sf10 ratio exceeds 2× must
@@ -1018,8 +1215,13 @@ def _apply_coreport(out: dict) -> None:
 # tiers — the same artifact the r8/r9 verdicts kept resolving by
 # "idle re-measure"). Per-unit processes make every block an idle
 # measurement by construction; the fixture cache in /tmp is shared,
-# so only the first unit pays generation.
-_BOTH_UNITS = ("sf1", "sf10only", "kernel", "pairs")
+# so only the first unit pays generation. r11: the sf10 tier — home
+# of the two single-draw outliers the r10 verdict flagged (sq8 3.29×
+# vs a 1.35× probe; spans 2.52× vs the kernel study's 1.67×) — runs
+# THREE fresh processes and commits the per-query median + min/max
+# band (_merge_median_runs); lakedml is the new table-format unit.
+_BOTH_UNITS = ("sf1", "sf10only", "sf10only", "sf10only", "kernel",
+               "pairs", "lakedml")
 
 
 def main() -> None:
@@ -1031,6 +1233,7 @@ def main() -> None:
         import subprocess
 
         out: dict[str, dict] = {}
+        sf10_runs: list[dict] = []
         for unit in _BOTH_UNITS:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--tier", unit],
@@ -1038,7 +1241,13 @@ def main() -> None:
                 text=True,
                 check=True,
             )
-            out.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+            got = json.loads(proc.stdout.strip().splitlines()[-1])
+            if unit == "sf10only":
+                sf10_runs.append(got["sf10"])
+            else:
+                out.update(got)
+        if sf10_runs:
+            out["sf10"] = _merge_median_runs(sf10_runs)
         _apply_coreport(out)
         print(json.dumps(out))
         return
@@ -1076,6 +1285,9 @@ def main() -> None:
     if tier == "pairs":
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         out["sf10_pairs"] = run_pairs_tier(spark)
+    if tier == "lakedml":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        out["lake_dml"] = run_lake_dml(spark)
     _apply_coreport(out)
     print(json.dumps(out))
 
