@@ -66,6 +66,12 @@ _RECHECK_FIRST = (
     "text_bpe_pair_counts",
     "dedup_substring_spans",
     "sim_sq8_topk",
+    # r11b: the DV anti-join resolves file ids via _metadata.file_size
+    # when sizes are unique (lake.py _read_files) — re-front the
+    # queries that read DV-masked tables.
+    "lake_dml_roundtrip",
+    "lake_vacuum_consistency",
+    "lake_change_feed",
 )
 
 

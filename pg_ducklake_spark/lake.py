@@ -1569,15 +1569,28 @@ class Lake:
             )
             groups.setdefault((missing, phys), []).append(rel)
 
-        def _build(paths: list[str], missing, phys, with_meta: bool):
+        def _build(
+            paths: list[str], missing, phys, with_meta: bool,
+            with_size: bool = False,
+        ):
+            meta_cols = []
+            if with_meta:
+                meta_cols += [
+                    F.col("_metadata.file_path").alias("_dl_fp"),
+                    F.col("_metadata.row_index").alias("_dl_ri"),
+                ]
+            if with_size:
+                if not with_meta:
+                    meta_cols.append(
+                        F.col("_metadata.row_index").alias("_dl_ri")
+                    )
+                meta_cols.append(
+                    F.col("_metadata.file_size").alias("_dl_sz")
+                )
             if phys == current_names:
                 g = self.spark.read.schema(schema).parquet(*paths)
-                if with_meta:
-                    g = g.select(
-                        "*",
-                        F.col("_metadata.file_path").alias("_dl_fp"),
-                        F.col("_metadata.row_index").alias("_dl_ri"),
-                    )
+                if meta_cols:
+                    g = g.select("*", *meta_cols)
             else:
                 # Read under the physical names, then alias back to the
                 # current names. A physical name claimed by a rename-walk
@@ -1608,11 +1621,7 @@ class Lake:
                     )
                     for p, f in aliases
                 ]
-                if with_meta:
-                    proj += [
-                        F.col("_metadata.file_path").alias("_dl_fp"),
-                        F.col("_metadata.row_index").alias("_dl_ri"),
-                    ]
+                proj += meta_cols
                 g = g.select(*proj)
             for c in missing:
                 g = g.withColumn(
@@ -1629,6 +1638,31 @@ class Lake:
         # string materialization + a (string, long)-keyed anti-join
         # over all rows.
         dv_set = set(applicable)
+        # r11b: resolve file ids on the probe side by joining on
+        # _metadata.file_size (one LONG per row) instead of the
+        # file_path string whenever the catalog-recorded sizes of this
+        # scan's DV'd files are unique. A string join key forces an
+        # UnsafeRow copy of the ~100-byte path per probe row — measured
+        # ~0.7 s of pure overhead on a 10M-row masked scan where the
+        # numeric form runs at the raw-scan floor (0.9 s → 0.23 s for
+        # the resolve join; 1.25 s → 0.52 s full masked scan).
+        # Uniqueness is checked driver-side against FileEntry.bytes
+        # (recorded via os.path.getsize at commit, which is what
+        # _metadata.file_size reports); any collision or missing size
+        # falls back to the string-keyed form.
+        fids = sorted(applicable)
+        sizes = {
+            r: state.files[r].bytes
+            for r in fids
+            if r in state.files and state.files[r].bytes
+        }
+        size_ok = (
+            len(sizes) == len(fids)
+            and len(set(sizes.values())) == len(fids)
+            # the packed-key form needs _dl_fp when fid overflows the
+            # pack (>8M DV'd files) — keep the string columns then
+            and len(fids) < (1 << 23)
+        )
         parts, parts_dvd = [], []
         for (missing, phys), group_rels in sorted(
             groups.items(), key=lambda kv: repr(kv[0])
@@ -1643,7 +1677,9 @@ class Lake:
             if dvd:
                 parts_dvd.append(_build(
                     [os.path.join(table_dir, p) for p in dvd],
-                    missing, phys, True,
+                    missing, phys,
+                    with_meta=keep_meta or not size_ok,
+                    with_size=size_ok,
                 ))
         if parts_dvd:
             masked = parts_dvd[0]
@@ -1667,35 +1703,56 @@ class Lake:
             # NOT createDataFrame — the latter plans as a Python-RDD
             # scan that pays a Python-worker round trip on every
             # execution. Together with the clean-file split: 2.3 s →
-            # ~0.7 s for count+sum over 10M rows with 5% deleted.
-            fids = sorted(applicable)
+            # ~0.7 s for count+sum over 10M rows with 5% deleted;
+            # the size-keyed resolve (r11b, see size_ok above) takes
+            # the same scan to ~0.5 s.
             if len(fids) < (1 << 23):
-                vals = ", ".join(
-                    "('{0}', 'file:{1}/{0}', {2}L)".format(
-                        rel.replace("'", "''"),
-                        table_dir.replace("'", "''"),
-                        i,
-                    )
+                pack = F.shiftleft(F.col("_dl_fid"), 40)
+                relvals = ", ".join(
+                    "('{0}', {1}L)".format(rel.replace("'", "''"), i)
                     for i, rel in enumerate(fids)
                 )
-                fmap = self.spark.sql(
-                    f"SELECT * FROM VALUES {vals}"
-                    " AS t(_dl_rel, _dl_fp, _dl_fid)"
+                relmap = self.spark.sql(
+                    f"SELECT * FROM VALUES {relvals} AS t(file, _dl_fid)"
                 )
-                pack = F.shiftleft(F.col("_dl_fid"), 40)
                 dvk = (
-                    dv.join(
-                        F.broadcast(fmap.select(F.col("_dl_rel").alias("file"), "_dl_fid")),  # bcast-ok: one row per data file (metadata-sized)
-                        "file",
-                    )
+                    dv.join(F.broadcast(relmap), "file")  # bcast-ok: one row per data file (metadata-sized)
                     .select((pack + F.col("row_index")).alias("_dl_key"))
                 )
-                masked = (
-                    masked.join(F.broadcast(fmap.select("_dl_fp", "_dl_fid")), "_dl_fp", "left")  # bcast-ok: one row per data file (metadata-sized)
-                    .withColumn("_dl_key", pack + F.col("_dl_ri"))
-                    .join(F.broadcast(dvk), "_dl_key", "left_anti")  # bcast-ok: 8B per deleted position, bounded by DV size
-                    .drop("_dl_fid", "_dl_key")
-                )
+                if size_ok:
+                    szvals = ", ".join(
+                        f"({sizes[rel]}L, {i}L)"
+                        for i, rel in enumerate(fids)
+                    )
+                    szmap = self.spark.sql(
+                        f"SELECT * FROM VALUES {szvals}"
+                        " AS t(_dl_sz, _dl_fid)"
+                    )
+                    masked = (
+                        masked.join(F.broadcast(szmap), "_dl_sz", "left")  # bcast-ok: one row per data file (metadata-sized)
+                        .withColumn("_dl_key", pack + F.col("_dl_ri"))
+                        .join(F.broadcast(dvk), "_dl_key", "left_anti")  # bcast-ok: 8B per deleted position, bounded by DV size
+                        .drop("_dl_fid", "_dl_key", "_dl_sz")
+                    )
+                else:
+                    fpvals = ", ".join(
+                        "('file:{1}/{0}', {2}L)".format(
+                            rel.replace("'", "''"),
+                            table_dir.replace("'", "''"),
+                            i,
+                        )
+                        for i, rel in enumerate(fids)
+                    )
+                    fmap = self.spark.sql(
+                        f"SELECT * FROM VALUES {fpvals}"
+                        " AS t(_dl_fp, _dl_fid)"
+                    )
+                    masked = (
+                        masked.join(F.broadcast(fmap), "_dl_fp", "left")  # bcast-ok: one row per data file (metadata-sized)
+                        .withColumn("_dl_key", pack + F.col("_dl_ri"))
+                        .join(F.broadcast(dvk), "_dl_key", "left_anti")  # bcast-ok: 8B per deleted position, bounded by DV size
+                        .drop("_dl_fid", "_dl_key")
+                    )
             else:  # >8M DV'd files in one scan: packed fid overflows
                 dvp = dv.select(
                     F.concat(
@@ -2940,7 +2997,18 @@ class Lake:
             df = df.repartition(
                 n_out, *[c for _n, c in _partition_columns(state.partition_spec)]
             )
+        elif n_out < max(2, self.spark.sparkContext.defaultParallelism // 2):
+            # Small rewrite set (fits few target-size files): coalesce
+            # would drag the masked anti-join READ into n_out tasks —
+            # measured 7.1 s vs 1.6 s raw at 10M rows with n_out=1.
+            # repartition keeps the expensive scan at full width and
+            # shuffles only the rewrite volume, which is bounded by
+            # n_out * target_file_size bytes by construction.
+            df = df.repartition(n_out)
         else:
+            # Wide rewrite (n_out ~ cluster width or more): coalesce
+            # costs nothing in read parallelism and skips the shuffle
+            # a repartition of the full rewrite volume would pay.
             df = df.coalesce(n_out)
         add = self._write_data(
             table_dir, df, state.partition_spec,

@@ -120,3 +120,44 @@ def test_dv_with_scan_pruning(t):
     t.delete("t", "a = 5")
     got = t.scan("t", "a < 10").collect()
     assert sorted(r.a for r in got) == [0, 1, 2, 3, 4, 6, 7, 8, 9]
+
+
+def test_dv_size_keyed_resolve_and_string_fallback(spark, lake):
+    """r11b: the DV anti-join resolves file ids by joining on
+    _metadata.file_size (numeric — no per-row path-string UnsafeRow
+    copy) when the catalog-recorded sizes of the DV'd files are
+    unique, and falls back to the file_path string form when two
+    files collide on byte size. Both paths must read identically."""
+    # unique sizes: two inserts of different row counts
+    lake.create_table("u", "a int, b string")
+    lake.insert("u", spark.range(0, 60).selectExpr(
+        "CAST(id AS INT) a", "concat('v', id) b").coalesce(1))
+    lake.insert("u", spark.range(60, 100).selectExpr(
+        "CAST(id AS INT) a", "concat('v', id) b").coalesce(1))
+    st = lake._state("u")
+    lake.delete("u", "a % 7 = 0")
+    st = lake._state("u")
+    sizes = [lake._state("u").files[r].bytes for r in sorted(st.dvs)]
+    assert len(set(sizes)) == len(sizes), "fixture must have unique sizes"
+    plan = lake.table("u")._jdf.queryExecution().optimizedPlan().toString()
+    assert "_dl_sz" in plan, "unique sizes must take the size-keyed join"
+    assert lake.table("u").count() == 100 - 15
+    assert lake.table("u").filter("a % 7 = 0").count() == 0
+
+    # size collision: two inserts of IDENTICAL rows -> identical files
+    lake.create_table("c", "a int, b string")
+    rows = spark.range(0, 50).selectExpr(
+        "CAST(id AS INT) a", "concat('v', id) b").coalesce(1)
+    lake.insert("c", rows)
+    lake.insert("c", rows)
+    st = lake._state("c")
+    lake.delete("c", "a < 5")
+    st = lake._state("c")
+    sizes = [st.files[r].bytes for r in sorted(st.dvs)]
+    assert len(set(sizes)) < len(sizes), "fixture must collide on size"
+    plan = lake.table("c")._jdf.queryExecution().optimizedPlan().toString()
+    assert "_dl_fp" in plan and "_dl_sz" not in plan, (
+        "size collision must fall back to the path-string join"
+    )
+    assert lake.table("c").count() == 90  # 2x50 - 2x5
+    assert lake.table("c").filter("a < 5").count() == 0

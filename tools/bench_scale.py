@@ -1031,6 +1031,50 @@ def run_lake_dml(spark) -> dict:
     try:
         lake = Lake(spark, os.path.join(tmp, "lake"))
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # Engine floors: the same physical work with NO lake machinery
+        # — a raw df.write.parquet of the identical rows, a warm raw
+        # aggregate, a raw positions-extract (the DELETE minus the
+        # catalog), and a raw survivor rewrite (the VACUUM minus the
+        # catalog). Every lake ratio should be read against these: the
+        # cross-engine ratio bundles the single-node parquet
+        # read/write floor gap (which scale-out amortizes) with true
+        # lake overhead; the own-floor ratio isolates the latter.
+        # The source read is warmed first so the floor write and the
+        # lake CTAS see identical input warmth.
+        ev.groupBy().count().collect()  # warm source pages
+        # warm the parquet WRITER too (classloading + JIT): the first
+        # write in a fresh JVM measured 2.7x its own steady state,
+        # which made the "floor" read slower than the lake CTAS it is
+        # supposed to bound
+        ev.limit(200_000).write.parquet(f"{tmp}/spark_warmup")
+        _once(
+            spark_times, "raw_write_floor",
+            lambda: ev.write.parquet(f"{tmp}/spark_raw"),
+        )
+        raw = spark.read.parquet(f"{tmp}/spark_raw")
+        _scan_median(
+            spark_times, "raw_scan_floor",
+            lambda: raw.groupBy()
+            .agg(F.count(F.lit(1)), F.sum("value"))
+            .collect(),
+        )
+        _once(
+            spark_times, "raw_delete_floor",
+            lambda: raw.select(
+                F.col("_metadata.file_size").alias("fsz"),
+                F.col("_metadata.row_index").alias("row_index"),
+                "value",
+            )
+            .filter("value < 0.05")
+            .drop("value")
+            .write.parquet(f"{tmp}/spark_raw_dv"),
+        )
+        _once(
+            spark_times, "raw_rewrite_floor",
+            lambda: raw.filter("value >= 0.05").write.parquet(
+                f"{tmp}/spark_raw_clean"
+            ),
+        )
         _once(spark_times, "write_ctas", lambda: lake.create_table_as("events", ev))
         _once(
             spark_times, "delete_dv",
@@ -1087,6 +1131,11 @@ def run_lake_dml(spark) -> dict:
         )
         dclean = f"{tmp}/duck_clean"
         os.makedirs(dclean, exist_ok=True)
+        # No PER_THREAD_OUTPUT here: VACUUM's contract is target-sized
+        # output files (the survivors fit ONE target-size file at this
+        # scale, and the lake writes exactly one), so the twin must
+        # also produce a single file — 32 per-thread shards would
+        # measure a different contract, not the same storage work.
         _once(
             duck_times, "vacuum_rewrite",
             lambda: con.execute(
@@ -1095,7 +1144,7 @@ def run_lake_dml(spark) -> dict:
                 f" file_row_number=true) d"
                 f" ANTI JOIN read_parquet('{tmp}/duck_dv.parquet') v"
                 f" USING (filename, file_row_number))"
-                f" TO '{dclean}' (FORMAT PARQUET, PER_THREAD_OUTPUT)"
+                f" TO '{dclean}/out.parquet' (FORMAT PARQUET)"
             ),
         )
         _scan_median(
@@ -1113,21 +1162,48 @@ def run_lake_dml(spark) -> dict:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    shared = [k for k in duck_times if k in spark_times]
+    s_tot = sum(spark_times[k] for k in shared)
+    d_tot = sum(duck_times[k] for k in shared)
     return {
         "event_rows": TIERS["sf10"][2],
         "live_rows_after_delete": int(n_live),
-        "protocol": "DML steps timed once; scans warm median-of-3",
+        "protocol": (
+            "DML steps timed once; scans warm median-of-3; "
+            "raw_*_floor rows are spark-only engine floors (the duck "
+            "twin's write_ctas/scan_after_vacuum ARE its raw floors "
+            "by construction); totals cover the shared DML steps only"
+        ),
         "spark": spark_times,
         "duck": duck_times,
         "ratio": {
-            k: round(spark_times[k] / duck_times[k], 2) for k in duck_times
+            k: round(spark_times[k] / duck_times[k], 2) for k in shared
+        },
+        "lake_overhead_vs_own_floor": {
+            "spark_write": round(
+                spark_times["write_ctas"] / spark_times["raw_write_floor"], 2
+            ),
+            "spark_delete": round(
+                spark_times["delete_dv"]
+                / spark_times["raw_delete_floor"], 2
+            ),
+            "spark_masked_scan": round(
+                spark_times["scan_after_delete"]
+                / spark_times["raw_scan_floor"], 2
+            ),
+            "spark_vacuum": round(
+                spark_times["vacuum_rewrite"]
+                / spark_times["raw_rewrite_floor"], 2
+            ),
+            "duck_masked_scan": round(
+                duck_times["scan_after_delete"]
+                / duck_times["scan_after_vacuum"], 2
+            ),
         },
         "totals": {
-            "spark": round(sum(spark_times.values()), 3),
-            "duck": round(sum(duck_times.values()), 3),
-            "ratio": round(
-                sum(spark_times.values()) / sum(duck_times.values()), 2
-            ),
+            "spark": round(s_tot, 3),
+            "duck": round(d_tot, 3),
+            "ratio": round(s_tot / d_tot, 2),
         },
     }
 
@@ -1163,6 +1239,44 @@ def _merge_median_runs(runs: list[dict]) -> dict:
             2,
         ),
     }
+    return out
+
+
+def _merge_lakedml(runs: list[dict]) -> dict:
+    """Median-of-N fresh processes for the lake_dml unit. The DML
+    steps are stateful (timed once per process), so the median across
+    whole fresh processes is the only way to give them the same
+    robustness as the sf10 tier; ratios / floors / totals are
+    recomputed from the merged medians."""
+    out = dict(runs[0])
+    for key in ("spark", "duck"):
+        per = {q: [r[key][q] for r in runs] for q in runs[0][key]}
+        out[key] = {q: round(_median(v), 3) for q, v in per.items()}
+        out[f"{key}_band"] = {q: [min(v), max(v)] for q, v in per.items()}
+    s, d = out["spark"], out["duck"]
+    shared = [k for k in d if k in s]
+    out["ratio"] = {k: round(s[k] / d[k], 2) for k in shared}
+    out["lake_overhead_vs_own_floor"] = {
+        "spark_write": round(s["write_ctas"] / s["raw_write_floor"], 2),
+        "spark_delete": round(s["delete_dv"] / s["raw_delete_floor"], 2),
+        "spark_masked_scan": round(
+            s["scan_after_delete"] / s["raw_scan_floor"], 2
+        ),
+        "spark_vacuum": round(
+            s["vacuum_rewrite"] / s["raw_rewrite_floor"], 2
+        ),
+        "duck_masked_scan": round(
+            d["scan_after_delete"] / d["scan_after_vacuum"], 2
+        ),
+    }
+    s_tot = sum(s[k] for k in shared)
+    d_tot = sum(d[k] for k in shared)
+    out["totals"] = {
+        "spark": round(s_tot, 3),
+        "duck": round(d_tot, 3),
+        "ratio": round(s_tot / d_tot, 2),
+    }
+    out["fresh_processes"] = len(runs)
     return out
 
 
@@ -1221,7 +1335,7 @@ def _apply_coreport(out: dict) -> None:
 # THREE fresh processes and commits the per-query median + min/max
 # band (_merge_median_runs); lakedml is the new table-format unit.
 _BOTH_UNITS = ("sf1", "sf10only", "sf10only", "sf10only", "kernel",
-               "pairs", "lakedml")
+               "pairs", "lakedml", "lakedml", "lakedml")
 
 
 def main() -> None:
@@ -1234,6 +1348,7 @@ def main() -> None:
 
         out: dict[str, dict] = {}
         sf10_runs: list[dict] = []
+        lakedml_runs: list[dict] = []
         for unit in _BOTH_UNITS:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--tier", unit],
@@ -1244,10 +1359,14 @@ def main() -> None:
             got = json.loads(proc.stdout.strip().splitlines()[-1])
             if unit == "sf10only":
                 sf10_runs.append(got["sf10"])
+            elif unit == "lakedml":
+                lakedml_runs.append(got["lake_dml"])
             else:
                 out.update(got)
         if sf10_runs:
             out["sf10"] = _merge_median_runs(sf10_runs)
+        if lakedml_runs:
+            out["lake_dml"] = _merge_lakedml(lakedml_runs)
         _apply_coreport(out)
         print(json.dumps(out))
         return
