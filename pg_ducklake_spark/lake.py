@@ -458,6 +458,13 @@ class Lake:
         except Exception:
             pass  # older runtime without the conf — TIME DDL will error
         self._logs: dict[str, SnapshotLog] = {}
+        # (canon name, snapshot_id) -> persisted DV packed-key frame:
+        # the DV parquet of a given snapshot is immutable, so repeated
+        # full-table masked scans reuse the cached key set instead of
+        # re-running the DV scan job per query; memory is bounded at
+        # 8 bytes per deleted position, and only the most recently
+        # scanned version per table is kept (see _read_files).
+        self._dv_key_cache: dict[tuple[str, int], DataFrame] = {}
         self._retry_pol: tuple[int, float, float] | None = None
         self._txn: dict[str, dict] | None = None
         self._sql_txn: "_Transaction | None" = None  # BEGIN..COMMIT prompt state
@@ -717,6 +724,14 @@ class Lake:
             raise TableNotFoundError(f"table {name!r} does not exist")
         shutil.rmtree(self._table_dir(name))
         self._logs.pop(self._canon(name), None)
+        self._evict_dv_cache(name)
+
+    def _evict_dv_cache(self, name: str) -> None:
+        for k in [k for k in self._dv_key_cache if k[0] == self._canon(name)]:
+            try:
+                self._dv_key_cache.pop(k).unpersist()
+            except Exception:
+                pass
 
     def rename_table(self, name: str, new_name: str) -> None:
         self._check_ddl()
@@ -731,6 +746,8 @@ class Lake:
         os.rename(self._table_dir(name), self._table_dir(new_name))
         self._logs.pop(self._canon(name), None)
         self._logs.pop(self._canon(new_name), None)
+        self._evict_dv_cache(name)
+        self._evict_dv_cache(new_name)
 
     def clone_table(self, name: str, new_name: str) -> None:
         """Zero-copy clone (branch): every immutable artifact — data
@@ -1516,6 +1533,7 @@ class Lake:
         relative to data (they hold positions, not rows), so the
         broadcast is the scale-correct plan."""
         table_dir = self._table_dir(name)
+        full_scan = rels is None
         rels = sorted(state.files) if rels is None else sorted(rels)
         if not rels:
             df = self.spark.createDataFrame([], schema)
@@ -1708,17 +1726,39 @@ class Lake:
             # the same scan to ~0.5 s.
             if len(fids) < (1 << 23):
                 pack = F.shiftleft(F.col("_dl_fid"), 40)
-                relvals = ", ".join(
-                    "('{0}', {1}L)".format(rel.replace("'", "''"), i)
-                    for i, rel in enumerate(fids)
-                )
-                relmap = self.spark.sql(
-                    f"SELECT * FROM VALUES {relvals} AS t(file, _dl_fid)"
-                )
-                dvk = (
-                    dv.join(F.broadcast(relmap), "file")  # bcast-ok: one row per data file (metadata-sized)
-                    .select((pack + F.col("row_index")).alias("_dl_key"))
-                )
+                # The packed key set of a (table, snapshot) is
+                # immutable — persist it for full-table scans so the
+                # per-query DV scan job disappears in the steady state
+                # (an analytics session runs many reads between
+                # deletes). fids is sorted(applicable), deterministic
+                # for a given state, so the cached keys stay consistent
+                # with this call's probe-side fid map. Only the latest
+                # version per table is kept; older entries unpersist.
+                ckey = (self._canon(name), state.snapshot_id)
+                dvk = self._dv_key_cache.get(ckey) if full_scan else None
+                if dvk is None:
+                    relvals = ", ".join(
+                        "('{0}', {1}L)".format(rel.replace("'", "''"), i)
+                        for i, rel in enumerate(fids)
+                    )
+                    relmap = self.spark.sql(
+                        f"SELECT * FROM VALUES {relvals} AS t(file, _dl_fid)"
+                    )
+                    dvk = (
+                        dv.join(F.broadcast(relmap), "file")  # bcast-ok: one row per data file (metadata-sized)
+                        .select((pack + F.col("row_index")).alias("_dl_key"))
+                    )
+                    if full_scan:
+                        dvk = dvk.persist(StorageLevel.MEMORY_AND_DISK)
+                        for old in [
+                            k for k in self._dv_key_cache
+                            if k[0] == ckey[0] and k != ckey
+                        ]:
+                            try:
+                                self._dv_key_cache.pop(old).unpersist()
+                            except Exception:
+                                pass
+                        self._dv_key_cache[ckey] = dvk
                 if size_ok:
                     szvals = ", ".join(
                         f"({sizes[rel]}L, {i}L)"

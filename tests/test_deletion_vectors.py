@@ -161,3 +161,21 @@ def test_dv_size_keyed_resolve_and_string_fallback(spark, lake):
     )
     assert lake.table("c").count() == 90  # 2x50 - 2x5
     assert lake.table("c").filter("a < 5").count() == 0
+
+
+def test_dv_key_cache_reuse_and_invalidation(t):
+    """r11c: the packed DV key set of a (table, snapshot) is persisted
+    and reused across full-table scans; a new delete (snapshot bump)
+    must invalidate it, and time-travel states get their own entries."""
+    t.delete("t", "a < 10")
+    assert t.table("t").count() == 90
+    key0 = next(iter(t._dv_key_cache))
+    cached0 = t._dv_key_cache[key0]
+    t.table("t").count()
+    assert t._dv_key_cache[key0] is cached0  # reused, not rebuilt
+    t.delete("t", "a >= 90")
+    assert t.table("t").count() == 80
+    assert key0 not in t._dv_key_cache  # old version evicted
+    assert len(t._dv_key_cache) == 1
+    t.drop_table("t")
+    assert not t._dv_key_cache
