@@ -2130,16 +2130,20 @@ class Lake:
         # reused for (a) per-file match counts, (b) the CDF change-row
         # write, (c) the DV position write — previously each was its
         # own full pass over the affected files (measured 6.3 s → 3.4 s
-        # for a 5% delete on a 10M-row table). Persist is bounded by
-        # the DELETE's own output volume (the matched rows), spilling
-        # to disk for huge deletes.
+        # for a 5% delete on a 10M-row table). In DV mode only the
+        # POSITIONS persist (the delete file is the change record —
+        # no downstream consumer needs the row bodies), so the cached
+        # volume is ~110 bytes per deleted row regardless of table
+        # width; CoW persists full rows because the CDF write needs
+        # them. Both spill to disk for huge deletes.
         matched = None
         file_counts: dict[str, int] = {}
         if state.files:
             scan = self._read_files(name, state, schema, keep_meta=True)
-            matched = scan.filter(pred).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            matched = scan.filter(pred)
+            if mode == "dv":
+                matched = matched.select("_dl_fp", "_dl_ri")
+            matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
             file_counts = {
                 self._uri_to_rel(table_dir, r["_dl_fp"]): r["count"]
                 for r in matched.groupBy("_dl_fp").count().collect()
