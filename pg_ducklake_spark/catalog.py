@@ -372,6 +372,12 @@ class SnapshotLog:
         # cached state because their commit marker was absent.
         self._replay_unresolved: list[tuple[int, str, str]] = []
         self._cache_unresolved: list[tuple[int, str, str]] = []
+        # Bumped on every event that can change the replayed state of
+        # an EXISTING snapshot id in place (a pending-txn marker
+        # landing, checkpoint rollback): (snapshot_id, epoch) is a
+        # sound cache key for derived state where snapshot_id alone is
+        # not. Consumers: Lake._table_df_cache / _dv_key_cache.
+        self.epoch = 0
 
     # -- log primitives ----------------------------------------------------
 
@@ -566,6 +572,7 @@ class SnapshotLog:
             for _v, txn, _ts in self._cache_unresolved
         ):
             self._cache = None
+            self.epoch += 1  # same snapshot ids now replay differently
         if version is None or version == latest:
             if self._cache is None:
                 self._replay_unresolved = []
@@ -591,6 +598,15 @@ class SnapshotLog:
             if v > start:
                 self._apply(state, self.read_snapshot(v))
         return state
+
+    def has_unresolved(self) -> bool:
+        """True if the most recently replayed state skipped any pending
+        multi-table txn snapshot whose marker may still land. Such a
+        state is NOT uniquely identified by its snapshot_id (the marker
+        resolving changes the state without a new snapshot), so callers
+        must not cache anything keyed on (table, snapshot_id) while
+        this holds."""
+        return bool(self._cache_unresolved or self._replay_unresolved)
 
     def _checkpoints(self) -> list[int]:
         if not self.exists():
@@ -715,6 +731,7 @@ class SnapshotLog:
                 except OSError:
                     pass
         self._cache = None  # cached state may predate the marker flip
+        self.epoch += 1  # same snapshot ids may now replay differently
 
     def min_version(self) -> int:
         """Oldest still-readable snapshot (1 unless history was expired)."""

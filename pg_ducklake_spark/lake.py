@@ -465,6 +465,14 @@ class Lake:
         # 8 bytes per deleted position, and only the most recently
         # scanned version per table is kept (see _read_files).
         self._dv_key_cache: dict[tuple[str, int], DataFrame] = {}
+        # (canon name, snapshot_id, with_rowid) -> constructed table
+        # DataFrame: the plan of a (table, snapshot) is immutable, so
+        # repeated table() calls skip the py4j plan re-construction
+        # (~0.25 s per call on a DV'd 32-file table). Bounded FIFO;
+        # invalidated with the DV cache on drop/rename (snapshot ids
+        # RESTART when a table is dropped and recreated, so name-only
+        # eviction there is load-bearing, not hygiene).
+        self._table_df_cache: dict[tuple, DataFrame] = {}
         self._retry_pol: tuple[int, float, float] | None = None
         self._txn: dict[str, dict] | None = None
         self._sql_txn: "_Transaction | None" = None  # BEGIN..COMMIT prompt state
@@ -727,11 +735,14 @@ class Lake:
         self._evict_dv_cache(name)
 
     def _evict_dv_cache(self, name: str) -> None:
-        for k in [k for k in self._dv_key_cache if k[0] == self._canon(name)]:
+        canon = self._canon(name)
+        for k in [k for k in self._dv_key_cache if k[0] == canon]:
             try:
                 self._dv_key_cache.pop(k).unpersist()
             except Exception:
                 pass
+        for k in [k for k in self._table_df_cache if k[0] == canon]:
+            self._table_df_cache.pop(k, None)
 
     def rename_table(self, name: str, new_name: str) -> None:
         self._check_ddl()
@@ -1734,8 +1745,13 @@ class Lake:
                 # for a given state, so the cached keys stay consistent
                 # with this call's probe-side fid map. Only the latest
                 # version per table is kept; older entries unpersist.
-                ckey = (self._canon(name), state.snapshot_id)
-                dvk = self._dv_key_cache.get(ckey) if full_scan else None
+                # Same pending-txn hazard as the table-df cache: a
+                # state that skipped an unresolved txn mutates in place
+                # when the marker lands — snapshot_id is not a key.
+                _log = self._log(name)
+                cacheable = full_scan and not _log.has_unresolved()
+                ckey = (self._canon(name), state.snapshot_id, _log.epoch)
+                dvk = self._dv_key_cache.get(ckey) if cacheable else None
                 if dvk is None:
                     relvals = ", ".join(
                         "('{0}', {1}L)".format(rel.replace("'", "''"), i)
@@ -1748,7 +1764,7 @@ class Lake:
                         dv.join(F.broadcast(relmap), "file")  # bcast-ok: one row per data file (metadata-sized)
                         .select((pack + F.col("row_index")).alias("_dl_key"))
                     )
-                    if full_scan:
+                    if cacheable:
                         dvk = dvk.persist(StorageLevel.MEMORY_AND_DISK)
                         for old in [
                             k for k in self._dv_key_cache
@@ -1875,10 +1891,26 @@ class Lake:
         v = self._resolve_version(name, version, timestamp)
         state = self._state(name, v)
         schema = state.schema_at(state.snapshot_id)
+        # A state that skipped a pending multi-table txn is not
+        # identified by snapshot_id alone (the marker landing mutates
+        # it in place) — bypass the cache then. The log epoch covers
+        # the other same-id mutation (checkpoint rollback): it bumps
+        # whenever existing snapshot ids may replay differently.
+        log = self._log(name)
+        ckey = (
+            None
+            if log.has_unresolved()
+            else (self._canon(name), state.snapshot_id, log.epoch, with_rowid)
+        )
+        hit = self._table_df_cache.get(ckey) if ckey else None
+        if hit is not None:
+            return hit
         if not with_rowid:
             df = self._files_df(name, state, schema)
             inline = self._inline_df(state, schema)
-            return df.unionByName(inline) if inline is not None else df
+            out = df.unionByName(inline) if inline is not None else df
+            self._table_df_put(ckey, out)
+            return out
         if "rowid" in {f.name for f in schema.fields}:
             raise LakeError(
                 "with_rowid=True clashes with an existing 'rowid' column"
@@ -1891,7 +1923,15 @@ class Lake:
             df = df.unionByName(
                 inline.withColumnRenamed("_dl_row_id", "rowid")
             )
+        self._table_df_put(ckey, df)
         return df
+
+    def _table_df_put(self, key: tuple | None, df: DataFrame) -> None:
+        if key is None:  # unresolved pending txn: state not cacheable
+            return
+        if len(self._table_df_cache) >= 16:  # bounded FIFO
+            self._table_df_cache.pop(next(iter(self._table_df_cache)))
+        self._table_df_cache[key] = df
 
     def time_travel(self, name: str, version_or_ts) -> DataFrame:
         """A16: ``time_travel(tbl, version | timestamp)``."""

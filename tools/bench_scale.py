@@ -1075,6 +1075,17 @@ def run_lake_dml(spark) -> dict:
                 f"{tmp}/spark_raw_clean"
             ),
         )
+        # The single-file variant: VACUUM's contract is target-sized
+        # output files, and the survivors fit ONE — Spark's unit of
+        # write parallelism is the file, so this floor is a one-task
+        # write (DuckDB parallelizes row groups inside a single file;
+        # that intra-file parallelism is the cross-engine gap on this
+        # step, not lake overhead).
+        _once(
+            spark_times, "raw_rewrite1_floor",
+            lambda: raw.filter("value >= 0.05").repartition(1)
+            .write.parquet(f"{tmp}/spark_raw_clean1"),
+        )
         _once(spark_times, "write_ctas", lambda: lake.create_table_as("events", ev))
         _once(
             spark_times, "delete_dv",
@@ -1193,7 +1204,7 @@ def run_lake_dml(spark) -> dict:
             ),
             "spark_vacuum": round(
                 spark_times["vacuum_rewrite"]
-                / spark_times["raw_rewrite_floor"], 2
+                / spark_times["raw_rewrite1_floor"], 2
             ),
             "duck_masked_scan": round(
                 duck_times["scan_after_delete"]
@@ -1263,7 +1274,7 @@ def _merge_lakedml(runs: list[dict]) -> dict:
             s["scan_after_delete"] / s["raw_scan_floor"], 2
         ),
         "spark_vacuum": round(
-            s["vacuum_rewrite"] / s["raw_rewrite_floor"], 2
+            s["vacuum_rewrite"] / s["raw_rewrite1_floor"], 2
         ),
         "duck_masked_scan": round(
             d["scan_after_delete"] / d["scan_after_vacuum"], 2
