@@ -1047,33 +1047,44 @@ def run_lake_dml(spark) -> dict:
         # which made the "floor" read slower than the lake CTAS it is
         # supposed to bound
         ev.limit(200_000).write.parquet(f"{tmp}/spark_warmup")
-        _once(
-            spark_times, "raw_write_floor",
-            lambda: ev.write.parquet(f"{tmp}/spark_raw"),
+
+        # Floors are idempotent (unlike the DML steps), so each is the
+        # median of 3 writes into distinct dirs — single-task parquet
+        # writes in particular have a wide GC-driven band (a one-draw
+        # rewrite1 floor measured 7.3 s against vacuum's own 4.6 s,
+        # i.e. slower than the step it is supposed to bound).
+        def _write_median(key: str, fn) -> None:
+            samples = []
+            for i in range(3):
+                t0 = time.time()
+                fn(f"{tmp}/{key}_{i}")
+                samples.append(time.time() - t0)
+            spark_times[key] = round(sorted(samples)[1], 3)
+
+        _write_median(
+            "raw_write_floor", lambda p: ev.write.parquet(p)
         )
-        raw = spark.read.parquet(f"{tmp}/spark_raw")
+        raw = spark.read.parquet(f"{tmp}/raw_write_floor_0")
         _scan_median(
             spark_times, "raw_scan_floor",
             lambda: raw.groupBy()
             .agg(F.count(F.lit(1)), F.sum("value"))
             .collect(),
         )
-        _once(
-            spark_times, "raw_delete_floor",
-            lambda: raw.select(
+        _write_median(
+            "raw_delete_floor",
+            lambda p: raw.select(
                 F.col("_metadata.file_size").alias("fsz"),
                 F.col("_metadata.row_index").alias("row_index"),
                 "value",
             )
             .filter("value < 0.05")
             .drop("value")
-            .write.parquet(f"{tmp}/spark_raw_dv"),
+            .write.parquet(p),
         )
-        _once(
-            spark_times, "raw_rewrite_floor",
-            lambda: raw.filter("value >= 0.05").write.parquet(
-                f"{tmp}/spark_raw_clean"
-            ),
+        _write_median(
+            "raw_rewrite_floor",
+            lambda p: raw.filter("value >= 0.05").write.parquet(p),
         )
         # The single-file variant: VACUUM's contract is target-sized
         # output files, and the survivors fit ONE — Spark's unit of
@@ -1081,10 +1092,10 @@ def run_lake_dml(spark) -> dict:
         # write (DuckDB parallelizes row groups inside a single file;
         # that intra-file parallelism is the cross-engine gap on this
         # step, not lake overhead).
-        _once(
-            spark_times, "raw_rewrite1_floor",
-            lambda: raw.filter("value >= 0.05").repartition(1)
-            .write.parquet(f"{tmp}/spark_raw_clean1"),
+        _write_median(
+            "raw_rewrite1_floor",
+            lambda p: raw.filter("value >= 0.05").repartition(1)
+            .write.parquet(p),
         )
         _once(spark_times, "write_ctas", lambda: lake.create_table_as("events", ev))
         _once(
