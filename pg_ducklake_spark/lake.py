@@ -1540,9 +1540,13 @@ class Lake:
     ) -> DataFrame:
         """Read data files under ``schema``, subtracting positional
         delete files (≙ ducklake_delete_file) via a broadcast anti-join
-        on (_metadata.file_path, _metadata.row_index). DVs are small
-        relative to data (they hold positions, not rows), so the
-        broadcast is the scale-correct plan."""
+        on a packed (file id, _metadata.row_index) LONG — file ids
+        resolved per row by a numeric ``_metadata.file_size`` join when
+        the catalog sizes are unique, else by the file_path string (see
+        the size_ok comment below). Files without a DV bypass the join
+        entirely. DVs are small relative to data (positions, not rows),
+        so the broadcast is the scale-correct plan; the packed key set
+        is persisted per (table, snapshot, epoch) for full scans."""
         table_dir = self._table_dir(name)
         full_scan = rels is None
         rels = sorted(state.files) if rels is None else sorted(rels)
