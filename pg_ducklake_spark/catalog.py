@@ -567,12 +567,27 @@ class SnapshotLog:
             )
         # A cached state that skipped pending txn snapshots goes stale
         # the moment one of their markers lands — rebuild from scratch.
-        if self._cache is not None and any(
-            os.path.exists(self._txn_marker(txn))
-            for _v, txn, _ts in self._cache_unresolved
-        ):
-            self._cache = None
-            self.epoch += 1  # same snapshot ids now replay differently
+        # The marker probe alone is NOT sufficient: gc_txn_markers
+        # (another process) folds the outcome INTO the snapshot file
+        # and unlinks the marker, so a replayer that cached before the
+        # fold would miss the landing forever (its _cache_unresolved
+        # entry sticking permanently, serving stale state and keeping
+        # downstream (table, snapshot_id, epoch)-keyed caches disabled
+        # via has_unresolved). So also re-read each skipped snapshot:
+        # a folded commit sheds its txn_pending tag, a folded abort
+        # becomes a ROLLBACK record — either way the entry is resolved
+        # and the cache must rebuild under a new epoch.
+        if self._cache is not None and self._cache_unresolved:
+            def _resolved(v: int, txn: str) -> bool:
+                if os.path.exists(self._txn_marker(txn)):
+                    return True
+                try:
+                    return self.read_snapshot(v).get("txn_pending") != txn
+                except (OSError, ValueError, KeyError):
+                    return False
+            if any(_resolved(v, txn) for v, txn, _ts in self._cache_unresolved):
+                self._cache = None
+                self.epoch += 1  # same snapshot ids now replay differently
         if version is None or version == latest:
             if self._cache is None:
                 self._replay_unresolved = []

@@ -462,8 +462,10 @@ class Lake:
         # the DV parquet of a given snapshot is immutable, so repeated
         # full-table masked scans reuse the cached key set instead of
         # re-running the DV scan job per query; memory is bounded at
-        # 8 bytes per deleted position, and only the most recently
-        # scanned version per table is kept (see _read_files).
+        # 8 bytes per deleted position and at most
+        # _DV_KEY_CACHE_PER_TABLE entries per table (lowest snapshot
+        # evicted first, so alternating latest-version and time-travel
+        # scans don't thrash the steady-state entry; see _read_files).
         self._dv_key_cache: dict[tuple[str, int], DataFrame] = {}
         # (canon name, snapshot_id, with_rowid) -> constructed table
         # DataFrame: the plan of a (table, snapshot) is immutable, so
@@ -1505,6 +1507,18 @@ class Lake:
         ]
     )
 
+    # Above this many catalog-recorded deleted positions in one scan,
+    # the DV anti-join drops its broadcast hint (64M * 8 B packed keys
+    # ≈ 512 MB — comfortably under Spark's 8 GB broadcast hard limit
+    # and typical driver memory, while still broadcasting every
+    # vacuum-bounded steady-state DV). Tests override it to force the
+    # sort-merge path at toy scale.
+    DV_BROADCAST_MAX_POSITIONS = 64_000_000
+
+    # Per-table cap on cached DV key sets (latest + a few time-travel
+    # vintages); lowest snapshot_id evicted first.
+    _DV_KEY_CACHE_PER_TABLE = 4
+
     @staticmethod
     def _initial_defaults(
         state: TableState, schema: T.StructType
@@ -1696,6 +1710,38 @@ class Lake:
             # pack (>8M DV'd files) — keep the string columns then
             and len(fids) < (1 << 23)
         )
+        # The size-keyed join resolves file ids through
+        # _metadata.file_size == FileEntry.bytes. That invariant holds
+        # because bytes is recorded via os.path.getsize at commit — but
+        # if any future registration path ever records bytes from
+        # another source, the left join would yield a null _dl_fid and
+        # the anti-join would silently KEEP deleted rows. Guard it here
+        # with one stat per DV'd file (metadata-scale) and fall back to
+        # the path-string join on any mismatch: wrong-but-slower is
+        # acceptable, wrong-results-silently is not.
+        if size_ok:
+            try:
+                size_ok = all(
+                    os.path.getsize(os.path.join(table_dir, r)) == sizes[r]
+                    for r in fids
+                )
+            except OSError:
+                size_ok = False
+        # Broadcast guard for the DV anti-join (the one read-path
+        # construct with a hard cliff at scale): the packed key set is
+        # 8 B per deleted position, and Spark's broadcast hard limit is
+        # 8 GB — a mass DELETE between vacuums (e.g. 20% of a 10B-row
+        # table = 2B positions = 16 GB packed) would OOM the driver.
+        # The catalog records the cumulative DV position count per file
+        # at commit, so the scan knows the total at plan time for free;
+        # above the threshold (~512 MB packed) the hint is dropped and
+        # the packed-LONG anti-join runs sort-merge/shuffled-hash under
+        # AQE. The reference has no such cliff because DuckDB applies
+        # delete files per-file (src/pgducklake_freeze.cpp:43).
+        total_dv_positions = sum(
+            int(d.get("deleted", 0)) for d in applicable.values()
+        )
+        dv_bcast = total_dv_positions <= self.DV_BROADCAST_MAX_POSITIONS
         parts, parts_dvd = [], []
         for (missing, phys), group_rels in sorted(
             groups.items(), key=lambda kv: repr(kv[0])
@@ -1747,8 +1793,10 @@ class Lake:
                 # (an analytics session runs many reads between
                 # deletes). fids is sorted(applicable), deterministic
                 # for a given state, so the cached keys stay consistent
-                # with this call's probe-side fid map. Only the latest
-                # version per table is kept; older entries unpersist.
+                # with this call's probe-side fid map. Up to
+                # _DV_KEY_CACHE_PER_TABLE versions per table are kept
+                # (lowest snapshot evicted first) so time-travel reads
+                # don't thrash the steady-state latest entry.
                 # Same pending-txn hazard as the table-df cache: a
                 # state that skipped an unresolved txn mutates in place
                 # when the marker lands — snapshot_id is not a key.
@@ -1770,12 +1818,15 @@ class Lake:
                     )
                     if cacheable:
                         dvk = dvk.persist(StorageLevel.MEMORY_AND_DISK)
-                        for old in [
+                        sibs = [
                             k for k in self._dv_key_cache
                             if k[0] == ckey[0] and k != ckey
-                        ]:
+                        ]
+                        while len(sibs) >= self._DV_KEY_CACHE_PER_TABLE:
+                            victim = min(sibs, key=lambda k: k[1])
+                            sibs.remove(victim)
                             try:
-                                self._dv_key_cache.pop(old).unpersist()
+                                self._dv_key_cache.pop(victim).unpersist()
                             except Exception:
                                 pass
                         self._dv_key_cache[ckey] = dvk
@@ -1791,7 +1842,10 @@ class Lake:
                     masked = (
                         masked.join(F.broadcast(szmap), "_dl_sz", "left")  # bcast-ok: one row per data file (metadata-sized)
                         .withColumn("_dl_key", pack + F.col("_dl_ri"))
-                        .join(F.broadcast(dvk), "_dl_key", "left_anti")  # bcast-ok: 8B per deleted position, bounded by DV size
+                        .join(
+                            F.broadcast(dvk) if dv_bcast else dvk,  # guarded: catalog-counted positions vs DV_BROADCAST_MAX_POSITIONS
+                            "_dl_key", "left_anti",
+                        )
                         .drop("_dl_fid", "_dl_key", "_dl_sz")
                     )
                 else:
@@ -1810,7 +1864,10 @@ class Lake:
                     masked = (
                         masked.join(F.broadcast(fmap), "_dl_fp", "left")  # bcast-ok: one row per data file (metadata-sized)
                         .withColumn("_dl_key", pack + F.col("_dl_ri"))
-                        .join(F.broadcast(dvk), "_dl_key", "left_anti")  # bcast-ok: 8B per deleted position, bounded by DV size
+                        .join(
+                            F.broadcast(dvk) if dv_bcast else dvk,  # guarded: catalog-counted positions vs DV_BROADCAST_MAX_POSITIONS
+                            "_dl_key", "left_anti",
+                        )
                         .drop("_dl_fid", "_dl_key")
                     )
             else:  # >8M DV'd files in one scan: packed fid overflows
@@ -1820,7 +1877,10 @@ class Lake:
                     ).alias("_dl_fp"),
                     F.col("row_index").alias("_dl_ri"),
                 )
-                masked = masked.join(F.broadcast(dvp), ["_dl_fp", "_dl_ri"], "left_anti")  # bcast-ok: per-file delete vector, bounded by max file rows
+                masked = masked.join(
+                    F.broadcast(dvp) if dv_bcast else dvp,  # guarded: catalog-counted positions vs DV_BROADCAST_MAX_POSITIONS
+                    ["_dl_fp", "_dl_ri"], "left_anti",
+                )
             if not keep_meta:
                 masked = masked.drop("_dl_fp", "_dl_ri")
             parts.append(masked)

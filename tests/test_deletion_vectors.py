@@ -134,7 +134,6 @@ def test_dv_size_keyed_resolve_and_string_fallback(spark, lake):
         "CAST(id AS INT) a", "concat('v', id) b").coalesce(1))
     lake.insert("u", spark.range(60, 100).selectExpr(
         "CAST(id AS INT) a", "concat('v', id) b").coalesce(1))
-    st = lake._state("u")
     lake.delete("u", "a % 7 = 0")
     st = lake._state("u")
     sizes = [lake._state("u").files[r].bytes for r in sorted(st.dvs)]
@@ -144,13 +143,16 @@ def test_dv_size_keyed_resolve_and_string_fallback(spark, lake):
     assert lake.table("u").count() == 100 - 15
     assert lake.table("u").filter("a % 7 = 0").count() == 0
 
-    # size collision: two inserts of IDENTICAL rows -> identical files
+    # size collision: two inserts of IDENTICAL rows -> identical files.
+    # NOTE fixture assumption: Spark's parquet writer is
+    # byte-deterministic for identical input — if the "must collide on
+    # size" assertion below ever fails, suspect a Spark writer-version
+    # change (nondeterministic metadata), not the lake.
     lake.create_table("c", "a int, b string")
     rows = spark.range(0, 50).selectExpr(
         "CAST(id AS INT) a", "concat('v', id) b").coalesce(1)
     lake.insert("c", rows)
     lake.insert("c", rows)
-    st = lake._state("c")
     lake.delete("c", "a < 5")
     st = lake._state("c")
     sizes = [st.files[r].bytes for r in sorted(st.dvs)]
@@ -163,10 +165,52 @@ def test_dv_size_keyed_resolve_and_string_fallback(spark, lake):
     assert lake.table("c").filter("a < 5").count() == 0
 
 
+def test_dv_broadcast_guard_both_paths(spark, lake):
+    """r12 (VERDICT #1): the DV anti-join broadcast is guarded by the
+    catalog-recorded total DV position count — under the threshold the
+    packed key set is broadcast-hinted; above it the hint is dropped so
+    the packed-LONG anti-join runs sort-merge/shuffled-hash (a mass
+    DELETE between vacuums can exceed Spark's 8 GB broadcast hard
+    limit; the catalog knows the count at plan time for free). Both
+    paths plan-asserted and result-identical."""
+    from pg_ducklake_spark import Lake
+
+    lake.create_table("g", "a int, b string")
+    lake.insert("g", spark.range(0, 200).selectExpr(
+        "CAST(id AS INT) a", "concat('v', id) b").coalesce(2))
+    lake.delete("g", "a % 3 = 0")
+
+    def anti_lines(df):
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        return [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+
+    # default: 67 positions << 64M threshold -> broadcast-hinted
+    hinted = anti_lines(lake.table("g"))
+    assert hinted and all("Broadcast" in ln for ln in hinted)
+    expect = sorted(r.a for r in lake.table("g").collect())
+
+    # guarded: fresh Lake (no cached plan), threshold forced to 0, and
+    # auto-broadcast off so the static plan shows the unhinted join
+    l2 = Lake(spark, lake.path)
+    l2.DV_BROADCAST_MAX_POSITIONS = 0
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = l2.table("g")
+        unhinted = anti_lines(df)
+        assert unhinted and all("Broadcast" not in ln for ln in unhinted)
+        assert sorted(r.a for r in df.collect()) == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_dv_key_cache_reuse_and_invalidation(t):
-    """r11c: the packed DV key set of a (table, snapshot) is persisted
-    and reused across full-table scans; a new delete (snapshot bump)
-    must invalidate it, and time-travel states get their own entries."""
+    """r11c/r12: the packed DV key set of a (table, snapshot) is
+    persisted and reused across full-table scans; a new delete
+    (snapshot bump) gets its own entry while up to
+    _DV_KEY_CACHE_PER_TABLE older vintages stay cached (so
+    alternating latest and time-travel scans don't thrash), with the
+    lowest snapshot evicted once the cap is hit."""
     t.delete("t", "a < 10")
     assert t.table("t").count() == 90
     key0 = next(iter(t._dv_key_cache))
@@ -175,7 +219,18 @@ def test_dv_key_cache_reuse_and_invalidation(t):
     assert t._dv_key_cache[key0] is cached0  # reused, not rebuilt
     t.delete("t", "a >= 90")
     assert t.table("t").count() == 80
-    assert key0 not in t._dv_key_cache  # old version evicted
-    assert len(t._dv_key_cache) == 1
+    # LRU: the older vintage STAYS cached (time-travel reads of it
+    # must not rebuild), alongside the new latest entry
+    assert key0 in t._dv_key_cache
+    assert len(t._dv_key_cache) == 2
+    # drive past the per-table cap: each delete+scan adds a vintage
+    for lo in (10, 20, 30):
+        t.delete("t", f"a < {lo + 10} and a >= {lo}")
+        t.table("t").count()
+    per_table = [k for k in t._dv_key_cache]
+    assert len(per_table) == t._DV_KEY_CACHE_PER_TABLE
+    # the lowest snapshot (key0) was the eviction victim
+    assert key0 not in t._dv_key_cache
+    assert max(k[1] for k in per_table) == t._state("t").snapshot_id
     t.drop_table("t")
     assert not t._dv_key_cache

@@ -351,6 +351,88 @@ def test_pending_txn_resolves_in_cached_reader(spark, lake):
     assert lake.table("ta").count() == 2  # marker landed: visible
 
 
+def test_pending_txn_fold_resolves_in_cached_reader(spark, lake):
+    """ADVICE r11: replay's invalidation probe checked only the marker
+    FILE — but gc_txn_markers (in another process) folds the outcome
+    into the snapshot json and unlinks the marker, so a reader that
+    cached before the fold would miss the landing forever (stale state
+    + its _cache_unresolved entry permanently disabling the df/dv
+    caches). Replay must also re-read the skipped snapshot: a folded
+    commit sheds its txn_pending tag."""
+    import os as _os
+    import uuid as _uuid
+
+    from pg_ducklake_spark.catalog import TXN_DIR
+
+    _two_tables(spark, lake)
+    txn_id = _uuid.uuid4().hex
+    log = lake._log("ta")
+    entries = [
+        e.to_json()
+        for e in lake._write_data(
+            lake._table_dir("ta"),
+            spark.createDataFrame([(9,)], "a int"),
+            [],
+            schema=lake._state("ta").schema,
+            options=lake.options("ta"),
+        )
+    ]
+    log.commit({"operation": "INSERT", "add": entries,
+                "metrics": {}, "txn_pending": txn_id})
+    assert lake.table("ta").count() == 1  # pending: invisible, cached
+    assert lake._log("ta").has_unresolved()
+    # "another process": the marker lands AND is gc-folded (marker file
+    # unlinked, outcome baked into the snapshot) before our next read
+    marker_dir = _os.path.join(lake.path, TXN_DIR)
+    _os.makedirs(marker_dir, exist_ok=True)
+    open(_os.path.join(marker_dir, f"{txn_id}.commit"), "w").close()
+    other = Lake.attach(spark, lake.path)
+    assert other.gc_txn_markers() == 1
+    assert not _os.listdir(marker_dir)
+    # cached reader: no marker file exists anymore, but the folded
+    # snapshot must still be detected and the committed row served
+    assert lake.table("ta").count() == 2
+    assert not lake._log("ta").has_unresolved()  # caching re-enabled
+
+
+def test_aborted_txn_fold_clears_cached_reader_unresolved(spark, lake):
+    """Abort-side twin of the fold test: a folded abort rewrites the
+    skipped snapshot as an effect-free ROLLBACK — the cached reader's
+    visibility is already correct, but its unresolved entry must clear
+    so (table, snapshot, epoch)-keyed caches re-enable."""
+    import os as _os
+    import uuid as _uuid
+
+    from pg_ducklake_spark.catalog import TXN_DIR
+
+    _two_tables(spark, lake)
+    txn_id = _uuid.uuid4().hex
+    log = lake._log("ta")
+    entries = [
+        e.to_json()
+        for e in lake._write_data(
+            lake._table_dir("ta"),
+            spark.createDataFrame([(9,)], "a int"),
+            [],
+            schema=lake._state("ta").schema,
+            options=lake.options("ta"),
+        )
+    ]
+    pend_v = log.commit({"operation": "INSERT", "add": entries,
+                         "metrics": {}, "txn_pending": txn_id})
+    assert lake.table("ta").count() == 1
+    assert lake._log("ta").has_unresolved()
+    marker_dir = _os.path.join(lake.path, TXN_DIR)
+    _os.makedirs(marker_dir, exist_ok=True)
+    open(_os.path.join(marker_dir, f"{txn_id}.abort"), "w").close()
+    other = Lake.attach(spark, lake.path)
+    assert other.gc_txn_markers() == 1
+    assert lake.table("ta").count() == 1  # still invisible (aborted)
+    assert not lake._log("ta").has_unresolved()
+    snap = lake._log("ta").read_snapshot(pend_v)
+    assert snap.get("operation") == "ROLLBACK"
+
+
 def test_frozen_http_partitioned_table(spark, lake, tmp_path):
     """Partitioned tables freeze into nested data paths; the http mirror
     must recreate the layout (URL path joining + makedirs per level)."""
