@@ -62,16 +62,17 @@ def _last_sampled_round() -> dict[str, int]:
 # vocab-reduce widening, and the two re-pinned SCALEBENCH queries —
 # spans and sq8 — belong at the front regardless of staleness).
 _RECHECK_FIRST = (
-    "dedup_substring_windows",
-    "text_bpe_pair_counts",
-    "dedup_substring_spans",
-    "sim_sq8_topk",
-    # r11b: the DV anti-join resolves file ids via _metadata.file_size
-    # when sizes are unique (lake.py _read_files) — re-front the
-    # queries that read DV-masked tables.
+    # r12: the DV anti-join grew a catalog-count broadcast guard, the
+    # size-keyed resolve a physical-size verification, and DV-mode
+    # DELETE was restructured into a single distributed pass (positions
+    # written straight to the DV file, counts read back, prior appended
+    # after) — re-front every query that exercises the DML read/write
+    # paths so the rewrite is driver-re-verified this round.
     "lake_dml_roundtrip",
     "lake_vacuum_consistency",
     "lake_change_feed",
+    "lake_time_travel",
+    "text_bpe_pair_counts",
 )
 
 

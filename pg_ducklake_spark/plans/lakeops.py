@@ -262,6 +262,53 @@ def lake_view_macro(spark, sf_dir):
 
 
 @query(
+    "lake_table_macro",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM supplier JOIN (
+      SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2
+    ) nsub ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def lake_table_macro(spark, sf_dir):
+    """Table macro (``CREATE MACRO .. AS TABLE``, r12 — surplus parity:
+    upstream DuckLake supports them, the reference supports no macros
+    at all, docs/ducklake_feature_coverage.md:32-34): a parameterized
+    FROM-position derived table, created through the SQL prompt and
+    consumed in a join. The expansion is textual and pre-Catalyst, so
+    the join still plans as an ordinary broadcast-able equi-join over
+    the base scans."""
+    lake = _tmp_lake(spark)
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").cast("int")
+    )
+    nat = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int"), "n_name",
+        F.col("n_regionkey").cast("int"),
+    )
+    lake.create_table("supp", "s_suppkey bigint, s_nationkey int")
+    lake.create_table(
+        "nat", "n_nationkey int, n_name string, n_regionkey int"
+    )
+    lake.insert("supp", sup)
+    lake.insert("nat", nat)
+    lake.execute(
+        "CREATE MACRO nations_in(rmax) AS TABLE "
+        "SELECT n_nationkey, n_name FROM nat WHERE n_regionkey < rmax"
+    )
+    return lake.sql(
+        """
+        SELECT n_name, count(*) AS n_suppliers
+        FROM supp JOIN nations_in(2) ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
+
+
+@query(
     "lake_sql_prompt_roundtrip",
     oracle="""
     WITH base AS (

@@ -103,7 +103,7 @@ _CREATE_VIEW = re.compile(
 )
 _CREATE_MACRO = re.compile(
     r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?MACRO\s+(?P<name>\w+(?:\.\w+)?)\s*"
-    r"\((?P<params>[^)]*)\)\s+AS\s+(?P<body>.+)$",
+    r"\((?P<params>[^)]*)\)\s+AS\s+(?P<tbl>TABLE\s+)?(?P<body>.+)$",
     re.I | re.S,
 )
 _DROP = re.compile(
@@ -289,6 +289,7 @@ def execute(lake: "Lake", sql: str) -> Any:
             lake.create_macro(
                 m.group("name"), params, m.group("body").strip(),
                 or_replace=bool(m.group("replace")),
+                table=bool(m.group("tbl")),
             )
             return None
         raise LakeError(f"unsupported CREATE statement: {stmt[:80]!r}")

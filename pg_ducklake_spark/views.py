@@ -18,12 +18,19 @@ Spark mapping:
   subquery into the outer plan, so a filter above a view reaches the
   parquet scan — no materialization, no extra shuffle, scale-safe.
 
-- **Macros** are DuckDB-style scalar SQL macros: a parameterized
-  expression textually expanded (with balanced-paren, quote-aware
-  argument parsing) before planning. Expansion is recursive with a
-  depth cap so macros can call macros. Because expansion happens
-  before Catalyst sees the query, macro bodies cost exactly what the
-  inlined expression costs — they stay inside whole-stage codegen.
+- **Macros** are DuckDB-style SQL macros: a parameterized body
+  textually expanded (with balanced-paren, quote-aware argument
+  parsing) before planning. Expansion is recursive with a depth cap
+  so macros can call macros. Because expansion happens before
+  Catalyst sees the query, macro bodies cost exactly what the
+  inlined text costs — scalar bodies stay inside whole-stage
+  codegen, and a *table* macro (``CREATE MACRO .. AS TABLE``, kind
+  'table'; r12) expands a FROM-position call into a parenthesized
+  derived table that Catalyst collapses into the outer plan, so
+  filters above it still push into the base scans. The expander is
+  kind-agnostic: both kinds substitute parameters the same way and
+  wrap the body in parens — ``(expr)`` in expression position,
+  ``(SELECT ...)`` as a derived table.
 """
 
 from __future__ import annotations

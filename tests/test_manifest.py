@@ -7,7 +7,7 @@ Round 8 shipped a red query precisely because one landed after the last
 sweep; this makes that path loud."""
 
 # Bump ONLY together with a clean full-sweep run at sf0.01.
-QUERY_MANIFEST_COUNT = 213
+QUERY_MANIFEST_COUNT = 214
 
 
 def test_query_count_matches_manifest():

@@ -115,6 +115,77 @@ def test_macro_recursion_capped(lake):
         lake.sql("SELECT loop_a(1) AS v")
 
 
+def test_table_macro_in_from(lake):
+    """r12 (VERDICT #6): CREATE MACRO .. AS TABLE — a FROM-position
+    invocation expands to a parenthesized derived table through the
+    same quote-aware, arity-checked expander as scalar macros."""
+    _seed(lake)
+    lake.create_macro(
+        "top_v", ["k"], "SELECT id, v FROM t ORDER BY v DESC LIMIT k",
+        table=True,
+    )
+    rows = lake.sql("SELECT * FROM top_v(2) ORDER BY id").collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(2, 20.0), (3, 30.0)]
+    # with an alias, joined back against a table
+    rows = lake.sql(
+        "SELECT x.id, t.tag FROM top_v(1) AS x JOIN t ON x.id = t.id"
+    ).collect()
+    assert [(r["id"], r["tag"]) for r in rows] == [(3, "a")]
+    assert lake.macros()["top_v"]["kind"] == "table"
+
+
+def test_table_macro_nesting_and_arity(lake):
+    """Table macros may call scalar macros in their bodies; zero-arg
+    table macros work; arity mismatches raise."""
+    _seed(lake)
+    lake.create_macro("bump", ["x"], "x + 100")
+    lake.create_macro(
+        "bumped", [], "SELECT id, bump(v) AS bv FROM t", table=True,
+    )
+    rows = lake.sql("SELECT sum(bv) AS s FROM bumped()").collect()
+    assert rows[0]["s"] == 360.0
+    with pytest.raises(LakeError):
+        lake.sql("SELECT * FROM bumped(1)")
+    # a table macro calling a TABLE macro (FROM-position nesting)
+    lake.create_macro(
+        "bumped_top", ["k"],
+        "SELECT * FROM bumped() ORDER BY bv DESC LIMIT k", table=True,
+    )
+    rows = lake.sql("SELECT bv FROM bumped_top(1)").collect()
+    assert rows[0]["bv"] == 130.0
+
+
+def test_table_macro_sql_prompt_and_freeze(lake, spark, tmp_path):
+    """CREATE MACRO .. AS TABLE routes through Lake.execute, and the
+    kind survives the frozen .ducklake round trip (macro_type column in
+    ducklake_macro_impl)."""
+    _seed(lake)
+    lake.execute(
+        "CREATE MACRO tag_counts(which) AS TABLE "
+        "SELECT tag, count(*) AS n FROM t WHERE tag = which GROUP BY tag"
+    )
+    rows = lake.execute("SELECT * FROM tag_counts('a')").collect()
+    assert [(r["tag"], r["n"]) for r in rows] == [("a", 2)]
+    frozen = str(tmp_path / "tm.ducklake")
+    lake.freeze(frozen)
+    from pg_ducklake_spark import Lake
+
+    fl = Lake.attach_frozen(spark, frozen)
+    assert fl.macros()["tag_counts"]["kind"] == "table"
+    rows = fl.sql("SELECT n FROM tag_counts('b')").collect()
+    assert rows[0]["n"] == 1
+    # raw-duckdb parity: the metadata tables carry the kind
+    import duckdb
+
+    con = duckdb.connect(frozen, read_only=True)
+    kind = con.execute(
+        "SELECT i.macro_type FROM ducklake_macro m JOIN ducklake_macro_impl i"
+        " USING (macro_id) WHERE m.macro_name = 'tag_counts'"
+    ).fetchone()[0]
+    con.close()
+    assert kind == "table"
+
+
 def test_views_macros_survive_freeze(lake, spark, tmp_path):
     _seed(lake)
     lake.create_macro("pct", ["x"], "x / 100.0")

@@ -36,6 +36,7 @@ code idle.) Prints one JSON line:
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -1097,14 +1098,42 @@ def run_lake_dml(spark) -> dict:
             lambda p: raw.filter("value >= 0.05").repartition(1)
             .write.parquet(p),
         )
+        # UPDATE floor: the CoW rewrite minus the catalog — survivors
+        # with the SET expression applied, single target-size file
+        # (post-vacuum the affected file set is one file, and the
+        # lake's own rewrite is a one-file write).
+        _write_median(
+            "raw_update_floor",
+            lambda p: raw.filter("value >= 0.05").withColumn(
+                "value",
+                F.expr(
+                    "CASE WHEN value > 0.95 THEN value + 1.0"
+                    " ELSE value END"
+                ),
+            ).repartition(1).write.parquet(p),
+        )
         _once(spark_times, "write_ctas", lambda: lake.create_table_as("events", ev))
         _once(
             spark_times, "delete_dv",
             lambda: lake.delete("events", "value < 0.05"),
         )
+        v_del = lake.current_snapshot("events")
         _scan_median(
             spark_times, "scan_after_delete",
             lambda: lake.table("events")
+            .groupBy()
+            .agg(F.count(F.lit(1)), F.sum("value"))
+            .collect(),
+        )
+        # r12 (VERDICT #3a): the change-feed read of the DV-mode DELETE
+        # snapshot — deleted rows are NOT materialized at write time
+        # (the delete file is the change record); the feed reconstructs
+        # them by semi-joining the delta positions into a pre-delete
+        # vintage read of the touched files. This prices that
+        # reconstruction at 10M rows.
+        _scan_median(
+            spark_times, "read_table_changes",
+            lambda: lake.table_changes("events", v_del, v_del)
             .groupBy()
             .agg(F.count(F.lit(1)), F.sum("value"))
             .collect(),
@@ -1120,7 +1149,20 @@ def run_lake_dml(spark) -> dict:
             .agg(F.count(F.lit(1)), F.sum("value"))
             .collect(),
         )
+        # r12 (VERDICT #3b): UPDATE — CoW rewrite of the affected file
+        # set (~5% of rows match, but they live in every file, so this
+        # is a full rewrite of the post-vacuum table) plus the CDF
+        # preimage/postimage write the twin also pays.
+        _once(
+            spark_times, "update_cow",
+            lambda: lake.update(
+                "events", {"value": "value + 1.0"}, "value > 0.95"
+            ),
+        )
         n_live = lake.table("events").count()
+        s_sum = lake.table("events").groupBy().agg(
+            F.sum("value").alias("s")
+        ).collect()[0]["s"]
 
         con = duckdb.connect()
         ddata = f"{tmp}/duck_data"
@@ -1151,6 +1193,19 @@ def run_lake_dml(spark) -> dict:
             duck_times, "scan_after_delete",
             lambda: con.execute(masked).fetchall(),
         )
+        # change-feed twin: materialize the deleted rows by semi-joining
+        # the delete positions into the data files (the same
+        # reconstruction the lake's feed performs for a DV DELETE).
+        changes = (
+            f"SELECT count(*) AS n, sum(value) AS s FROM read_parquet("
+            f"'{ddata}/*.parquet', filename=true, file_row_number=true) d"
+            f" SEMI JOIN read_parquet('{tmp}/duck_dv.parquet') v"
+            f" USING (filename, file_row_number)"
+        )
+        _scan_median(
+            duck_times, "read_table_changes",
+            lambda: con.execute(changes).fetchall(),
+        )
         dclean = f"{tmp}/duck_clean"
         os.makedirs(dclean, exist_ok=True)
         # No PER_THREAD_OUTPUT here: VACUUM's contract is target-sized
@@ -1176,11 +1231,40 @@ def run_lake_dml(spark) -> dict:
                 f" read_parquet('{dclean}/*.parquet')"
             ).fetchall(),
         )
-        d_live = con.execute(
-            f"SELECT count(*) FROM read_parquet('{dclean}/*.parquet')"
-        ).fetchone()[0]
+        # UPDATE twin: CoW rewrite of the vacuumed table with the SET
+        # expression applied, plus the preimage/postimage change rows
+        # the lake's CDF write also pays — same storage work, one file.
+        dupd = f"{tmp}/duck_upd"
+        os.makedirs(dupd, exist_ok=True)
+
+        def _duck_update() -> None:
+            con.execute(
+                f"COPY (SELECT * REPLACE (CASE WHEN value > 0.95 THEN"
+                f" value + 1.0 ELSE value END AS value)"
+                f" FROM read_parquet('{dclean}/*.parquet'))"
+                f" TO '{dupd}/out.parquet' (FORMAT PARQUET)"
+            )
+            con.execute(
+                f"COPY (SELECT *, 'update_preimage' AS _change_type"
+                f" FROM read_parquet('{dclean}/*.parquet')"
+                f" WHERE value > 0.95"
+                f" UNION ALL"
+                f" SELECT * REPLACE (value + 1.0 AS value),"
+                f" 'update_postimage' AS _change_type"
+                f" FROM read_parquet('{dclean}/*.parquet')"
+                f" WHERE value > 0.95)"
+                f" TO '{tmp}/duck_upd_cdf.parquet' (FORMAT PARQUET)"
+            )
+
+        _once(duck_times, "update_cow", _duck_update)
+        d_live, d_sum = con.execute(
+            f"SELECT count(*), sum(value) FROM read_parquet('{dupd}/*.parquet')"
+        ).fetchone()
         con.close()
         assert n_live == d_live, f"live-row divergence: {n_live} != {d_live}"
+        assert math.isclose(s_sum, d_sum, rel_tol=1e-6), (
+            f"post-update sum divergence: {s_sum} != {d_sum}"
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1191,10 +1275,11 @@ def run_lake_dml(spark) -> dict:
         "event_rows": TIERS["sf10"][2],
         "live_rows_after_delete": int(n_live),
         "protocol": (
-            "DML steps timed once; scans warm median-of-3; "
-            "raw_*_floor rows are spark-only engine floors (the duck "
-            "twin's write_ctas/scan_after_vacuum ARE its raw floors "
-            "by construction); totals cover the shared DML steps only"
+            "DML steps (ctas/delete/vacuum/update) timed once; scans "
+            "and the change-feed read warm median-of-3; raw_*_floor "
+            "rows are spark-only engine floors (the duck twin's "
+            "write_ctas/scan_after_vacuum ARE its raw floors by "
+            "construction); totals cover the shared DML steps only"
         ),
         "spark": spark_times,
         "duck": duck_times,
@@ -1216,6 +1301,10 @@ def run_lake_dml(spark) -> dict:
             "spark_vacuum": round(
                 spark_times["vacuum_rewrite"]
                 / spark_times["raw_rewrite1_floor"], 2
+            ),
+            "spark_update": round(
+                spark_times["update_cow"]
+                / spark_times["raw_update_floor"], 2
             ),
             "duck_masked_scan": round(
                 duck_times["scan_after_delete"]
@@ -1286,6 +1375,9 @@ def _merge_lakedml(runs: list[dict]) -> dict:
         ),
         "spark_vacuum": round(
             s["vacuum_rewrite"] / s["raw_rewrite1_floor"], 2
+        ),
+        "spark_update": round(
+            s["update_cow"] / s["raw_update_floor"], 2
         ),
         "duck_masked_scan": round(
             d["scan_after_delete"] / d["scan_after_vacuum"], 2
