@@ -422,13 +422,15 @@ def run_pairs_tier(spark) -> dict:
     """sf10 for the pair-generating dedup families (VERDICT r9 #4):
     jaccard, minhash, simhash, components, semdedup, embedding
     near-dup — previously sf1-only, so their 100 TB story rested on
-    sf1 ratios plus plan shape. Protocol: ONE warm-up pass then ONE
-    timed pass per engine (DuckDB's sides run 1.5–4 minutes each at
-    this tier; at those durations run-to-run noise is percent-level
-    and the standard 3×3 loop would triple a ~25-minute tier for
-    nothing). The warm-up pass also charges Spark's plan-internal
-    scoped persists, matching how every other tier measures (warmed
-    steady state on both engines)."""
+    sf1 ratios plus plan shape. Protocol: ONE warm-up pass, then
+    median-of-3 on the Spark side (r11) and on any DuckDB twin whose
+    first timed draw lands under 60 s (r12 — the cheap twins turned
+    out to be the volatile side); twins in the 1.5–4 minute class
+    stay single-pass (percent-level noise at those durations, and a
+    3× loop would triple a ~25-minute tier for nothing). The warm-up
+    pass also charges Spark's plan-internal scoped persists, matching
+    how every other tier measures (warmed steady state on both
+    engines)."""
     from pg_ducklake_spark.plans import ORACLES, QUERIES
 
     sf_dir = ensure_fixture(*TIERS["sf10"])
@@ -441,6 +443,7 @@ def run_pairs_tier(spark) -> dict:
     spark_times: dict[str, float] = {}
     spark_band: dict[str, list[float]] = {}
     duck_times: dict[str, float] = {}
+    duck_band: dict[str, list[float]] = {}
     for name in QUERIES_SF10_PAIRS:
         QUERIES[name](spark, sf_dir).collect()  # warm-up
         # r11 (VERDICT r10 #7): the Spark side is cheap enough for
@@ -456,18 +459,34 @@ def run_pairs_tier(spark) -> dict:
         spark_times[name] = sorted(samples)[1]
         spark_band[name] = [min(samples), max(samples)]
         con.execute(ORACLES[name]).fetchall()  # warm-up
+        # r12 (VERDICT r11 #7): DuckDB is now the volatile side for the
+        # cheap twins (the jaccard twin moved 21.9 s → 4.1 s between
+        # identical-code rounds while Spark's band held 7.2–9.5 s) —
+        # twins whose first timed draw lands under 60 s get
+        # median-of-3 with a band; the 1.5–4 min twins stay
+        # single-pass (percent-level noise at those durations).
+        d_samples = []
         t0 = time.time()
         con.execute(ORACLES[name]).fetchall()
-        duck_times[name] = round(time.time() - t0, 3)
+        d_samples.append(round(time.time() - t0, 3))
+        if d_samples[0] < 60:
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(ORACLES[name]).fetchall()
+                d_samples.append(round(time.time() - t0, 3))
+        duck_times[name] = sorted(d_samples)[len(d_samples) // 2]
+        duck_band[name] = [min(d_samples), max(d_samples)]
     con.close()
     return {
         "doc_rows": TIERS["sf10"][0],
         "emb_rows": TIERS["sf10"][1],
         "warmup_iters": 1,
-        "timed_iters": "spark median-of-3, duck 1",
+        "timed_iters": "spark median-of-3, duck median-of-3 under 60s"
+                       " else 1",
         "spark": spark_times,
         "spark_band": spark_band,
         "duck": duck_times,
+        "duck_band": duck_band,
         "ratio": {
             n: round(spark_times[n] / duck_times[n], 2) for n in duck_times
         },
@@ -978,6 +997,16 @@ def run_bpe_kernel(spark) -> dict:
         # the Zipf-collapse stage alone vs DuckDB's whole query
         "floor_vs_duck_full": round(s_floor / d_full, 2),
         "arrowc_vs_duck_full": round(s_arrowc / d_full, 2),
+        "status": (
+            "closed (r12): the production query's words stage now runs "
+            "the fastest measured lane (pyarrow-compute mapInArrow — "
+            "fresh-process median-of-3 at sf10: 0.77 s vs 0.93 s JVM "
+            "explode, full query 1.02-1.09 s vs 1.12-1.25 s); the "
+            "residual vs DuckDB is single-node text tokenize + "
+            "hash-agg throughput, pinned across JVM, pandas, and "
+            "pyarrow lanes. Like HLL: oracle- and test-guarded, touch "
+            "only on regression."
+        ),
     }
 
 
@@ -1163,6 +1192,35 @@ def run_lake_dml(spark) -> dict:
         s_sum = lake.table("events").groupBy().agg(
             F.sum("value").alias("s")
         ).collect()[0]["s"]
+
+        # r12 probe (VERDICT #1): a mass delete between vacuums — 30%
+        # deleted, NO vacuum — scanned through both DV anti-join
+        # strategies. `broadcast` is the steady-state path (3M
+        # positions, under the 64M guard); `guarded` forces the
+        # over-threshold fallback (hint dropped, sort-merge/shuffled
+        # hash under AQE) on the same data, proving the path a 2B-
+        # position mass delete would take has no cliff and bounded
+        # overhead. Spark-only rows: they price a guard, not a twin.
+        lake.create_table_as("events_mass", ev)
+        lake.delete("events_mass", "value < 0.35")
+        exp_mass = lake.table("events_mass").count()
+        _scan_median(
+            spark_times, "mass_dv_scan_broadcast",
+            lambda: lake.table("events_mass")
+            .groupBy()
+            .agg(F.count(F.lit(1)), F.sum("value"))
+            .collect(),
+        )
+        guarded = Lake(spark, os.path.join(tmp, "lake"))
+        guarded.DV_BROADCAST_MAX_POSITIONS = 0
+        assert guarded.table("events_mass").count() == exp_mass
+        _scan_median(
+            spark_times, "mass_dv_scan_guarded",
+            lambda: guarded.table("events_mass")
+            .groupBy()
+            .agg(F.count(F.lit(1)), F.sum("value"))
+            .collect(),
+        )
 
         con = duckdb.connect()
         ddata = f"{tmp}/duck_data"
