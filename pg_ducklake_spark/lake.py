@@ -1843,7 +1843,7 @@ class Lake:
                         masked.join(F.broadcast(szmap), "_dl_sz", "left")  # bcast-ok: one row per data file (metadata-sized)
                         .withColumn("_dl_key", pack + F.col("_dl_ri"))
                         .join(
-                            F.broadcast(dvk) if dv_bcast else dvk,  # guarded: catalog-counted positions vs DV_BROADCAST_MAX_POSITIONS
+                            F.broadcast(dvk) if dv_bcast else dvk,  # bcast-ok: guarded by catalog-counted positions (DV_BROADCAST_MAX_POSITIONS)
                             "_dl_key", "left_anti",
                         )
                         .drop("_dl_fid", "_dl_key", "_dl_sz")
@@ -1865,7 +1865,7 @@ class Lake:
                         masked.join(F.broadcast(fmap), "_dl_fp", "left")  # bcast-ok: one row per data file (metadata-sized)
                         .withColumn("_dl_key", pack + F.col("_dl_ri"))
                         .join(
-                            F.broadcast(dvk) if dv_bcast else dvk,  # guarded: catalog-counted positions vs DV_BROADCAST_MAX_POSITIONS
+                            F.broadcast(dvk) if dv_bcast else dvk,  # bcast-ok: guarded by catalog-counted positions (DV_BROADCAST_MAX_POSITIONS)
                             "_dl_key", "left_anti",
                         )
                         .drop("_dl_fid", "_dl_key")
@@ -1878,7 +1878,7 @@ class Lake:
                     F.col("row_index").alias("_dl_ri"),
                 )
                 masked = masked.join(
-                    F.broadcast(dvp) if dv_bcast else dvp,  # guarded: catalog-counted positions vs DV_BROADCAST_MAX_POSITIONS
+                    F.broadcast(dvp) if dv_bcast else dvp,  # bcast-ok: guarded by catalog-counted positions (DV_BROADCAST_MAX_POSITIONS)
                     ["_dl_fp", "_dl_ri"], "left_anti",
                 )
             if not keep_meta:
