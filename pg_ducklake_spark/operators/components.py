@@ -31,19 +31,32 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the minimum reachable node id. Raises if the
     label propagation has not converged after ``max_iter`` rounds
-    (~2^max_iter-diameter graphs — unreachable in practice)."""
+    (~2^max_iter-diameter graphs — unreachable in practice).
+
+    ``edges_unique=True`` declares the input a duplicate-free
+    ordered-pair list (src < dst, one row per pair) — the contract
+    every pair generator in this library meets by construction. The
+    symmetric expansion of such a list cannot collide, so the
+    dedup shuffle before the loop is skipped outright (guide §2.4:
+    a ``distinct`` on already-unique data is a pure exchange tax).
+    Duplicate edges would not change the result (min over repeated
+    neighbors), only the per-round join volume — so the flag is a
+    pure plan-shape switch."""
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    if not edges_unique:
+        sym = sym.distinct()
     # One materialization job for the symmetric edge set; every round
     # re-reads it from local blocks.
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
     # Seed with the FIRST propagation folded in: comp0 = min(node, min
     # neighbor). Equivalent to one free label-propagation round — the
     # loop below then only runs for multi-hop structures.

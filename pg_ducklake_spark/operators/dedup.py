@@ -72,10 +72,34 @@ def jaccard_pairs(
     ANY pair-enumeration strategy, so production runs cap it (lossy,
     the standard trade); the default None keeps exact semantics for
     oracle comparison."""
-    sh = shingle(df, text_col, id_col, n).persist()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    groups = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("id")).alias("dl")
+    # r12 (guide §2.3/§2.4): per-doc set sizes are the LENGTH of the
+    # map-side shingle array — computed before the explode, carried
+    # through the posting list as (id, n) structs. Versus the previous
+    # exploded-rows groupBy-count + two size joins this removes one
+    # full aggregate exchange, two join stages, and the persist of the
+    # exploded shingle table; the postings shuffle carries 8 extra
+    # bytes per entry. Results are identical (same pairs, same
+    # inter/union arithmetic).
+    gram = " , ".join(f"element_at(toks, i + {j})" for j in range(n))
+    arr_expr = f"""
+    CASE WHEN size(toks) >= {n} THEN
+      array_distinct(transform(sequence(1, size(toks) - {n - 1}),
+        i -> concat_ws(' ', {gram})))
+    ELSE CAST(array() AS ARRAY<STRING>) END
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"), F.split(F.lower(text_col), " ").alias("toks")
+    ).select("id", F.expr(arr_expr).alias("shingles"))
+    exploded = (
+        shingled.select(
+            "id",
+            F.size("shingles").cast("long").alias("n"),
+            F.explode_outer("shingles").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+    groups = exploded.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("id", "n"))).alias("dl")
     )
     if max_df is not None:
         groups = groups.filter(F.size("dl") <= max_df)
@@ -87,23 +111,21 @@ def jaccard_pairs(
     # would OOM a task under the flatten(transform(...)) formulation).
     inter = (
         groups.filter(F.size("dl") >= 2)
-        .select(F.col("dl"), F.posexplode("dl").alias("i", "id_a"))
+        .select(F.col("dl"), F.posexplode("dl").alias("i", "a"))
         .select(
-            "id_a",
-            F.explode(F.expr("slice(dl, i + 2, size(dl))")).alias("id_b"),
+            F.col("a.id").alias("id_a"),
+            F.col("a.n").alias("na"),
+            F.explode(F.expr("slice(dl, i + 2, size(dl))")).alias("b"),
         )
-        .groupBy("id_a", "id_b")
+        .select("id_a", "na", F.col("b.id").alias("id_b"), F.col("b.n").alias("nb"))
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -150,12 +172,18 @@ def minhash_near_dups(
     banded = sigs.selectExpr(
         "id", f"explode(array({band_structs})) AS bk"
     ).select("id", "bk.band_id", "bk.band_key")
-    a = banded.select(F.col("id").alias("id_a"), "band_id", "band_key")
-    b = banded.select(F.col("id").alias("id_b"), "band_id", "band_key")
+    # In-bucket candidates from grouped posting lists (one band-keyed
+    # shuffle + streamed pair generators) instead of the two-sided band
+    # self-join — one exchange and the join stage fewer, same pairs.
     cands = (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        banded.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("id")).alias("dl"))
+        .filter(F.size("dl") >= 2)
+        .select(F.col("dl"), F.posexplode("dl").alias("i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(dl, i + 2, size(dl))")).alias("id_b"),
+        )
         .distinct()
     )
     sa = sigs.selectExpr("id AS id_a", *[f"mh{i} AS a{i}" for i in range(k)])

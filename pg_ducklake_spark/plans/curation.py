@@ -96,7 +96,10 @@ def dedup_canonical_selection(spark, sf_dir):
         rebalance(docs), text_col="text", id_col="doc_id", threshold=0.5
     )
     comp = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        # jaccard_pairs emits one ordered row per pair (groupBy output,
+        # id_a < id_b) -- skip the pre-loop dedup shuffle
+        edges_unique=True,
     ).select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("comp").cast("long").alias("component"),

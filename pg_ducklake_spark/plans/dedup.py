@@ -357,28 +357,32 @@ def dedup_ngram_jaccard(spark, sf_dir):
     length distribution is the scale knob.
     """
     docs = t(spark, sf_dir, "documents")
-    # Persist the per-doc shingle arrays (one small row per doc): the
-    # pair derivation and the sizes branch both derive from it —
-    # without the persist the whole tokenize+transform pipeline re-runs
-    # once per consumer.
-    shingled = scoped_persist(_spark_shingled(docs), "dedup_ngram_jaccard")
+    shingled = _spark_shingled(docs)
+    # r12 (guide §2.3/§2.4): the per-doc set size is size(shingles),
+    # computed MAP-SIDE before the explode and carried through the
+    # posting list as (doc_id, n) structs. The previous shape persisted
+    # the shingle arrays, aggregated sizes from them in a second
+    # consumer, and joined sizes back onto the pair aggregate twice
+    # (row-count-guarded broadcasts); carrying n costs 8 bytes per
+    # posting entry and deletes the sizes branch, both join stages, the
+    # persist, and the docs.count() guard job outright. Values are
+    # unchanged — same pairs, same inter/union arithmetic.
     # explode_outer: plain explode pushes a size()>0 filter below the
     # Generate that re-evaluates the whole shingle expression per row,
     # interpreted — explode_outer skips that filter; nulls drop after.
     exploded = shingled.select(
-        "doc_id", F.explode_outer("shingles").alias("shingle")
+        "doc_id",
+        F.size("shingles").cast("long").alias("n"),
+        F.explode_outer("shingles").alias("shingle"),
     ).filter(F.col("shingle").isNotNull())
-    sizes = shingled.select(
-        "doc_id", F.size("shingles").cast("long").alias("n_shingles")
-    )
     # Grouped posting-list pair enumeration: ONE shuffle keyed on
     # shingle, then in-group pairs via a nested-sequence explode.
     # Versus the self-equi-join this drops two exchanges (the mirror
     # join side and the separate document-frequency pre-count);
     # singleton shingles emit no pairs, so the lossless unique-tail
-    # pruning is free (sizes still count them toward the union). The
-    # 100 TB guard is a df cap on stopword shingles (lossy, standard)
-    # — omitted here to keep exact oracle semantics.
+    # pruning is free. The 100 TB guard is a df cap on stopword
+    # shingles (lossy, standard) — omitted here to keep exact oracle
+    # semantics.
     # Streamed pair enumeration (posexplode + suffix slice): the n^2
     # pair volume of a hot shingle spreads over n generator rows, never
     # one n^2-element array in a single row (same fix as
@@ -386,33 +390,25 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # flatten(transform(...))).
     inter = (
         exploded.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("dl"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("dl"))
         .filter(F.size("dl") >= 2)
-        .select(F.col("dl"), F.posexplode("dl").alias("i", "doc_a"))
+        .select(F.col("dl"), F.posexplode("dl").alias("i", "a"))
         .select(
-            "doc_a",
-            F.explode(F.expr("slice(dl, i + 2, size(dl))")).alias("doc_b"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.n").alias("na"),
+            F.explode(F.expr("slice(dl, i + 2, size(dl))")).alias("b"),
         )
-        .groupBy("doc_a", "doc_b")
+        .select(
+            "doc_a", "na", F.col("b.doc_id").alias("doc_b"), F.col("b.n").alias("nb")
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
-    # sizes is per-document (grows with the corpus): broadcast only
-    # under an actual row-count guard — 16 bytes/row → ≤ ~16 MB at the
-    # 1M cap (measured: the guarded broadcast keeps the sf1 sweep at
-    # ~1.5 s where the blind shuffle join costs 3.3 s); above the cap,
-    # a plain shuffle join on the already-shuffled pair keys that
-    # cannot OOM executors at 100 TB. docs.count() is a footer-stats
-    # scan — one bounded action.
-    small = docs.count() <= 1_000_000
     return (
-        inter.join(F.broadcast(sa) if small else sa, "doc_a")  # bcast-ok: row-count-guarded (<=1M docs)
-        .join(F.broadcast(sb) if small else sb, "doc_b")  # bcast-ok: row-count-guarded (<=1M docs)
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -521,14 +517,23 @@ def dedup_minhash_lsh(spark, sf_dir):
     bands = sigs.selectExpr(
         "doc_id", f"explode(array({band_structs})) AS bk"
     ).select("doc_id", "bk.band_id", "bk.band_key")
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
-    )
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    # r12 (guide §2.4): in-bucket candidate pairs from grouped posting
+    # lists — one shuffle keyed on (band_id, band_key) with streamed
+    # pair generators (the jaccard layout) instead of the two-sided
+    # band self-join; one exchange and the join stage gone. The
+    # signature verification joins below are untouched (carrying k=16
+    # signature columns through every posting entry would multiply the
+    # band shuffle 4x; the ≤|candidates| joins against the persisted
+    # sigs table are the cheaper attach).
     candidates = (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("dl"))
+        .filter(F.size("dl") >= 2)
+        .select(F.col("dl"), F.posexplode("dl").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(dl, i + 2, size(dl))")).alias("doc_b"),
+        )
         .distinct()
     )
     sa = sigs.selectExpr("doc_id AS doc_a", *[f"mh{i} AS a{i}" for i in range(_K)])
@@ -685,28 +690,35 @@ def dedup_simhash_pairs(spark, sf_dir):
         ),
     )
     banded = scoped_persist(banded, "dedup_simhash_pairs")
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash_lo").alias("lo_a"),
-        F.col("simhash_hi").alias("hi_a"),
-        "band_id", "band_val",
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash_lo").alias("lo_b"),
-        F.col("simhash_hi").alias("hi_b"),
-        "band_id", "band_val",
-    )
+    # r12 (guide §2.4): candidates come from grouped bucket posting
+    # lists — ONE shuffle keyed on (band_id, band_val), in-bucket pairs
+    # enumerated by the streamed posexplode + suffix-slice generators
+    # (the jaccard layout) with the full 64-bit signature carried in the
+    # 24-byte list entry. The previous self-equi-join shuffled the
+    # banded table twice and joined; the signature travels once now and
+    # the hamming check runs straight off the pair row. Buckets are the
+    # scale knob exactly as before (n/65536 expected occupancy per
+    # band); the distinct that collapses cross-band hits is unchanged.
     hamming = (
-        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
+        + F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
     ).cast("long")
     return (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", hamming)
+        banded.groupBy("band_id", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash_lo", "simhash_hi"))
+            ).alias("dl")
+        )
+        .filter(F.size("dl") >= 2)
+        .select(F.col("dl"), F.posexplode("dl").alias("i", "a"))
+        .select("a", F.explode(F.expr("slice(dl, i + 2, size(dl))")).alias("b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
@@ -778,7 +790,10 @@ def dedup_components(spark, sf_dir):
         rebalance(docs), text_col="text", id_col="doc_id", threshold=0.5
     )
     comp = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        # jaccard_pairs emits one ordered row per pair (groupBy output,
+        # id_a < id_b) -- skip the pre-loop dedup shuffle
+        edges_unique=True,
     )
     return (
         comp.select(

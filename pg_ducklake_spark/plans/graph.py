@@ -118,14 +118,18 @@ def graph_triangle_census(spark, sf_dir):
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # r12 (guide §2.4): node count, wedge count AND edge count all come
+    # from the one degree aggregate — sum(d) counts every edge exactly
+    # twice, so n_edges = sum(d) DIV 2 (exact: the sum is even). The
+    # separate COUNT(*) pass over edges and its broadcast exchange are
+    # gone; same values.
     summary = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(d) DIV 2").alias("n_edges"),
         F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
     )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
-        summary.crossJoin(F.broadcast(n_edges))  # bcast-ok: 1-row total
-        .crossJoin(F.broadcast(tri_n))  # bcast-ok: 1-row total
+        summary.crossJoin(F.broadcast(tri_n))  # bcast-ok: 1-row total
         .select(
             F.col("n_nodes").cast("long").alias("n_nodes"),
             F.col("n_edges").cast("long").alias("n_edges"),

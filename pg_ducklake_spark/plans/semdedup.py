@@ -113,7 +113,7 @@ def _sem_cell_dropped(pdf):
     cell = int(pdf["cell"].iloc[0])
     n = len(pdf)
     if n < 2:
-        return pd.DataFrame({"cell": [cell], "n_dropped": [0]})
+        return pd.DataFrame({"cell": [cell], "n_vecs": [n], "n_dropped": [0]})
     order = np.argsort(pdf["vec_id"].values, kind="stable")
     units = pdf["unit"].values[order]
     u = np.stack([np.asarray(v, dtype=np.float64) for v in units])
@@ -138,7 +138,7 @@ def _sem_cell_dropped(pdf):
                 acc = acc + a[:, k] * b[:, k]
             dropped[ib[acc > _SEM_TAU]] = True
     return pd.DataFrame(
-        {"cell": [cell], "n_dropped": [int(dropped.sum())]}
+        {"cell": [cell], "n_vecs": [n], "n_dropped": [int(dropped.sum())]}
     )
 
 
@@ -241,34 +241,27 @@ def dedup_semantic_prune(spark, sf_dir):
         (-best["negcell"]).cast("long").alias("cell"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").alias("unit"),
     )
-    dropped = (
-        assigned.groupBy("cell")
-        .applyInPandas(_sem_cell_dropped, "cell long, n_dropped long")
-        .filter(F.col("n_dropped") > 0)
+    # r12 (guide §1.2/§2.4): the kernel already holds the whole cell's
+    # rows, so it returns the population alongside the drop count. The
+    # previous shape computed totals as a SECOND aggregate over
+    # `assigned` — re-running the scan and the interpreted 32-fold
+    # cell-assignment expression end to end — then merged the two
+    # ≤k-row sides with a join. One pass now feeds one exchange; the
+    # totals recompute and the report join are gone. (The r10 lesson
+    # stands: no broadcast hint anywhere near the kernel subtree — its
+    # input is the quadratic cell work and must never sit under a
+    # broadcastTimeout deadline.)
+    report = assigned.groupBy("cell").applyInPandas(
+        _sem_cell_dropped, "cell long, n_vecs long, n_dropped long"
     )
-    totals = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
-    # NO broadcast hint on the report merge (r10 scale bug, found by the
-    # sf10 probe): the dropped side's OUTPUT is ≤ k rows, but a
-    # broadcast exchange must materialize its whole input subtree on
-    # the driver within spark.sql.broadcastTimeout (300 s) — and that
-    # subtree is the quadratic cell self-join, which legitimately runs
-    # longer at scale. The hint turned a slow-but-correct plan into a
-    # hard SparkException at sf10. Both join sides are ≤ k-row
-    # aggregates, so the plain shuffle join costs nothing, has no
-    # deadline, and AQE will still pick a broadcast at runtime when the
-    # subtree finishes in time.
     return (
-        totals.join(dropped, on="cell", how="left")
-        .select(
+        report.select(
             "cell",
             "n_vecs",
-            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
-            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0)))
-            .cast("long")
-            .alias("n_kept"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            (F.col("n_vecs") - F.col("n_dropped")).cast("long").alias("n_kept"),
             F.round(
-                F.coalesce("n_dropped", F.lit(0)).cast("double")
-                / F.col("n_vecs").cast("double"),
+                F.col("n_dropped").cast("double") / F.col("n_vecs").cast("double"),
                 6,
             ).alias("drop_rate"),
         )

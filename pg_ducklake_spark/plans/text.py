@@ -69,16 +69,41 @@ def _duck_predicted() -> str:
 )
 def text_langid_confusion(spark, sf_dir):
     """Heuristic language ID (stopword hit count, argmax with
-    lexicographic tiebreak) → confusion matrix against the labeled lang."""
+    lexicographic tiebreak) → confusion matrix against the labeled lang.
+
+    r12 (guide §1.2 per-task work): all five language scores come from
+    ONE fold over the token array against a literal word → count-vector
+    map (35 entries, constant-folded), instead of five filter() passes
+    each scanning a 7-word array per token — the interpreted
+    higher-order-function work per token drops from ~35 string compares
+    to one hash lookup plus a 5-lane add. Scores are identical integer
+    counts (a word on several stopword lists contributes to each lane,
+    exactly as the per-language filters did), so the argmax and the
+    confusion matrix are unchanged."""
     docs = rebalance(t(spark, sf_dir, "documents"))
-    scores = _spark_lang_scores()
-    scored = docs.select(
-        "doc_id", "lang", *[scores[lg].alias(f"score_{lg}") for lg in _LANGS]
+    nl = len(_LANGS)
+    vocab = sorted({w for ws in _STOPWORDS.values() for w in ws})
+    entries = ", ".join(
+        "'{0}', array({1})".format(
+            w,
+            ", ".join(
+                f"CAST({1 if w in _STOPWORDS[lg] else 0} AS BIGINT)"
+                for lg in _LANGS
+            ),
+        )
+        for w in vocab
     )
-    greatest = F.greatest(*[F.col(f"score_{lg}") for lg in _LANGS])
+    zeros = f"array_repeat(CAST(0 AS BIGINT), {nl})"
+    sc = F.expr(
+        f"aggregate(split(lower(text), ' '), {zeros}, "
+        f"(acc, x) -> zip_with(acc, coalesce(element_at(map({entries}), x),"
+        f" {zeros}), (a, b) -> a + b))"
+    )
+    scored = docs.select("lang", sc.alias("sc"))
+    mx = F.array_max("sc")
     expr = None
-    for lg in _LANGS:
-        cond = F.col(f"score_{lg}") == greatest
+    for i, lg in enumerate(_LANGS):
+        cond = F.col("sc").getItem(i) == mx
         expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
     return (
         scored.select(F.col("lang").alias("labeled"), expr.alias("predicted"))
