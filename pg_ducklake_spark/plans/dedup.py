@@ -229,9 +229,15 @@ def dedup_substring_spans(spark, sf_dir):
     total order (n_docs DESC, first_doc ASC, digest ASC), so the LIMIT
     is deterministic and oracle-exact."""
     docs = t(spark, sf_dir, "documents")
+    # r12 (guide §2.6/§4): a single-row-group file scans as ONE task,
+    # so the whole window-fingerprint kernel (~|tokens| md5 calls) ran
+    # on one core while the rest idled — measured as the entire
+    # steady-state cost of this query at sf0.1 (1 job, scan stage of 1
+    # task, ~0.9 s). rebalance() round-robins the raw doc rows across
+    # the cluster first (and skips itself when the scan is already
+    # parallel, the production case).
     spans = (
-        docs.filter(F.length("text") >= _SPAN_L)
-        .select("doc_id", "text")
+        rebalance(docs.filter(F.length("text") >= _SPAN_L).select("doc_id", "text"))
         .mapInPandas(
             _spans_kernel,
             "doc_id long, span_md5 string",
@@ -500,12 +506,21 @@ def dedup_minhash_lsh(spark, sf_dir):
     from pg_ducklake_spark.functions.hashing import sql_minhash
 
     sigs = scoped_persist(
-        hashed.groupBy("doc_id").agg(
-            *[
-                F.expr(f"min({sql_minhash('h', a, b)}) AS mh{i}")
-                for i, (a, b) in enumerate(_COEFFS)
-            ]
-        ),
+        # r12: one named_struct aggregate expression = one JVM round
+        # trip for all k mins (was k RPCs per build); executed plan
+        # unchanged (struct wrap + field reads collapse).
+        hashed.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "named_struct("
+                + ", ".join(
+                    f"'mh{i}', min({sql_minhash('h', a, b)})"
+                    for i, (a, b) in enumerate(_COEFFS)
+                )
+                + ")"
+            ).alias("s")
+        )
+        .select("doc_id", "s.*"),
         "dedup_minhash_lsh",
     )
     band_structs = ", ".join(
@@ -654,14 +669,22 @@ def dedup_simhash_pairs(spark, sf_dir):
         F.expr("CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT)").alias("th_lo"),
         F.expr("CAST(conv(substring(m, 9, 8), 16, 10) AS BIGINT)").alias("th_hi"),
     )
-    # SQL-string expression construction (one JVM call per expr, not
-    # ~8 per bit × 64 bits) — identical plan, far cheaper client-side.
-    contrib = [
-        F.expr(f"sum(IF((shiftright({half}, {bit}) & 1) = 1, 1, -1)) AS s_{half}_{bit}")
+    # r12: ALL 64 per-bit sums ride in ONE named_struct aggregate
+    # expression — a single JVM round trip instead of 64 (at this
+    # sandbox's measured ~5 ms/RPC that was ~0.3 s of every plan
+    # build). The optimizer collapses the struct wrap + field reads
+    # back to the raw aggregate columns, so the executed plan is
+    # unchanged.
+    contrib = ", ".join(
+        f"'s_{half}_{bit}', sum(IF((shiftright({half}, {bit}) & 1) = 1, 1, -1))"
         for half in ("th_lo", "th_hi")
         for bit in range(_SIMBITS)
-    ]
-    per_bit = hashed.groupBy("doc_id").agg(*contrib)
+    )
+    per_bit = (
+        hashed.groupBy("doc_id")
+        .agg(F.expr(f"named_struct({contrib})").alias("s"))
+        .select("doc_id", "s.*")
+    )
 
     def _sig(half: str) -> str:
         return (

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pg_ducklake_spark.functions import davg, sql_davg
-from pg_ducklake_spark.plans import query, t
+from pg_ducklake_spark.plans import query, rebalance, t
 
 
 @query(
@@ -105,7 +105,12 @@ def mm_feature_extraction(spark, sf_dir):
     from pg_ducklake_spark.operators.multimodal import extract_features
 
     docs = t(spark, sf_dir, "documents")
-    media = docs.select(
+    # r12 (guide §2.6/§4): spread the raw rows before the Arrow kernel —
+    # a single-row-group scan otherwise feeds the whole per-byte
+    # featurizer to one task (measured: the query's entire steady-state
+    # cost sat in one ~0.8 s kernel task at sf0.1). rebalance() skips
+    # itself when the scan is already parallel.
+    media = rebalance(docs).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
         F.encode("text", "UTF-8").alias("content"),

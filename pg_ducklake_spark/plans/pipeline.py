@@ -139,12 +139,20 @@ def pipe_crossmodal_dup_check(spark, sf_dir):
         F.array_join(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " ")
     )
     docs = rebalance(t(spark, sf_dir, "documents")).select("doc_id", fp.alias("h"))
-    d1 = docs.select(F.col("doc_id").alias("doc_a"), "h")
-    d2 = docs.select(F.col("doc_id").alias("doc_b"), "h")
+    # r12 (guide §2.4): fingerprint-collision pairs from grouped posting
+    # lists — ONE evaluation of the tokenize+sort+md5 fingerprint chain
+    # and one exchange keyed on the digest, instead of a self-join that
+    # ran the fingerprint map work once per side and shuffled both.
+    # Same ordered pairs (doc_a < doc_b within each digest group).
     pairs = (
-        d1.join(d2, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        docs.groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("dl"))
+        .filter(F.size("dl") >= 2)
+        .select(F.col("dl"), F.posexplode("dl").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(dl, i + 2, size(dl))")).alias("doc_b"),
+        )
     )
     emb = t(spark, sf_dir, "embeddings")
     ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("emb_a"))
@@ -600,22 +608,24 @@ def pipe_quality_gate(spark, sf_dir):
     quality threshold compares doubles computed by the identical
     expression on both engines.
     """
-    from pg_ducklake_spark.plans.text import _LANGS, _SPARK_QUALITY, _spark_lang_scores
+    from pg_ducklake_spark.plans.text import (
+        _SPARK_QUALITY,
+        _langid_pred_from_sc,
+        _langid_sc_expr,
+    )
 
     docs = rebalance(t(spark, sf_dir, "documents"))
-    scores = _spark_lang_scores()
+    # r12: single-pass langid score vector (one map fold per doc, see
+    # text_langid_confusion) replaces the five filter() passes —
+    # identical integer scores, same argmax/tiebreak.
     scored = docs.select(
         "doc_id", "source", "lang", "n_chars", "text",
-        *[scores[lg].alias(f"score_{lg}") for lg in _LANGS],
+        _langid_sc_expr().alias("sc"),
     ).withColumn(
         "keeper",
         F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
     )
-    greatest = F.greatest(*[F.col(f"score_{lg}") for lg in _LANGS])
-    pred = None
-    for lg in _LANGS:
-        cond = F.col(f"score_{lg}") == greatest
-        pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
+    pred = _langid_pred_from_sc("sc")
     verdict = (
         F.when((F.col("n_chars") < 100) | (F.col("n_chars") > 5000), "len")
         .when(pred != F.col("lang"), "lang")

@@ -179,7 +179,6 @@ def text_bm25_topk(spark, sf_dir):
         F.size("toks").cast("long").alias("dl"),
         F.explode(F.expr(f"filter(toks, x -> {match})")).alias("term"),
     )
-    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, qterm string")
     tf = scoped_persist(  # reused by the df aggregate and the scoring join
         toks.groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf")),
@@ -189,11 +188,30 @@ def text_bm25_topk(spark, sf_dir):
     # aggregation combines map-side, so a hot term never concentrates
     # its postings in one task; the result is ≤ |query terms| rows.
     dftab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # r12 (guide §2.4): the query workload is LITERAL, so the
+    # term → query_id attach is a constant-folded map lookup + explode
+    # instead of a createDataFrame (a Python→JVM data-channel round
+    # trip per build) plus a broadcast join (an exchange + build per
+    # execution). Terms reaching this point are query terms by
+    # construction (the in-array filter above), so the lookup never
+    # misses; a term shared by several queries yields one row per
+    # query, exactly like the join did.
+    qmap = ", ".join(
+        "'{0}', array({1})".format(
+            w,
+            ", ".join(
+                f"CAST({q} AS BIGINT)" for q, w2 in _BM25_QUERIES if w2 == w
+            ),
+        )
+        for w in sorted({w for _, w in _BM25_QUERIES})
+    )
     scored_terms = (
         tf.join(F.broadcast(dftab), "term")  # bcast-ok: ≤ |query terms| rows by construction
         .crossJoin(F.broadcast(corpus))  # bcast-ok: 1-row corpus
         .withColumn("idf_micro", F.expr(_BM25_IDF))
-        .join(F.broadcast(queries), F.col("term") == F.col("qterm"))  # bcast-ok: literal query workload (bounded)
+        .withColumn(
+            "query_id", F.explode(F.expr(f"element_at(map({qmap}), term)"))
+        )
         .select("query_id", "doc_id", F.expr(_BM25_CONTRIB).alias("c_micro"))
     )
     scored = scored_terms.groupBy("query_id", "doc_id").agg(

@@ -313,14 +313,21 @@ def test_bm25_prunes_tokens_before_explode(plans):
     stream (r7: measured 2.2× over the broadcast-semi-join form at
     sf10). The cached tf table is referenced twice (df aggregate +
     scoring join), so count DISTINCT Generate expressions, not plan
-    lines (InMemoryRelation reprints its build plan per reference)."""
+    lines (InMemoryRelation reprints its build plan per reference).
+    Only TOKEN-ARRAY explodes count: the r12 literal query-map attach
+    (explode(element_at(map(...), term)) over the ≤|tf| candidate rows)
+    is a constant-map lookup, not a corpus re-explode."""
     s = plan_of(plans("text_bm25_topk"))
-    gens = {
+    tok_gens = {
         re.sub(r"#\d+", "#", m)
-        for m in re.findall(r"Generate explode\(\w+", s)
+        for m in re.findall(r"Generate explode\((?:filter|split)\(\w+", s)
     }
-    assert len(gens) <= 1, "doc lengths re-explode the corpus"
-    gen_lines = [ln for ln in s.splitlines() if "Generate explode" in ln]
+    assert len(tok_gens) <= 1, "doc lengths re-explode the corpus"
+    gen_lines = [
+        ln
+        for ln in s.splitlines()
+        if "Generate explode" in ln and "element_at(map(" not in ln
+    ]
     assert gen_lines and all(
         "explode(filter(" in ln for ln in gen_lines
     ), "token stream explodes before query-term pruning"
