@@ -22,7 +22,7 @@ makes a SQL oracle possible (a recursive CTE computes the same min).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -95,14 +95,29 @@ def connected_components(
         # few dozen rounds OOM the driver during analysis. Checkpointing
         # materializes the round AND truncates the plan — the required
         # idiom for iterative DataFrame algorithms.
+        #
+        # Convergence rides the SAME job via observe(): the checkpoint
+        # materialization is a full pass over the round's rows anyway,
+        # so counting label changes there (CollectMetrics fires on the
+        # eager-checkpoint action) replaces the per-round isEmpty scan
+        # job — one job per round instead of two (r12, guide §2.4: the
+        # per-job fixed cost scales with round count on high-round
+        # graphs; the result rows are untouched).
+        obs = Observation()
         new = (
             new.join(jump, "comp", "left")
             .select(
                 "node", F.coalesce("comp2", "comp").alias("comp"), "old"
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("comp") != F.col("old")).cast("long")
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = not new.filter(F.col("comp") != F.col("old")).isEmpty()
+        changed = bool(obs.get["changed"] or 0)
         comp = new.select("node", "comp")
         if not changed:
             return comp

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pg_ducklake_spark.functions import davg, sql_davg
-from pg_ducklake_spark.plans import query, rebalance, t
+from pg_ducklake_spark.plans import query, t
 
 
 @query(
@@ -105,12 +105,16 @@ def mm_feature_extraction(spark, sf_dir):
     from pg_ducklake_spark.operators.multimodal import extract_features
 
     docs = t(spark, sf_dir, "documents")
-    # r12 (guide §2.6/§4): spread the raw rows before the Arrow kernel —
-    # a single-row-group scan otherwise feeds the whole per-byte
-    # featurizer to one task (measured: the query's entire steady-state
-    # cost sat in one ~0.8 s kernel task at sf0.1). rebalance() skips
-    # itself when the scan is already parallel.
-    media = rebalance(docs).select(
+    # r12: NO pre-kernel rebalance here, deliberately (guide §1.2 —
+    # measure, don't assume). The spans kernel wins from the same
+    # spread (md5 per 50-char window ≈ heavy CPU per input byte), but
+    # this featurizer is vectorized numpy byte stats — cheap per byte —
+    # and the round-robin exchange of the raw text costs more than the
+    # one-task kernel it parallelizes (interleaved 5-draw A/B at sf0.1:
+    # exec median 1.97 s with rebalance vs 1.19 s without). On a
+    # production layout the writer emits many files and the scan is
+    # already parallel, so nothing is lost at scale.
+    media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
         F.encode("text", "UTF-8").alias("content"),

@@ -245,6 +245,38 @@ def test_connected_components_long_chain_converges(spark):
     assert got.count() == n + 1
 
 
+def test_connected_components_one_job_per_round(spark):
+    """r12: the convergence check rides the round's eager-checkpoint
+    job via observe() — no separate isEmpty job per round. Pin the
+    job count: setup (sym + seed checkpoints) + one job per round +
+    the final collect; the old two-jobs-per-round shape would exceed
+    the bound on a multi-round chain."""
+    from pg_ducklake_spark.operators.components import connected_components
+
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    ).localCheckpoint(eager=True)  # keep input prep out of the count
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("cc_jobcount", "components job-count pin")
+        res = connected_components(edges, edges_unique=True).collect()
+        jobs = sc.statusTracker().getJobIdsForGroup("cc_jobcount")
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert {r.node for r in res} == set(range(64))
+    assert all(r.comp == 0 for r in res)
+    # 64-node chain: seed folds one propagation, pointer jumping then
+    # needs ~6 rounds. 2 setup + rounds + 1 collect; the observe()
+    # formulation measured 9 jobs, the old isEmpty one 15.
+    assert len(jobs) <= 12, (
+        f"{len(jobs)} jobs for a 6-round components run — "
+        "is the convergence check spawning its own job again?"
+    )
+
+
 def test_sample_stratified_deterministic_and_nested(spark):
     """Hash-threshold sampling: per-stratum fractions approximately hold,
     results are identical across runs/partitionings, and a smaller
