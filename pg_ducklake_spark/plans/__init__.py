@@ -117,6 +117,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     df = _read_table(spark, sf_dir, name)
+    # Probe tag for rebalance(): scan partition count depends only on
+    # the file set and the split confs, so probes of (projections of)
+    # this frame can be memoized per (session, table, split conf).
+    df._graft_probe = (sf_dir, name)
     _TABLE_CACHE[key] = df
     return df
 
@@ -140,7 +144,14 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def rebalance(df: DataFrame, partitions: int | None = None) -> DataFrame:
+_PROBE_CACHE: dict = {}
+
+
+def rebalance(
+    df: DataFrame,
+    partitions: int | None = None,
+    src: DataFrame | None = None,
+) -> DataFrame:
     """Spread a small single-file scan across the cluster before a heavy
     per-row transform chain.
 
@@ -158,12 +169,33 @@ def rebalance(df: DataFrame, partitions: int | None = None) -> DataFrame:
     32-row-group 10M-row file). The partition probe is metadata-only
     (file-split planning, no job).
     """
-    sc = df.sparkSession.sparkContext
-    target = partitions or sc.defaultParallelism
-    try:
-        cur = df.rdd.getNumPartitions()
-    except Exception:  # non-scan inputs: keep the old unconditional path
-        cur = 1
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    dp = _PROBE_CACHE.get(id(sc))
+    if dp is None:
+        dp = sc.defaultParallelism
+        _PROBE_CACHE[id(sc)] = dp
+    target = partitions or dp
+    # The probe (df.rdd.getNumPartitions()) costs a full physical plan
+    # + JavaRDD setup (~50-120 ms of driver time) per BUILD; its answer
+    # depends only on the scanned file set and the split confs, so for
+    # frames rooted at a t() table (src tags the base frame when the
+    # caller passes a projection — split planning ignores projections
+    # and filters) it is memoized per (session, table, split size).
+    probe = src if src is not None else df
+    tag = getattr(probe, "_graft_probe", None)
+    key = cur = None
+    if tag is not None:
+        mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", "")
+        key = (id(spark), tag, mpb)
+        cur = _PROBE_CACHE.get(key)
+    if cur is None:
+        try:
+            cur = probe.rdd.getNumPartitions()
+        except Exception:  # non-scan inputs: keep the old unconditional path
+            cur = 1
+        if key is not None:
+            _PROBE_CACHE[key] = cur
     if cur * 2 >= target:
         return df
     return df.repartition(target)

@@ -237,7 +237,10 @@ def dedup_substring_spans(spark, sf_dir):
     # the cluster first (and skips itself when the scan is already
     # parallel, the production case).
     spans = (
-        rebalance(docs.filter(F.length("text") >= _SPAN_L).select("doc_id", "text"))
+        rebalance(
+            docs.filter(F.length("text") >= _SPAN_L).select("doc_id", "text"),
+            src=docs,
+        )
         .mapInPandas(
             _spans_kernel,
             "doc_id long, span_md5 string",
@@ -311,7 +314,7 @@ _DUCK_TOKS = "string_split(lower(text), ' ')"
 def _spark_shingled(docs):
     # rebalance: tokenize+shingle is the expensive fused chain — spread
     # the raw doc rows across cores before it, not after.
-    return rebalance(docs.select("doc_id", "text")).select(
+    return rebalance(docs.select("doc_id", "text"), src=docs).select(
         "doc_id",
         F.expr(_SPARK_TOKS).alias("toks"),
     ).select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))

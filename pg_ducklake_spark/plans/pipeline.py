@@ -505,7 +505,8 @@ def pipe_contamination_check(spark, sf_dir):
     """
     from pg_ducklake_spark.plans.dedup import _SPARK_SHINGLES, _SPARK_TOKS
 
-    docs = rebalance(t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    base = t(spark, sf_dir, "documents")
+    docs = rebalance(base.select("doc_id", "source", "text"), src=base)
     shingled = docs.select(
         "doc_id", "source", F.expr(_SPARK_TOKS).alias("toks")
     ).select("doc_id", "source", F.expr(_SPARK_SHINGLES).alias("shingles"))

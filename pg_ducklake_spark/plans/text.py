@@ -428,7 +428,8 @@ def text_unigram_surprisal(spark, sf_dir):
     state. Per-token surprisal is frozen to integer micro-nats before
     summing, so aggregation order cannot perturb the result.
     """
-    docs = rebalance(t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    base = t(spark, sf_dir, "documents")
+    docs = rebalance(base.select("doc_id", "source", "text"), src=base)
     # explode_outer + notnull: the inner Generate's derived
     # size(split(...)) > 0 pre-filter is pushed below the rebalance
     # once per consuming branch (this stream feeds both the total and

@@ -115,10 +115,22 @@ def get_spark(app_name: str = "pg_ducklake_spark", cpus: int | None = None) -> S
             f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
         )
     _enable_py4j_nodelay()
+    from pg_ducklake_spark import rpcslim
+
+    rpcslim.install()
     shuffle = max(4, min(64, cpus))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        # Disable Python-side call-site capture (upstream conf,
+        # SPARK-44100 family): with it on, EVERY DataFrame/Column API
+        # call does ~8 extra py4j RPCs (resolve PySparkCurrentOrigin,
+        # conf.get the stack depth, set + clear) purely to enrich error
+        # messages with the user line number. Measured here: F.col went
+        # 13 -> 3 RPCs, whole query builds roughly halved their RPC
+        # count. Diagnostic metadata only — plans and results are
+        # identical (see rpcslim.py for the companion client patches).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Python data plane over unix domain sockets (Spark 4.1,
         # spark.python.unix.domain.socket.enabled): collect /
         # createDataFrame / accumulator / Python-worker channels skip
