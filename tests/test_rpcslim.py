@@ -99,6 +99,39 @@ def test_rebalance_probe_memo_matches_live_probe(spark):
     _PROBE_CACHE.update(before)
 
 
+def test_rpc_counts_stay_slim(spark):
+    """Pin the per-call RPC budget so a pyspark upgrade or a patch
+    regression can't silently reinstate the 10x client chatter
+    (pre-patch: F.col = 13 RPCs, 2-col select = 13). Counts are code-
+    path-deterministic; bounds are generous to absorb minor drift."""
+    import py4j.clientserver as cs
+
+    df = spark.range(3)
+    counts = {"n": 0}
+    orig = cs.ClientServerConnection.send_command
+
+    def counted(self, command):
+        counts["n"] += 1
+        return orig(self, command)
+
+    cs.ClientServerConnection.send_command = counted
+    try:
+        F.col("x")  # warm member caches
+        df.select("id", (F.col("id") + 1).alias("b"))
+        counts["n"] = 0
+        F.col("x")
+        col_rpcs = counts["n"]
+        counts["n"] = 0
+        df.select("id", (F.col("id") + 1).alias("b"))
+        select_rpcs = counts["n"]
+    finally:
+        cs.ClientServerConnection.send_command = orig
+    assert col_rpcs <= 4, f"F.col cost {col_rpcs} RPCs (pre-patch: 13)"
+    assert select_rpcs <= 12, (
+        f"2-col select cost {select_rpcs} RPCs (pre-patch: ~25)"
+    )
+
+
 def test_dataframe_debugging_disabled_in_session(spark):
     assert (
         spark.conf.get("spark.python.sql.dataFrameDebugging.enabled", "true")
