@@ -62,17 +62,23 @@ def _last_sampled_round() -> dict[str, int]:
 # vocab-reduce widening, and the two re-pinned SCALEBENCH queries —
 # spans and sq8 — belong at the front regardless of staleness).
 _RECHECK_FIRST = (
-    # r12: the DV anti-join grew a catalog-count broadcast guard, the
-    # size-keyed resolve a physical-size verification, and DV-mode
-    # DELETE was restructured into a single distributed pass (positions
-    # written straight to the DV file, counts read back, prior appended
-    # after) — re-front every query that exercises the DML read/write
-    # paths so the rewrite is driver-re-verified this round.
-    "lake_dml_roundtrip",
-    "lake_vacuum_consistency",
-    "lake_change_feed",
-    "lake_time_travel",
-    "text_bpe_pair_counts",
+    # r13: the three queries CORRECTNESS_r12 crashed via the
+    # rebalance() conf-probe bug (plans/__init__.py — spark.conf.get
+    # with an unparseable "" fallback on plain sessions) are re-fronted
+    # so the one-line fix is driver-re-verified this round, plus one
+    # representative per other rebalance-tagged family that was latently
+    # affected (text_*, dedup simhash/spans/semantic/components, sim_*,
+    # pii, graph via _spark_edges).
+    "text_distinctive_terms",
+    "pipe_length_buckets",
+    "pipe_train_eval_split",
+    "dedup_simhash_pairs",
+    "dedup_substring_spans",
+    "dedup_semantic_prune",
+    "sim_lsh_bucket_topk",
+    "text_pii_scan",
+    "graph_triangle_census",
+    "text_cms_heavy_hitters",
 )
 
 

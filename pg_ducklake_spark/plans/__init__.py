@@ -147,6 +147,27 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _PROBE_CACHE: dict = {}
 
 
+def _session_probe_info(sc) -> tuple[int, str]:
+    """(defaultParallelism, applicationId) for ``sc``, memoized.
+
+    The memo entry holds a weakref to the context it was computed for:
+    ``id(sc)`` alone can be reused after a stopped context is
+    garbage-collected (ADVICE r12), so a hit only counts when the ref
+    still points at the same live object. applicationId is unique per
+    context, so probe entries keyed on it can never alias across
+    sessions.
+    """
+    import weakref
+
+    ent = _PROBE_CACHE.get(id(sc))
+    if ent is not None and isinstance(ent, tuple) and ent[0]() is sc:
+        return ent[1], ent[2]
+    dp = sc.defaultParallelism
+    app_id = sc.applicationId
+    _PROBE_CACHE[id(sc)] = (weakref.ref(sc), dp, app_id)
+    return dp, app_id
+
+
 def rebalance(
     df: DataFrame,
     partitions: int | None = None,
@@ -171,10 +192,7 @@ def rebalance(
     """
     spark = df.sparkSession
     sc = spark.sparkContext
-    dp = _PROBE_CACHE.get(id(sc))
-    if dp is None:
-        dp = sc.defaultParallelism
-        _PROBE_CACHE[id(sc)] = dp
+    dp, app_id = _session_probe_info(sc)
     target = partitions or dp
     # The probe (df.rdd.getNumPartitions()) costs a full physical plan
     # + JavaRDD setup (~50-120 ms of driver time) per BUILD; its answer
@@ -186,8 +204,18 @@ def rebalance(
     tag = getattr(probe, "_graft_probe", None)
     key = cur = None
     if tag is not None:
-        mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", "")
-        key = (id(spark), tag, mpb)
+        # No fallback argument here: Spark 4 validates the fallback
+        # string against the conf's byte type, so an unparseable
+        # sentinel ("" — the r12 gate failure) raises
+        # INVALID_CONF_VALUE.TYPE_MISMATCH on any session where the
+        # conf was never set (the driver's plain-session oracle
+        # harness). A bare get returns the session's effective default;
+        # if even that throws, any stable string keeps the memo keyed.
+        try:
+            mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        except Exception:
+            mpb = "<default>"
+        key = (app_id, tag, mpb)
         cur = _PROBE_CACHE.get(key)
     if cur is None:
         try:

@@ -122,10 +122,11 @@ def graph_triangle_census(spark, sf_dir):
     # from the one degree aggregate — sum(d) counts every edge exactly
     # twice, so n_edges = sum(d) DIV 2 (exact: the sum is even). The
     # separate COUNT(*) pass over edges and its broadcast exchange are
-    # gone; same values.
+    # gone; same values. coalesce matches the oracle's COUNT(*) = 0
+    # when the edge set is empty (sum over zero rows is NULL).
     summary = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.expr("sum(d) DIV 2").alias("n_edges"),
+        F.expr("coalesce(sum(d) DIV 2, 0)").alias("n_edges"),
         F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
     )
     return (

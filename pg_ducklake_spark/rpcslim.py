@@ -108,12 +108,38 @@ def _batched_java_list(sc, elems: list) -> Any | None:
     return out
 
 
+# PySpark minor versions whose private internals these patches were
+# written and verified against. On any other version install() warns
+# and skips, so an upgrade degrades VISIBLY to stock behavior instead
+# of silently (ADVICE r12) — the patched names are private
+# (pyspark.sql.classic.*, functions.builtin._get_jvm_function) and may
+# move between minors.
+_SUPPORTED_PYSPARK = ("4.1",)
+
+
 def install() -> None:
     """Apply the RPC-slimming patches (idempotent, classic mode only)."""
     global _INSTALLED
     if _INSTALLED:
         return
     _INSTALLED = True
+    try:
+        import pyspark
+
+        ver = pyspark.__version__
+    except Exception:
+        return
+    if not any(ver.startswith(p + ".") or ver == p for p in _SUPPORTED_PYSPARK):
+        import warnings
+
+        warnings.warn(
+            f"pg_ducklake_spark.rpcslim: PySpark {ver} is outside the "
+            f"verified range {_SUPPORTED_PYSPARK}; skipping RPC-slimming "
+            "patches (stock client behavior, correct but chattier).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return
     _patch_get_jvm_function()
     _patch_to_seq_to_list()
     _patch_column_helpers()

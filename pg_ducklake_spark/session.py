@@ -91,12 +91,28 @@ def _fast_scratch_dir(sub: str) -> str | None:
     """
     if os.environ.get("SPARK_LOCAL_DIRS"):
         return None  # standard env override wins
+    if os.environ.get("PG_DUCKLAKE_TMPFS_SCRATCH", "auto").lower() in ("off", "0", "false"):
+        return None  # explicit opt-out (ADVICE r12)
     base = "/dev/shm"
     if not (os.path.isdir(base) and os.access(base, os.W_OK)):
         return None
-    path = os.path.join(base, sub)
+    # tmpfs is RAM-backed: require real headroom so big shuffles/spills
+    # don't fill it and OOM-pressure the host (ADVICE r12). Production
+    # deployments should set SPARK_LOCAL_DIRS to fast local disks.
+    try:
+        st = os.statvfs(base)
+        if st.f_bavail * st.f_frsize < 8 * 1024**3:
+            return None
+    except OSError:
+        return None
+    # per-user path: a second user on a shared host must not collide
+    # with (and be locked out by) the first user's directory.
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    path = os.path.join(base, f"{sub}_{uid}")
     try:
         os.makedirs(path, exist_ok=True)
+        if not os.access(path, os.W_OK):
+            return None
     except OSError:
         return None
     return path

@@ -85,8 +85,8 @@ def test_rebalance_probe_memo_matches_live_probe(spark):
     assert getattr(docs, "_graft_probe", None) == (SF_DIR, "documents")
     before = dict(_PROBE_CACHE)
     out = rebalance(docs.select("doc_id", "text"), src=docs)
-    mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", "")
-    key = (id(spark), (SF_DIR, "documents"), mpb)
+    mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    key = (spark.sparkContext.applicationId, (SF_DIR, "documents"), mpb)
     assert key in _PROBE_CACHE
     live = docs.select("doc_id", "text").rdd.getNumPartitions()
     assert _PROBE_CACHE[key] == live

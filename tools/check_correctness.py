@@ -5,7 +5,15 @@ DuckDB over the same parquet tables, then compares row count, column
 names, and order-insensitive values (exact string normalization — if
 this passes, any value-hash scheme passes).
 
-Usage: python tools/check_correctness.py [sf_dir] [name_filter ...]
+Usage: python tools/check_correctness.py [--plain-session] [sf_dir] [name_filter ...]
+
+``--plain-session`` runs the sweep on a STOCK SparkSession (builder with
+only a master, zero package confs) instead of ``get_spark``. This is the
+driver-contract lane: get_spark's defaults (maxPartitionBytes, Arrow,
+UDS, …) can mask bugs that only fire on an unconfigured session — the
+r12 gate failure (rebalance()'s conf probe crashing when
+spark.sql.files.maxPartitionBytes is unset) shipped precisely because
+every builder-side check ran through get_spark.
 """
 
 from __future__ import annotations
@@ -58,9 +66,30 @@ def norm_rows(cols: list[str], rows: list[tuple]) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
-    spark = get_spark("check_correctness")
+    args = [a for a in sys.argv[1:] if a != "--plain-session"]
+    plain = "--plain-session" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    name_filter = args[1:]
+    if plain:
+        from pyspark.sql import SparkSession
+
+        # Environment only (not a Spark conf): Python workers must be
+        # able to import this package for the mapInPandas kernels, same
+        # as any external harness that has the repo on its sys.path.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        if repo_root not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+            )
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+        spark = (
+            SparkSession.builder.appName("check_correctness_plain")
+            .master(f"local[{cpus}]")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check_correctness")
     con = duckdb.connect()
     for tbl in TABLES:
         con.execute(
