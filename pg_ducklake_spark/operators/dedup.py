@@ -118,8 +118,14 @@ def jaccard_pairs(
             F.explode(F.expr("slice(dl, i + 2, size(dl))")).alias("b"),
         )
         .select("id_a", "na", F.col("b.id").alias("id_b"), F.col("b.n").alias("nb"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        # r13 (guide §2.3 narrower keys): 2-long pair grouping key; na/nb
+        # are functionally dependent on the ids, recovered exactly by max().
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
     )
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")

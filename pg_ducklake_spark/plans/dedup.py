@@ -410,8 +410,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select(
             "doc_a", "na", F.col("b.doc_id").alias("doc_b"), F.col("b.n").alias("nb")
         )
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        # r13 (guide §2.3 narrower keys): group on the 2-long pair key
+        # only; na/nb are functionally dependent on doc_a/doc_b, so
+        # max() recovers them exactly while the ~1.27M generated pair
+        # rows hash/compare half the key bytes (interleaved A/B medians
+        # 2.32 -> 2.12 s on the full query).
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
     )
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
